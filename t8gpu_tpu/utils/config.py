@@ -1,0 +1,53 @@
+"""Runtime configuration.
+
+The reference hardwires all of these as compile-time constants scattered
+through the tree (gamma=1.4 in `examples/compressible_euler/kernels.cu:49`
+with a TODO to remove it; cfl=0.7 in `examples/compressible_euler/solver.h:37`;
+min/max refinement levels in `t8gpu/mesh/mesh_manager.h:241-242`; the
+refinement threshold b in `t8gpu/mesh/mesh_manager.inl:141`).  Here they are
+promoted to real config dataclasses; values that shape jitted computations
+(capacity buckets, subgrid extents) remain static arguments to `jax.jit`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class EulerConfig:
+    """Physics / scheme parameters for the compressible-Euler solvers."""
+
+    gamma: float = 1.4          # ratio of specific heats (ref kernels.cu:49)
+    cfl: float = 0.7            # CFL number (ref solver.h:37)
+    flux: str = "kepes"         # "kepes" (entropy stable) or "hll" (ref kernels.inl:264)
+
+
+@dataclasses.dataclass(frozen=True)
+class AMRConfig:
+    """Adaptive-refinement parameters.
+
+    `refine_threshold` plays the role of `b` in the reference adapt callback
+    (`mesh_manager.inl:141` uses b=10.0 for the plain solver;
+    `subgrid_mesh_manager.inl:214` uses b=0.02 for the subgrid solver):
+    refine when criteria > b, coarsen a family when its mean criteria < b.
+    """
+
+    min_level: int = 1
+    max_level: int = 4
+    refine_threshold: float = 10.0
+    # Capacity growth factor for element buffers.  Mirrors the reference's
+    # SharedDeviceVector 1.5x growth (shared_device_vector.inl:85); on TPU the
+    # payoff is fewer XLA recompilations when the element count changes.
+    growth_factor: float = 1.5
+
+
+@dataclasses.dataclass(frozen=True)
+class RunConfig:
+    """Driver-level parameters (ref: hardcoded in examples/*/main*.cu)."""
+
+    n_steps: int = 1000
+    dt: float = 5.0e-4
+    adapt_every: int = 100
+    vtk_every: int = 0          # 0 disables VTK output
+    output_prefix: str = "out"

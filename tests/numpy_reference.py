@@ -1,0 +1,136 @@
+"""Independent scalar float64 NumPy implementations of the Euler numerics.
+
+Written directly from the scheme definitions (Chandrashekar KEPES flux with
+Barth-style eigen-dissipation; Roe-speed HLL) to serve as golden references
+for the vectorized JAX kernels.  Deliberately scalar and simple.
+"""
+
+import numpy as np
+
+GAMMA = 1.4
+
+
+def ln_mean_ref(a, b):
+    if abs(a - b) < 1e-12 * max(abs(a), abs(b)):
+        return 0.5 * (a + b)
+    return (b - a) / np.log(b / a)
+
+
+def pressure(u, gamma=GAMMA):
+    rho, m1, m2, m3, e = u
+    return (gamma - 1.0) * (e - 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) / rho)
+
+
+def kepes_central_flux(uL, uR, gamma=GAMMA):
+    """Chandrashekar's KEP/ES central flux along the first momentum axis."""
+    rhoL, rhoR = uL[0], uR[0]
+    vL = np.array([uL[1], uL[2], uL[3]]) / rhoL
+    vR = np.array([uR[1], uR[2], uR[3]]) / rhoR
+    pL, pR = pressure(uL, gamma), pressure(uR, gamma)
+    betaL = rhoL / (2 * pL)
+    betaR = rhoR / (2 * pR)
+
+    rho_ln = ln_mean_ref(rhoL, rhoR)
+    beta_ln = ln_mean_ref(betaL, betaR)
+    v_avg = 0.5 * (vL + vR)
+    p_avg = 0.5 * (rhoL + rhoR) / (betaL + betaR)  # = mean(rho)/(2 mean(beta))
+    v_dot = np.dot(vL, vR)
+
+    f = np.zeros(5)
+    f[0] = rho_ln * v_avg[0]
+    f[1] = f[0] * v_avg[0] + p_avg
+    f[2] = f[0] * v_avg[1]
+    f[3] = f[0] * v_avg[2]
+    # Energy flux per Chandrashekar (2013): uses 1/(2*(gamma-1)*beta_ln)
+    # and the product-mean of velocities.
+    vel2_L = np.dot(vL, vL)
+    vel2_R = np.dot(vR, vR)
+    f[4] = (
+        f[0] * 0.5 * (1.0 / ((gamma - 1.0) * beta_ln) - 0.5 * (vel2_L + vel2_R))
+        + v_avg[0] * f[1] + v_avg[1] * f[2] + v_avg[2] * f[3]
+    )
+    return f
+
+
+def entropy_vars(u, gamma=GAMMA):
+    rho = u[0]
+    v = np.array([u[1], u[2], u[3]]) / rho
+    p = pressure(u, gamma)
+    s = np.log(p) - gamma * np.log(rho)
+    rp = rho / p
+    return np.array([
+        (gamma - s) / (gamma - 1.0) - 0.5 * rp * np.dot(v, v),
+        rp * v[0], rp * v[1], rp * v[2], -rp,
+    ])
+
+
+def kepes_es_flux_ref(uL, uR, gamma=GAMMA):
+    """KEPES central flux + entropy dissipation via R diag(D) R^T jump."""
+    f_star = kepes_central_flux(uL, uR, gamma)
+
+    rhoL, rhoR = uL[0], uR[0]
+    vL = np.array([uL[1], uL[2], uL[3]]) / rhoL
+    vR = np.array([uR[1], uR[2], uR[3]]) / rhoR
+    pL, pR = pressure(uL, gamma), pressure(uR, gamma)
+    betaL = rhoL / (2 * pL)
+    betaR = rhoR / (2 * pR)
+
+    rho_ln = ln_mean_ref(rhoL, rhoR)
+    beta_ln = ln_mean_ref(betaL, betaR)
+    uh, vh, wh = 0.5 * (vL + vR)
+    a_hat = np.sqrt(gamma * 0.5 * (pL + pR) / rho_ln)
+    h_hat = gamma / (2 * (gamma - 1.0) * beta_ln) + 0.5 * np.dot(vL, vR)
+    p1_hat = 0.5 * (rhoL + rhoR) / (betaL + betaR)
+
+    R = np.array([
+        [1.0, 1.0, 0.0, 0.0, 1.0],
+        [uh - a_hat, uh, 0.0, 0.0, uh + a_hat],
+        [vh, vh, 1.0, 0.0, vh],
+        [wh, wh, 0.0, 1.0, wh],
+        [h_hat - uh * a_hat, 0.5 * (uh * uh + vh * vh + wh * wh), vh, wh, h_hat + uh * a_hat],
+    ])
+    D = np.array([
+        0.5 * abs(uh - a_hat) * rho_ln / gamma,
+        abs(uh) * ((gamma - 1.0) / gamma) * rho_ln,
+        abs(uh) * p1_hat,
+        abs(uh) * p1_hat,
+        0.5 * abs(uh + a_hat) * rho_ln / gamma,
+    ])
+    dv = entropy_vars(uR, gamma) - entropy_vars(uL, gamma)
+    diss = R @ (D * (R.T @ dv))
+    speed = abs(uh) + a_hat
+    return f_star - 0.5 * diss, speed
+
+
+def hll_flux_ref(uL, uR, gamma=GAMMA):
+    rhoL, rhoR = uL[0], uR[0]
+    vL = np.array([uL[1], uL[2], uL[3]]) / rhoL
+    vR = np.array([uR[1], uR[2], uR[3]]) / rhoR
+    pL, pR = pressure(uL, gamma), pressure(uR, gamma)
+    HL = (uL[4] + pL) / rhoL
+    HR = (uR[4] + pR) / rhoR
+    cL = np.sqrt((gamma - 1.0) * (HL - 0.5 * np.dot(vL, vL)))
+    cR = np.sqrt((gamma - 1.0) * (HR - 0.5 * np.dot(vR, vR)))
+
+    sl, sr = np.sqrt(rhoL), np.sqrt(rhoR)
+    w = sl + sr
+    v_roe = (sl * vL + sr * vR) / w
+    H_roe = (sl * HL + sr * HR) / w
+    c_roe = np.sqrt((gamma - 1.0) * (H_roe - 0.5 * np.dot(v_roe, v_roe)))
+
+    SL = min(v_roe[0] - c_roe, vL[0] - cL)
+    SR = max(v_roe[0] + c_roe, vR[0] + cR)
+
+    FL = np.array([uL[1], uL[1] * vL[0] + pL, uL[1] * vL[1], uL[1] * vL[2], uL[1] * HL])
+    FR = np.array([uR[1], uR[1] * vR[0] + pR, uR[1] * vR[1], uR[1] * vR[2], uR[1] * HR])
+
+    SLc, SRc = min(SL, 0.0), max(SR, 0.0)
+    return ((SRc * FL - SLc * FR) + SRc * SLc * (uR - uL)) / (SRc - SLc)
+
+
+def physical_flux(u, gamma=GAMMA):
+    """Exact Euler flux along x — for consistency checks F(u,u) = F_phys(u)."""
+    rho, m1, m2, m3, e = u
+    v1 = m1 / rho
+    p = pressure(u, gamma)
+    return np.array([m1, m1 * v1 + p, m2 * v1, m3 * v1, (e + p) * v1])
