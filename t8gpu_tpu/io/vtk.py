@@ -1,0 +1,101 @@
+"""VTK XML unstructured-grid export (.vtu), dependency-free.
+
+Counterpart of the reference VTK paths (`t8gpu/mesh/mesh_manager.inl:515-623`
+`save_variables_to_vtk` via t8code's writer; the rebuild writes .vtu
+directly).  Cell-centered scalar/vector fields over axis-aligned quad/hex
+cells reconstructed from (center, size) pairs — the natural representation
+for the Morton forest.  Output opens in ParaView, the reference's de-facto
+acceptance tool (README.md:3-6).
+"""
+
+from __future__ import annotations
+
+import base64
+import struct
+from typing import Mapping
+
+import numpy as np
+
+_VTK_QUAD = 9
+_VTK_HEXA = 12
+
+
+def _b64(arr: np.ndarray) -> str:
+    raw = arr.tobytes()
+    header = struct.pack("<I", len(raw))
+    return base64.b64encode(header + raw).decode()
+
+
+def write_vtu(path: str,
+              centers: np.ndarray,       # [N, dim]
+              sizes: np.ndarray,         # [N] edge lengths
+              cell_data: Mapping[str, np.ndarray],
+              dim: int) -> str:
+    """Write cells as axis-aligned squares/cubes with cell-centered data.
+
+    cell_data values may be [N] scalars or [k, N] vectors (k<=3).
+    Returns the path written.
+    """
+    n = len(sizes)
+    half = np.asarray(sizes, np.float64)[:, None] * 0.5
+    c = np.zeros((n, 3))
+    c[:, :centers.shape[1]] = centers
+
+    if dim == 2:
+        offs = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]], np.float64)
+        ctype = _VTK_QUAD
+    else:
+        offs = np.array([
+            [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+            [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float64)
+        ctype = _VTK_HEXA
+    k = len(offs)
+
+    # corner = center + off * half (only the first `dim` axes move)
+    scale = np.zeros((1, 1, 3))
+    scale[..., :dim] = 1.0
+    points = c[:, None, :] + offs[None] * half[:, None, :] * scale
+    points = points.reshape(-1, 3).astype(np.float32)
+
+    connectivity = np.arange(n * k, dtype=np.int32)
+    offsets = (np.arange(1, n + 1, dtype=np.int32) * k)
+    types = np.full(n, ctype, np.uint8)
+
+    parts = []
+    parts.append('<?xml version="1.0"?>')
+    parts.append('<VTKFile type="UnstructuredGrid" version="0.1" byte_order="LittleEndian">')
+    parts.append('<UnstructuredGrid>')
+    parts.append(f'<Piece NumberOfPoints="{n * k}" NumberOfCells="{n}">')
+    parts.append('<Points><DataArray type="Float32" NumberOfComponents="3" format="binary">')
+    parts.append(_b64(points))
+    parts.append('</DataArray></Points>')
+    parts.append('<Cells>')
+    parts.append('<DataArray type="Int32" Name="connectivity" format="binary">')
+    parts.append(_b64(connectivity))
+    parts.append('</DataArray>')
+    parts.append('<DataArray type="Int32" Name="offsets" format="binary">')
+    parts.append(_b64(offsets))
+    parts.append('</DataArray>')
+    parts.append('<DataArray type="UInt8" Name="types" format="binary">')
+    parts.append(_b64(types))
+    parts.append('</DataArray>')
+    parts.append('</Cells>')
+    parts.append('<CellData>')
+    for name, values in cell_data.items():
+        values = np.asarray(values, np.float32)
+        if values.ndim == 1:
+            parts.append(f'<DataArray type="Float32" Name="{name}" format="binary">')
+            parts.append(_b64(values))
+        else:
+            comps = np.zeros((3, values.shape[1]), np.float32)
+            comps[: values.shape[0]] = values
+            parts.append(
+                f'<DataArray type="Float32" Name="{name}" NumberOfComponents="3" format="binary">')
+            parts.append(_b64(comps.T.copy()))
+        parts.append('</DataArray>')
+    parts.append('</CellData>')
+    parts.append('</Piece></UnstructuredGrid></VTKFile>')
+
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path

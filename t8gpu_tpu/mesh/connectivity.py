@@ -1,0 +1,162 @@
+"""Device-side mesh connectivity: flat face lists + element incidence.
+
+TPU-native counterpart of the reference `MeshConnectivityAccessor`
+(`t8gpu/mesh/mesh_manager.h:30-182`): the host mesh layer (forest or uniform
+builder) emits flat arrays — neighbor indices, normals, areas, boundary
+lists — that become jit inputs.
+
+The key TPU redesign is how per-face fluxes reach per-element accumulators.
+The reference scatters with `atomicAdd`, including into remote ranks' memory
+over CUDA IPC (`examples/compressible_euler/kernels.cu:295-308`); that is
+non-deterministic and has no TPU analogue.  Here accumulation is formulated
+two ways, both deterministic:
+
+  * ``gather``: a host-built CSR-style incidence table — each element knows
+    the (face, sign) pairs that touch it, padded to a fixed degree — turns
+    accumulation into a gather + small reduction, the TPU-friendly shape.
+  * ``segment_sum``: `jax.ops.segment_sum` over the face list (XLA scatter).
+
+Faces and incidence degree are padded to capacity buckets so AMR-driven
+count changes reuse compiled programs.  Padded faces have area 0 and touch
+element 0, contributing exactly zero.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t8gpu_tpu.memory.store import bucket_capacity
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class FaceConnectivity:
+    """Flat device arrays describing interior + boundary faces.
+
+    Interior faces: `left` is the emitting element (the finer one across a
+    hanging face, mirroring the reference convention mesh_manager.inl:396-424),
+    `normal` points from left to right, `area` is the face area.  Boundary
+    faces carry the owning element and its outward normal.
+    """
+
+    left: jnp.ndarray      # i32 [F]
+    right: jnp.ndarray     # i32 [F]
+    normal: jnp.ndarray    # f32 [3, F] unit, left -> right
+    area: jnp.ndarray      # f32 [F]; 0 for padding faces
+
+    b_elem: jnp.ndarray    # i32 [Fb]
+    b_normal: jnp.ndarray  # f32 [3, Fb] outward
+    b_area: jnp.ndarray    # f32 [Fb]; 0 for padding
+
+    # CSR incidence: for each element, up to D incident face slots.
+    # Slot s < F refers to interior face s; F <= s < F+Fb to boundary face
+    # s-F; slot F+Fb is a zero sentinel.  sign: -1 emitter/owner, +1 receiver.
+    inc_slot: jnp.ndarray  # i32 [capacity, D]
+    inc_sign: jnp.ndarray  # f32 [capacity, D]
+
+    n_faces: int = dataclasses.field(metadata=dict(static=True))
+    n_boundary_faces: int = dataclasses.field(metadata=dict(static=True))
+    n_elements: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def face_capacity(self) -> int:
+        return self.left.shape[0]
+
+    @property
+    def boundary_capacity(self) -> int:
+        return self.b_elem.shape[0]
+
+
+def build_connectivity(
+    left: np.ndarray,
+    right: np.ndarray,
+    normal: np.ndarray,      # [3, F]
+    area: np.ndarray,
+    n_elements: int,
+    b_elem: Optional[np.ndarray] = None,
+    b_normal: Optional[np.ndarray] = None,
+    b_area: Optional[np.ndarray] = None,
+    element_capacity: Optional[int] = None,
+    dtype=np.float32,
+) -> FaceConnectivity:
+    """Assemble a FaceConnectivity from host face lists (NumPy, unpadded)."""
+    F = len(left)
+    if b_elem is None:
+        b_elem = np.zeros(0, np.int32)
+        b_normal = np.zeros((3, 0), dtype)
+        b_area = np.zeros(0, dtype)
+    Fb = len(b_elem)
+
+    cap_f = bucket_capacity(max(F, 1))
+    cap_b = bucket_capacity(max(Fb, 1)) if Fb else 0
+    cap_e = element_capacity or bucket_capacity(n_elements)
+
+    def pad1(a, n, fill=0):
+        out = np.full(n, fill, a.dtype if hasattr(a, "dtype") else np.int32)
+        out[: len(a)] = a
+        return out
+
+    left_p = pad1(np.asarray(left, np.int32), cap_f)
+    right_p = pad1(np.asarray(right, np.int32), cap_f)
+    area_p = pad1(np.asarray(area, dtype), cap_f, 0)
+    normal_p = np.zeros((3, cap_f), dtype)
+    normal_p[0] = 1.0  # valid unit normal on padding (degenerate-basis safe)
+    normal_p[:, :F] = normal
+
+    b_elem_p = pad1(np.asarray(b_elem, np.int32), cap_b) if cap_b else np.zeros(0, np.int32)
+    b_area_p = pad1(np.asarray(b_area, dtype), cap_b, 0) if cap_b else np.zeros(0, dtype)
+    b_normal_p = np.zeros((3, cap_b), dtype)
+    if cap_b:
+        b_normal_p[0] = 1.0
+        b_normal_p[:, :Fb] = b_normal
+
+    # --- incidence table -------------------------------------------------
+    # element e receives -flux from faces where it is `left` (emitter) and
+    # +flux where it is `right`; boundary faces contribute -flux to their
+    # owner (ref kernels.cu:295-308, 464-468).
+    elems = np.concatenate([left[:F], right[:F], b_elem[:Fb]]).astype(np.int64)
+    slots = np.concatenate([
+        np.arange(F), np.arange(F), cap_f + np.arange(Fb),
+    ]).astype(np.int64)
+    signs = np.concatenate([
+        -np.ones(F), np.ones(F), -np.ones(Fb),
+    ]).astype(dtype)
+
+    order = np.argsort(elems, kind="stable")
+    elems, slots, signs = elems[order], slots[order], signs[order]
+    counts = np.bincount(elems, minlength=n_elements)
+    deg = int(counts.max()) if len(counts) else 1
+    # Bucket the degree so hanging-node meshes with varying max degree
+    # don't recompile on every adapt.
+    D = 1 << int(np.ceil(np.log2(max(deg, 4))))
+
+    sentinel = cap_f + cap_b
+    inc_slot = np.full((cap_e, D), sentinel, np.int32)
+    inc_sign = np.zeros((cap_e, D), dtype)
+    # position of each entry within its element's row
+    offsets = np.zeros(len(elems), np.int64)
+    if len(elems):
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        offsets = np.arange(len(elems)) - starts[elems]
+    inc_slot[elems, offsets] = slots
+    inc_sign[elems, offsets] = signs
+
+    return FaceConnectivity(
+        left=jnp.asarray(left_p),
+        right=jnp.asarray(right_p),
+        normal=jnp.asarray(normal_p),
+        area=jnp.asarray(area_p),
+        b_elem=jnp.asarray(b_elem_p),
+        b_normal=jnp.asarray(b_normal_p),
+        b_area=jnp.asarray(b_area_p),
+        inc_slot=jnp.asarray(inc_slot),
+        inc_sign=jnp.asarray(inc_sign),
+        n_faces=F,
+        n_boundary_faces=Fb,
+        n_elements=n_elements,
+    )

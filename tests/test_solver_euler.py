@@ -1,0 +1,124 @@
+"""End-to-end tests of the plain-element Euler solver: conservation,
+stability, CFL plumbing (the checks the reference only does by eye +
+compute_integral, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from t8gpu_tpu.mesh.uniform import uniform_mesh
+from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+from t8gpu_tpu.models.initial_conditions import kh_planar
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+
+
+def make_solver(level=4, dim=2, periodic=True, flux="kepes", mode="gather"):
+    mesh = uniform_mesh(level=level, dim=dim, periodic=periodic)
+    ic = lambda centers: kh_planar(centers, dim=dim)
+    return CompressibleEulerSolver(
+        mesh, ic, config=EulerConfig(flux=flux),
+        amr=AMRConfig(max_level=level), accumulation=mode)
+
+
+class TestConservation:
+    @pytest.mark.parametrize("mode", ["gather", "segment_sum"])
+    def test_mass_conserved_periodic(self, mode):
+        s = make_solver(level=4, mode=mode)
+        m0 = s.compute_integral()
+        dt = s.compute_timestep()
+        for _ in range(25):
+            s.iterate(dt)
+        m1 = s.compute_integral()
+        assert abs(m1 - m0) / m0 < 1e-5
+
+    def test_all_variables_conserved_periodic(self):
+        s = make_solver(level=4)
+        u0 = s.conserved_state()
+        v = s.mesh.volumes
+        before = (u0 * v).sum(axis=1)
+        dt = s.compute_timestep()
+        for _ in range(25):
+            s.iterate(dt)
+        after = (s.conserved_state() * v).sum(axis=1)
+        # mass & energy exactly-ish; momenta are conserved too on periodic
+        scale = np.maximum(np.abs(before), 1.0)
+        np.testing.assert_allclose(after / scale, before / scale, atol=2e-5)
+
+    def test_mass_conserved_reflective(self):
+        s = make_solver(level=4, periodic=False)
+        m0 = s.compute_integral()
+        dt = s.compute_timestep()
+        for _ in range(25):
+            s.iterate(dt)
+        assert abs(s.compute_integral() - m0) / m0 < 1e-5
+
+
+class TestStability:
+    def test_kh_run_stays_finite_and_positive(self):
+        s = make_solver(level=4)
+        dt = s.compute_timestep()
+        for _ in range(50):
+            s.iterate(dt)
+        u = s.conserved_state()
+        assert np.isfinite(u).all()
+        assert (u[0] > 0).all()
+        # pressure positivity
+        ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / u[0]
+        p = 0.4 * (u[4] - ke)
+        assert (p > 0).all()
+
+    def test_hll_matches_kepes_on_smooth_short_run(self):
+        """On a smooth density-wave advection both schemes must agree
+        closely (the KH IC is discontinuous, so it is unsuitable here)."""
+
+        def smooth_ic(centers):
+            x = centers[:, 0]
+            rho = 1.0 + 0.2 * np.sin(2 * np.pi * x)
+            v1 = np.ones_like(x)
+            p = np.ones_like(x)
+            e = p / 0.4 + 0.5 * rho * v1**2
+            z = np.zeros_like(x)
+            return np.stack([rho, rho * v1, z, z, e]).astype(np.float32)
+
+        mesh = uniform_mesh(level=4, dim=2, periodic=True)
+        s1 = CompressibleEulerSolver(mesh, smooth_ic, config=EulerConfig(flux="kepes"),
+                                     amr=AMRConfig(max_level=4))
+        s2 = CompressibleEulerSolver(mesh, smooth_ic, config=EulerConfig(flux="hll"),
+                                     amr=AMRConfig(max_level=4))
+        dt = min(s1.compute_timestep(), s2.compute_timestep())
+        for _ in range(5):
+            s1.iterate(dt)
+            s2.iterate(dt)
+        a, b = s1.conserved_state(), s2.conserved_state()
+        assert np.abs(a - b).max() < 2e-2
+
+    def test_solution_actually_evolves(self):
+        s = make_solver(level=4)
+        u0 = s.conserved_state().copy()
+        dt = s.compute_timestep()
+        for _ in range(10):
+            s.iterate(dt)
+        assert np.abs(s.conserved_state() - u0).max() > 1e-4
+
+
+class TestTimestep:
+    def test_cfl_formula(self):
+        s = make_solver(level=4)
+        dt = s.compute_timestep()
+        # cfl * 0.5^max_level / speed with speed >= sound speed at p=2.5
+        assert 0 < dt < 0.7 * 0.5**4
+        s.iterate(dt)
+        dt2 = s.compute_timestep()
+        assert 0 < dt2 < 0.7 * 0.5**4
+
+    def test_timestep_convergence_invariance(self):
+        """Two half steps ~ one full step (2nd order sanity on smooth data)."""
+        s1 = make_solver(level=3)
+        s2 = make_solver(level=3)
+        dt = s1.compute_timestep()
+        s1.iterate(dt)
+        s2.iterate(dt / 2)
+        s2.iterate(dt / 2)
+        a, b = s1.conserved_state(), s2.conserved_state()
+        # discontinuous KH data: local-error bound is loose but tight enough
+        # to catch a mis-weighted RK stage (that gives O(1e-1) differences)
+        assert np.abs(a - b).max() < 1e-2
