@@ -5,6 +5,11 @@ TPU-native counterpart of the reference driver examples/subgrid/main_2d.cu
 dumps), on plain elements first.  Run:
 
     python examples/kh_2d.py --level 6 --steps 500 --vtk-every 0
+
+With dynamic AMR (BASELINE config 2; ref adapts every 50 steps,
+examples/subgrid/main_2d.cu):
+
+    python examples/kh_2d.py --level 5 --amr --max-level 7 --adapt-every 50
 """
 
 import argparse
@@ -17,6 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 from t8gpu_tpu.io.vtk import write_vtu
+from t8gpu_tpu.mesh.forest import Forest
+from t8gpu_tpu.mesh.manager import MeshManager
 from t8gpu_tpu.mesh.uniform import uniform_mesh
 from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
 from t8gpu_tpu.models.initial_conditions import kh_planar
@@ -31,15 +38,27 @@ def main():
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh")
+    p.add_argument("--amr", action="store_true",
+                   help="dynamic AMR (gradient criteria, ref solver.cu:243-277)")
+    p.add_argument("--max-level", type=int, default=0,
+                   help="AMR refinement bound (default level+2)")
+    p.add_argument("--adapt-every", type=int, default=50)
+    p.add_argument("--refine-threshold", type=float, default=2.0)
     args = p.parse_args()
 
-    mesh = uniform_mesh(level=args.level, dim=args.dim, periodic=True)
+    if args.amr:
+        max_level = args.max_level or args.level + 2
+        amr = AMRConfig(min_level=max(args.level - 1, 1), max_level=max_level,
+                        refine_threshold=args.refine_threshold)
+        mesh = MeshManager(Forest.uniform(args.level, dim=args.dim), amr)
+    else:
+        amr = AMRConfig(max_level=args.level)
+        mesh = uniform_mesh(level=args.level, dim=args.dim, periodic=True)
     solver = CompressibleEulerSolver(
         mesh, lambda c: kh_planar(c, dim=args.dim),
-        config=EulerConfig(flux=args.flux),
-        amr=AMRConfig(max_level=args.level))
+        config=EulerConfig(flux=args.flux), amr=amr)
 
-    print(f"elements={solver.n_elements} faces={mesh.conn.n_faces}")
+    print(f"elements={solver.n_elements} faces={solver.conn.n_faces}")
     m0 = solver.compute_integral()
     dt = solver.compute_timestep()
     print(f"initial integral={m0:.6f} dt={dt:.3e}")
@@ -47,10 +66,14 @@ def main():
     t0 = time.perf_counter()
     for it in range(args.steps):
         solver.iterate(dt)
+        if args.amr and (it + 1) % args.adapt_every == 0:
+            solver.adapt()
+            dt = solver.compute_timestep()
         if args.vtk_every and (it + 1) % args.vtk_every == 0:
             u = solver.conserved_state()
-            h = np.asarray(mesh.volumes) ** (1.0 / args.dim)
-            write_vtu(f"{args.prefix}_{it + 1:06d}.vtu", mesh.centers, h,
+            mesh_now = solver.mesh
+            h = np.asarray(mesh_now.volumes) ** (1.0 / args.dim)
+            write_vtu(f"{args.prefix}_{it + 1:06d}.vtu", mesh_now.centers, h,
                       {"density": u[0], "energy": u[4], "momentum": u[1:4]},
                       dim=args.dim)
     solver.u.block_until_ready()

@@ -401,6 +401,14 @@ class ForestMesh:
     centers: np.ndarray
     volumes: np.ndarray
 
+    @property
+    def dim(self) -> int:
+        return self.forest.dim
+
+    @property
+    def max_level(self) -> int:
+        return int(self.forest.level.max())
+
     @staticmethod
     def from_forest(forest: Forest, element_capacity: Optional[int] = None) -> "ForestMesh":
         return ForestMesh(

@@ -28,6 +28,7 @@ import numpy as np
 
 from t8gpu_tpu.mesh.connectivity import FaceConnectivity
 from t8gpu_tpu.ops import rk
+from t8gpu_tpu.ops.amr import refinement_criteria
 from t8gpu_tpu.ops.fluxes import flux_divergence
 from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
@@ -83,9 +84,18 @@ class CompressibleEulerSolver:
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig(),
                  accumulation: str = "gather"):
+        # `mesh` may be a static mesh (UniformMesh/ForestMesh) or an adaptive
+        # MeshManager (then adapt() performs full AMR cycles).
+        from t8gpu_tpu.mesh.manager import MeshManager
+
         self.config = config
         self.amr = amr
         self.accumulation = accumulation
+        self.manager: Optional[MeshManager] = None
+        if isinstance(mesh, MeshManager):
+            self.manager = mesh
+            self.amr = mesh.amr
+            mesh = mesh.mesh
         self.mesh = mesh
         self._max_speed = None
         self.install_mesh(mesh, jnp.asarray(ic(mesh.centers)))
@@ -124,15 +134,36 @@ class CompressibleEulerSolver:
 
     def compute_timestep(self) -> float:
         """CFL timestep from the last step's max wave speed
-        (ref solver.cu:213-229: cfl * 0.5^max_level / max|speed|)."""
+        (ref solver.cu:213-229: cfl * 0.5^max_level / max|speed|).
+
+        Unlike the reference (which uses the compile-time max_level bound),
+        the level is the mesh's CURRENT finest level when known — tighter dt
+        on meshes that have not refined to the bound yet."""
         if self._max_speed is None:
             # bootstrap estimate from the initial state
             _, speed = flux_divergence(
                 self.u, self.conn, gamma=self.config.gamma,
                 flux=self.config.flux, mode=self.accumulation)
             self._max_speed = speed
-        return float(self.config.cfl * 0.5**self.amr.max_level /
-                     float(self._max_speed))
+        level = getattr(self.mesh, "max_level", None)
+        if level is None:
+            level = getattr(self.mesh, "level", self.amr.max_level)
+        return float(self.config.cfl * 0.5**level / float(self._max_speed))
+
+    # -- AMR cycle (ref solver.cu:243-277) -------------------------------------
+
+    def adapt(self):
+        """Gradient-criteria AMR cycle: estimate per-element refinement
+        criteria on device, adapt + 2:1-balance the forest on host, remap the
+        state by device gather, and reinstall connectivity.  Requires the
+        solver to have been constructed with a MeshManager."""
+        if self.manager is None:
+            raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
+        crit = refinement_criteria(self.u, self.conn, self.volume,
+                                   dim=self.manager.dim)
+        u_new = self.manager.adapt(np.asarray(crit), self.u)
+        self.install_mesh(self.manager.mesh, u_new)
+        self._max_speed = None  # speeds refer to the old mesh
 
     @property
     def n_elements(self) -> int:
