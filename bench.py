@@ -1,13 +1,14 @@
-"""Flagship benchmark: DOF-updates/sec/chip on the Kelvin-Helmholtz example.
+"""Flagship benchmark: DOF-updates/sec/chip on 3D Euler Kelvin-Helmholtz,
+subgrid elements (the BASELINE.json north-star metric).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The reference publishes no numbers (BASELINE.md): `vs_baseline` is measured
-against a fixed nominal target of 1e9 element-updates/s/chip — a
-rough engineering estimate of the CUDA reference's plain-element throughput
-on an A100 (memory-bound per-face KEPES kernel + RK3 over ~1M elements).
-vs_baseline > 1 means faster than that nominal A100 figure.
+against a fixed nominal target of 1e9 cell-updates/s/chip — a rough
+engineering estimate of the CUDA reference's subgrid throughput on an A100
+(memory-bound KEPES stencils + RK3 over ~2M cells).  vs_baseline > 1 means
+faster than that nominal A100 figure.
 """
 
 import json
@@ -15,21 +16,20 @@ import time
 
 import numpy as np
 
-
-NOMINAL_A100_DOF_RATE = 1.0e9  # element-updates/s, see module docstring
+NOMINAL_A100_DOF_RATE = 1.0e9  # cell-updates/s, see module docstring
 
 
 def main():
-    from t8gpu_tpu.mesh.uniform import uniform_mesh
-    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4x4
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
     from t8gpu_tpu.models.initial_conditions import kh_planar
-    from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
 
-    level, dim = 9, 2  # 512x512 = 262144 elements
-    mesh = uniform_mesh(level=level, dim=dim, periodic=True)
-    solver = CompressibleEulerSolver(
-        mesh, lambda c: kh_planar(c, dim=dim),
-        config=EulerConfig(), amr=AMRConfig(max_level=level))
+    level, dim = 5, 3  # 32768 elements x 4^3 cells = 2.1M DOF
+    mesh = SubgridMesh.from_forest(Forest.uniform(level, dim=dim), SUBGRID_4x4x4)
+    solver = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=dim))
+    n_cells = solver.n_elements * solver.spec.size
 
     dt = solver.compute_timestep()
 
@@ -46,11 +46,11 @@ def main():
     wall = time.perf_counter() - t0
 
     assert np.isfinite(solver.conserved_state()).all()
-    value = solver.n_elements * steps / wall
+    value = n_cells * steps / wall
     print(json.dumps({
-        "metric": "DOF-updates/sec/chip (2D Euler KH, plain elements)",
+        "metric": "DOF-updates/sec/chip (3D Euler KH, Subgrid<4,4,4>)",
         "value": value,
-        "unit": "element-updates/s",
+        "unit": "cell-updates/s",
         "vs_baseline": value / NOMINAL_A100_DOF_RATE,
     }))
 

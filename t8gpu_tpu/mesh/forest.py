@@ -42,14 +42,26 @@ class RemapSpec:
     For new element i, its value is the mean of old elements
     [src_start[i], src_start[i] + src_count[i]); count is 1 (copy /
     prolongation from the ancestor) or 2^dim (restriction of a family).
+    `child_id` is the z-order child index within the source for refined
+    elements (0 for keep/coarsen rows) — the subgrid prolongation needs it
+    to select the parent octant (ref subgrid_mesh_manager.inl:318-331).
+    `level_change` is new_level - old_level in {-1, 0, +1}.
     """
 
-    src_start: np.ndarray  # int32 [N_new]
-    src_count: np.ndarray  # int32 [N_new]
+    src_start: np.ndarray     # int32 [N_new]
+    src_count: np.ndarray     # int32 [N_new]
+    child_id: np.ndarray      # int8 [N_new]
+    level_change: np.ndarray  # int8 [N_new]
 
     def compose(self, later: "RemapSpec") -> "RemapSpec":
+        """Compose with a later remap.  Exact for plain (cell-constant)
+        element data; multi-level chains lose the subgrid octant info, so
+        subgrid AMR uses the single-pass `adapt(balance_flags(...))` path
+        instead of composing."""
         return RemapSpec(self.src_start[later.src_start],
-                         self.src_count[later.src_start])
+                         self.src_count[later.src_start],
+                         later.child_id,
+                         self.level_change[later.src_start] + later.level_change)
 
 
 class Forest:
@@ -207,6 +219,8 @@ class Forest:
         remap = RemapSpec(
             src_start=new_from_old.astype(np.int32),
             src_count=np.where(coh, k, 1).astype(np.int32),
+            child_id=np.where(ref, child_rank, 0).astype(np.int8),
+            level_change=(ref.astype(np.int8) - coh.astype(np.int8)),
         )
         f = Forest(self.dim, new_level, new_anchor, self.L, self.periodic)
         # SFC order is preserved by construction; _sort() should be identity
@@ -214,12 +228,72 @@ class Forest:
 
     # -- 2:1 balance -----------------------------------------------------------
 
+    def balance_flags(self, flags: np.ndarray) -> np.ndarray:
+        """Adjust refine/coarsen flags so ONE adapt() pass yields a
+        2:1-balanced forest (requires `self` to be balanced already).
+
+        The reference gets this from a combined t8code
+        set_adapt+set_balance commit (mesh_manager.inl:207-212); doing it on
+        the flags keeps every element's level change in {-1,0,+1}, which the
+        subgrid prolongation/restriction remap relies on
+        (subgrid_mesh_manager.inl:318-355 assumes single-level transfers).
+
+        Rules per fixpoint iteration on tentative levels lv+flag: first
+        cancel coarsening for any family with a member that would end up
+        >1 level coarser than a neighbor; then promote keep->refine where a
+        neighbor would end up >1 level finer.
+        """
+        flags = np.asarray(flags, np.int8).copy()
+        lv = self.level.astype(np.int64)
+        k = 1 << self.dim
+        h_idx = np.flatnonzero(self.family_heads())
+        fam = (h_idx[:, None] + np.arange(k)) if len(h_idx) else None
+        for _ in range(64):
+            tentative = lv + flags
+            nb_max = self._max_neighbor_level(tentative)
+            viol = nb_max > tentative + 1
+            if not viol.any():
+                break
+            cancel = viol & (flags == -1)
+            if cancel.any() and fam is not None:
+                bad = cancel[fam].any(axis=1)
+                members = fam[bad].ravel()
+                mem_flags = flags[members]
+                flags[members[mem_flags == -1]] = 0
+                continue
+            flags[viol & (flags == 0)] = 1
+        return flags
+
+    def _max_neighbor_level(self, tentative: np.ndarray) -> np.ndarray:
+        """Per element, the max tentative level over face-adjacent leaves
+        (quarter-resolution face probes; exact for 2:1-balanced forests)."""
+        n = self.n_elements
+        out = np.full(n, -1, np.int64)
+        size = self.sizes()
+        ext = np.int64(1) << self.L
+        for axis in range(self.dim):
+            for sign in (1, -1):
+                for q in self._face_probe_points(axis, sign, size):
+                    qq = q.copy()
+                    valid = np.ones(n, bool)
+                    if self.periodic:
+                        qq %= ext
+                    else:
+                        inside = (qq[:, axis] >= 0) & (qq[:, axis] < ext)
+                        valid &= inside
+                        qq = np.clip(qq, 0, ext - 1)
+                    j = self._locate(qq)
+                    t = np.where(valid, tentative[j], -1)
+                    out = np.maximum(out, t)
+        return out
+
     def balance(self) -> Tuple["Forest", RemapSpec]:
         """Iteratively refine until no face neighbor differs by > 1 level
         (ref t8_forest_set_balance, mesh_manager.inl:211)."""
         forest = self
-        remap = RemapSpec(np.arange(self.n_elements, dtype=np.int32),
-                          np.ones(self.n_elements, np.int32))
+        n = self.n_elements
+        remap = RemapSpec(np.arange(n, dtype=np.int32), np.ones(n, np.int32),
+                          np.zeros(n, np.int8), np.zeros(n, np.int8))
         for _ in range(64):
             viol = forest._balance_violations()
             if not viol.any():

@@ -30,12 +30,18 @@ from t8gpu_tpu.utils.config import AMRConfig
 
 
 class MeshManager:
-    """Owns an adaptive forest + its device-facing mesh arrays."""
+    """Owns an adaptive forest + its device-facing mesh arrays.
 
-    def __init__(self, forest: Forest, amr: AMRConfig = AMRConfig()):
+    `mesh_factory(forest, element_capacity)` builds the device-facing mesh
+    adapter — ForestMesh for plain elements (default) or SubgridMesh for the
+    block-structured scheme (the reference's SubgridMeshManager analogue)."""
+
+    def __init__(self, forest: Forest, amr: AMRConfig = AMRConfig(),
+                 mesh_factory=None):
         self.forest = forest
         self.amr = amr
-        self.mesh = ForestMesh.from_forest(forest)
+        self._factory = mesh_factory or ForestMesh.from_forest
+        self.mesh = self._factory(forest, None)
 
     # -- queries --------------------------------------------------------------
 
@@ -53,28 +59,37 @@ class MeshManager:
 
     # -- AMR cycle (ref mesh_manager.inl:195-330) ------------------------------
 
-    def adapt(self, criteria: np.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-        """One adapt cycle: flags from criteria, refine/coarsen + balance the
-        forest, remap `u` (shape [..., capacity]) onto the new elements, and
-        refresh the mesh arrays.  Returns the remapped state (padded to the
-        new capacity bucket)."""
+    def adapt_forest(self, criteria: np.ndarray):
+        """Host half of the adapt cycle: criteria -> flags -> pre-balanced
+        single-pass adapt.  Updates the forest + mesh arrays and returns the
+        (single-level) RemapSpec; callers remap their device state with it.
+
+        Pre-balancing the FLAGS (forest.balance_flags) makes one adapt pass
+        produce a 2:1 forest with every element changing by at most one
+        level — the contract the subgrid data remap needs, and what the
+        reference gets from its combined t8code adapt+balance commit
+        (mesh_manager.inl:207-212)."""
         flags = self.forest.flags_from_criteria(
             np.asarray(criteria)[: self.n_elements],
             b=self.amr.refine_threshold,
             min_level=self.amr.min_level, max_level=self.amr.max_level)
+        flags = self.forest.balance_flags(flags)
         new_forest, remap = self.forest.adapt(flags)
-        new_forest, remap2 = new_forest.balance()
-        remap = remap.compose(remap2)
-
         cap_new = bucket_capacity(new_forest.n_elements,
                                   self.amr.growth_factor)
+        self.forest = new_forest
+        self.mesh = self._factory(new_forest, cap_new)
+        return remap
+
+    def adapt(self, criteria: np.ndarray, u: jnp.ndarray) -> jnp.ndarray:
+        """One full adapt cycle for plain-element state `u` [..., capacity]:
+        adapt_forest + gather remap.  Returns the remapped state (padded to
+        the new capacity bucket)."""
+        remap = self.adapt_forest(criteria)
+        cap_new = self.mesh.conn.inc_slot.shape[0]
         start, count = pad_remap(remap.src_start, remap.src_count, cap_new)
         k = 1 << self.forest.dim
-        u_new = apply_remap(u, start, count, k=k, capacity=cap_new)
-
-        self.forest = new_forest
-        self.mesh = ForestMesh.from_forest(new_forest, element_capacity=cap_new)
-        return u_new
+        return apply_remap(u, start, count, k=k, capacity=cap_new)
 
     # -- partition (multi-chip SFC rebalancing; ref mesh_manager.inl:645-723) --
 

@@ -1,0 +1,178 @@
+"""Block-structured (subgrid) compressible-Euler solver.
+
+TPU-native counterpart of the reference `SubgridCompressibleEulerSolver`
+(`examples/subgrid/solver.h:32`, `solver.inl`): each forest leaf carries a
+dense Subgrid<4,4>/<4,4,4> block of FV cells; inner fluxes are dense
+stencils over the block axes, outer fluxes stitch neighboring blocks
+(including 2:1 hanging faces), SSP-RK3 in time, H1-seminorm AMR criteria.
+
+TPU design departures (SURVEY.md §7 M4):
+  * state is one array [5, Ecap, ext, ext(, ext)] — inner fluxes are
+    shifted elementwise slices batched over elements (VPU-shaped), fused
+    by XLA with the RK stages into one program per step; the reference
+    launches 3x(inner+boundary+outer+RK) CUDA kernels with device syncs
+    and MPI barriers between them (solver.inl:152-266);
+  * hanging-face pairing is host-resolved into flat index maps instead of
+    runtime anchor/stride arithmetic (kernels.inl:710-758);
+  * padded element slots hold a quiescent guard state so the fused flux
+    math stays finite without masking branches.
+
+Unlike the reference, compute_timestep is implemented (the reference
+prints "not implemented yet" and exits, solver.inl:307-325); the bundled
+drivers' fixed dt = cfl * 0.5^(level + log2 ext) remains available through
+RunConfig.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t8gpu_tpu.memory.subgrid import SubgridSpec
+from t8gpu_tpu.mesh.manager import MeshManager
+from t8gpu_tpu.mesh.subgrid import SubgridConnectivity, SubgridMesh
+from t8gpu_tpu.ops import rk
+from t8gpu_tpu.ops import subgrid as sg
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+
+GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"),
+                   donate_argnames=("u",))
+def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
+              *, spec: SubgridSpec, gamma: float, flux: str):
+    flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma, flux)
+    return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
+
+
+@jax.jit
+def _integral(u_rho, cell_volume):
+    return (u_rho * cell_volume).sum()
+
+
+class SubgridCompressibleEulerSolver:
+    """Euler solver on subgrid elements over a fixed or adaptive forest.
+
+    Parameters
+    ----------
+    mesh: a SubgridMesh, or a MeshManager constructed with a SubgridMesh
+        factory (see `subgrid_manager`) for dynamic AMR.
+    ic: callable mapping cell centers [N*B, dim] -> conservative state
+        [5, N*B] (cells in element-major C-order).
+    """
+
+    def __init__(self, mesh, ic: Callable[[np.ndarray], np.ndarray],
+                 config: EulerConfig = EulerConfig(),
+                 amr: AMRConfig = AMRConfig()):
+        self.config = config
+        self.amr = amr
+        self.manager: Optional[MeshManager] = None
+        if isinstance(mesh, MeshManager):
+            self.manager = mesh
+            self.amr = mesh.amr
+            mesh = mesh.mesh
+        assert isinstance(mesh, SubgridMesh)
+        self.spec: SubgridSpec = mesh.spec
+        self._max_speed = None
+
+        u0 = np.asarray(ic(mesh.cell_centers()), np.float32)
+        u0 = u0.reshape((5, mesh.n_elements) + mesh.spec.extents)
+        self.install_mesh(mesh, jnp.asarray(u0))
+
+    # -- mesh / state installation --------------------------------------------
+
+    def install_mesh(self, mesh: SubgridMesh, u: jnp.ndarray):
+        self.mesh = mesh
+        self.conn = mesh.conn
+        cap = mesh.conn.element_capacity
+        n = mesh.n_elements
+        B = self.spec.size
+        vol = np.zeros(cap, np.float32)
+        vol[:n] = mesh.volumes
+        self.volumes = jnp.asarray(vol)
+        inv = np.zeros(cap, np.float32)
+        inv[:n] = B / mesh.volumes
+        dim = self.spec.dim
+        self.inv_cell_volume = jnp.asarray(inv).reshape((1, cap) + (1,) * dim)
+        if u.shape[1] != cap:
+            guard = jnp.broadcast_to(
+                jnp.asarray(GUARD_STATE).reshape((5,) + (1,) * (dim + 1)),
+                (5, cap - u.shape[1]) + self.spec.extents)
+            u = jnp.concatenate([u, guard], axis=1)
+        self.u = u
+
+    # -- time stepping (ref solver.inl:152-266) --------------------------------
+
+    def iterate(self, dt: float):
+        self.u, self._max_speed = _rk3_step(
+            self.u, self.conn, self.volumes, self.inv_cell_volume,
+            jnp.float32(dt), spec=self.spec, gamma=self.config.gamma,
+            flux=self.config.flux)
+
+    # -- AMR cycle (ref solver.inl:327-345) -------------------------------------
+
+    def adapt(self):
+        if self.manager is None:
+            raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
+        crit = sg.h1_criteria(self.u, self.volumes, self.spec)
+        remap = self.manager.adapt_forest(np.asarray(crit))
+        mesh = self.manager.mesh
+        cap = mesh.conn.element_capacity
+        n = len(remap.src_start)
+
+        src = np.zeros(cap, np.int32)
+        refined = np.zeros(cap, bool)
+        child = np.zeros(cap, np.int32)
+        coarsened = np.zeros(cap, bool)
+        src[:n] = remap.src_start
+        refined[:n] = remap.level_change > 0
+        child[:n] = remap.child_id
+        coarsened[:n] = remap.src_count > 1
+
+        u_new = sg.apply_subgrid_remap(
+            self.u, jnp.asarray(src), jnp.asarray(refined),
+            jnp.asarray(child), jnp.asarray(coarsened),
+            spec=self.spec, capacity=cap)
+        self.install_mesh(mesh, u_new)
+        self._max_speed = None
+
+    # -- diagnostics -------------------------------------------------------------
+
+    def compute_integral(self) -> float:
+        """Global integral of rho dV (ref solver.inl has the plain analogue)."""
+        dim = self.spec.dim
+        cell_vol = (self.volumes / self.spec.size).reshape(
+            (-1,) + (1,) * dim)
+        return float(_integral(self.u[0], cell_vol))
+
+    def compute_timestep(self) -> float:
+        """CFL timestep: cfl * h_cell_min / max wave speed."""
+        if self._max_speed is None:
+            _, speed = sg.flux_divergence(
+                self.u, self.volumes, self.conn, self.spec,
+                self.config.gamma, self.config.flux)
+            self._max_speed = speed
+        h_min = 0.5 ** self.mesh.max_level / self.spec.extent
+        return float(self.config.cfl * h_min / float(self._max_speed))
+
+    @property
+    def n_elements(self) -> int:
+        return self.mesh.n_elements
+
+    def conserved_state(self) -> np.ndarray:
+        """Unpadded [5, N, *ext] state on host."""
+        return np.asarray(self.u[:, : self.n_elements])
+
+
+def subgrid_manager(forest, spec: SubgridSpec,
+                    amr: AMRConfig = AMRConfig()) -> MeshManager:
+    """MeshManager wired with a SubgridMesh factory (the reference's
+    SubgridMeshManager role, subgrid_mesh_manager.h:266)."""
+    return MeshManager(
+        forest, amr,
+        mesh_factory=lambda f, cap: SubgridMesh.from_forest(f, spec, cap))
