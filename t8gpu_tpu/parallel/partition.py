@@ -1,0 +1,237 @@
+"""SFC domain decomposition: per-shard face lists + halo exchange plans.
+
+TPU-native counterpart of the reference's MPI rank decomposition
+(SURVEY.md §2.4): the t8code forest partition assigns each rank a
+contiguous SFC segment of elements (`t8gpu/mesh/mesh_manager.h:189-229`)
+and kernels reach remote element data through CUDA-IPC (rank, remote_index)
+indirection (`shared_device_vector.h:18-29`).  TPUs have no cross-chip
+load/store from kernels, so the zero-copy ghost becomes an explicit halo
+collective over ICI:
+
+  1. elements (already SFC/Morton ordered) are split into n_shards
+     contiguous chunks, padded to a common local capacity;
+  2. every shard publishes a compact send buffer of the elements other
+     shards reference (`send_idx`); one `all_gather` per flux evaluation
+     materializes the global halo pool on every shard;
+  3. per-shard face lists index an EXTENDED element axis
+     [0, CL) local | [CL, CL + n_shards*H) halo pool, so flux kernels are
+     the same single-device code on the concatenated array;
+  4. faces crossing a shard boundary are duplicated on both shards
+     (each accumulates only its own side), keeping accumulation local and
+     deterministic — no remote atomics (ref kernels.cu:295-308).
+
+Everything here is host-side NumPy planning; the device ops live in
+parallel/halo.py and run inside `jax.shard_map`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from t8gpu_tpu.memory.store import bucket_capacity
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ShardedConnectivity:
+    """Stacked per-shard face/halo arrays; axis 0 is the shard axis
+    (sharded over the device mesh; each device sees its own slice)."""
+
+    # interior faces, extended-index element references
+    left: jnp.ndarray       # i32 [S, Fcap]
+    right: jnp.ndarray      # i32 [S, Fcap]
+    normal: jnp.ndarray     # f32 [S, 3, Fcap]
+    area: jnp.ndarray       # f32 [S, Fcap] (0 padding)
+    # boundary faces (owners always local)
+    b_elem: jnp.ndarray     # i32 [S, Bcap]
+    b_normal: jnp.ndarray   # f32 [S, 3, Bcap]
+    b_area: jnp.ndarray     # f32 [S, Bcap]
+    # CSR incidence over LOCAL elements; slots: f < Fcap interior,
+    # Fcap <= f < Fcap+Bcap boundary, Fcap+Bcap zero sentinel
+    inc_slot: jnp.ndarray   # i32 [S, CL, D]
+    inc_sign: jnp.ndarray   # f32 [S, CL, D]
+    # halo plan
+    send_idx: jnp.ndarray   # i32 [S, H] local element ids to publish
+
+    n_shards: int = dataclasses.field(metadata=dict(static=True))
+    local_capacity: int = dataclasses.field(metadata=dict(static=True))
+    halo_size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def face_capacity(self) -> int:
+        return self.left.shape[-1]
+
+    @property
+    def boundary_capacity(self) -> int:
+        return self.b_elem.shape[-1]
+
+
+def partition_elements(n: int, n_shards: int) -> np.ndarray:
+    """SFC-contiguous split points [n_shards+1] (elements are Morton
+    ordered, so equal-count prefix splits mirror t8_forest_partition)."""
+    return (np.arange(n_shards + 1) * n) // n_shards
+
+
+def build_sharded_connectivity(
+        faces: dict, n_elements: int, n_shards: int,
+        local_capacity: Optional[int] = None) -> Tuple[ShardedConnectivity, np.ndarray]:
+    """Partition global face lists (a Forest.build_faces() dict) into a
+    ShardedConnectivity.  Returns (conn, bounds) with bounds the element
+    split points."""
+    bounds = partition_elements(n_elements, n_shards)
+    starts = bounds[:-1]
+    owner = np.searchsorted(bounds, np.arange(n_elements), side="right") - 1
+
+    gl = faces["left"].astype(np.int64)
+    gr = faces["right"].astype(np.int64)
+    g_normal = faces["normal"]
+    g_area = faces["area"]
+    has_b = faces.get("b_elem") is not None
+    gb = faces["b_elem"].astype(np.int64) if has_b else np.zeros(0, np.int64)
+
+    CL = local_capacity or bucket_capacity(
+        int((bounds[1:] - bounds[:-1]).max()))
+
+    # --- halo send lists: for each shard, the elements other shards read --
+    send_lists = []
+    o_l, o_r = owner[gl], owner[gr]
+    cross = o_l != o_r
+    for s in range(n_shards):
+        need_from_s = np.concatenate([
+            gl[cross & (o_l == s) & (o_r != s)],
+            gr[cross & (o_r == s) & (o_l != s)],
+        ])
+        send_lists.append(np.unique(need_from_s))
+    H = bucket_capacity(max(max((len(x) for x in send_lists), default=1), 1),
+                        base=64)
+    send_idx = np.zeros((n_shards, H), np.int32)
+    # map global element -> halo pool position (s * H + p)
+    pool_pos = {}
+    for s, lst in enumerate(send_lists):
+        send_idx[s, : len(lst)] = lst - starts[s]          # local indices
+        for p, g in enumerate(lst):
+            pool_pos[int(g)] = s * H + p
+
+    # --- per-shard face lists with extended indices ------------------------
+    def ext_index(g: np.ndarray, s: int) -> np.ndarray:
+        """Global element ids -> extended local indices for shard s."""
+        local = owner[g] == s
+        out = np.where(local, g - starts[s], 0).astype(np.int64)
+        remote = np.flatnonzero(~local)
+        for i in remote:
+            out[i] = CL + pool_pos[int(g[i])]
+        return out
+
+    per_shard = []
+    for s in range(n_shards):
+        sel = np.flatnonzero((o_l == s) | (o_r == s))
+        l_ext = ext_index(gl[sel], s)
+        r_ext = ext_index(gr[sel], s)
+        bsel = np.flatnonzero(owner[gb] == s) if has_b else np.zeros(0, np.int64)
+        per_shard.append((sel, l_ext, r_ext, bsel))
+
+    Fcap = bucket_capacity(max(max((len(p[0]) for p in per_shard), default=1), 1))
+    Bcap = (bucket_capacity(max(max((len(p[3]) for p in per_shard), default=1), 1))
+            if has_b else 0)
+    sentinel = Fcap + Bcap
+
+    # incidence degree: max faces touching one local element across shards
+    deg = 4
+    for s, (sel, l_ext, r_ext, bsel) in enumerate(per_shard):
+        cnt = np.zeros(CL, np.int64)
+        loc_l = l_ext[l_ext < CL]
+        loc_r = r_ext[r_ext < CL]
+        np.add.at(cnt, loc_l, 1)
+        np.add.at(cnt, loc_r, 1)
+        if has_b and len(bsel):
+            np.add.at(cnt, gb[bsel] - starts[s], 1)
+        deg = max(deg, int(cnt.max()))
+    D = 1 << int(np.ceil(np.log2(deg)))
+
+    lefts = np.zeros((n_shards, Fcap), np.int32)
+    rights = np.zeros((n_shards, Fcap), np.int32)
+    normals = np.zeros((n_shards, 3, Fcap), np.float32)
+    normals[:, 0] = 1.0
+    areas = np.zeros((n_shards, Fcap), np.float32)
+    b_elems = np.zeros((n_shards, max(Bcap, 1) if has_b else 0), np.int32)
+    b_normals = np.zeros((n_shards, 3, b_elems.shape[1]), np.float32)
+    if has_b:
+        b_normals[:, 0] = 1.0
+    b_areas = np.zeros((n_shards, b_elems.shape[1]), np.float32)
+    inc_slot = np.full((n_shards, CL, D), sentinel, np.int32)
+    inc_sign = np.zeros((n_shards, CL, D), np.float32)
+
+    for s, (sel, l_ext, r_ext, bsel) in enumerate(per_shard):
+        F = len(sel)
+        lefts[s, :F] = l_ext
+        rights[s, :F] = r_ext
+        normals[s, :, :F] = g_normal[:, sel]
+        areas[s, :F] = g_area[sel]
+        Fb = len(bsel)
+        if has_b and Fb:
+            b_elems[s, :Fb] = gb[bsel] - starts[s]
+            b_normals[s, :, :Fb] = faces["b_normal"][:, bsel]
+            b_areas[s, :Fb] = faces["b_area"][bsel]
+
+        # local incidence: -1 for emitter/owner side, +1 for receiver
+        elems = []
+        slots = []
+        signs = []
+        loc_mask_l = l_ext < CL
+        loc_mask_r = r_ext < CL
+        elems.append(l_ext[loc_mask_l])
+        slots.append(np.flatnonzero(loc_mask_l))
+        signs.append(-np.ones(loc_mask_l.sum()))
+        elems.append(r_ext[loc_mask_r])
+        slots.append(np.flatnonzero(loc_mask_r))
+        signs.append(np.ones(loc_mask_r.sum()))
+        if has_b and Fb:
+            elems.append(gb[bsel] - starts[s])
+            slots.append(Fcap + np.arange(Fb))
+            signs.append(-np.ones(Fb))
+        elems = np.concatenate(elems).astype(np.int64)
+        slots = np.concatenate(slots).astype(np.int64)
+        signs = np.concatenate(signs).astype(np.float32)
+        order = np.argsort(elems, kind="stable")
+        elems, slots, signs = elems[order], slots[order], signs[order]
+        counts = np.bincount(elems, minlength=CL)
+        offs = np.arange(len(elems)) - np.concatenate(
+            [[0], np.cumsum(counts)[:-1]])[elems]
+        inc_slot[s, elems, offs] = slots
+        inc_sign[s, elems, offs] = signs
+
+    conn = ShardedConnectivity(
+        left=jnp.asarray(lefts), right=jnp.asarray(rights),
+        normal=jnp.asarray(normals), area=jnp.asarray(areas),
+        b_elem=jnp.asarray(b_elems), b_normal=jnp.asarray(b_normals),
+        b_area=jnp.asarray(b_areas),
+        inc_slot=jnp.asarray(inc_slot), inc_sign=jnp.asarray(inc_sign),
+        send_idx=jnp.asarray(send_idx),
+        n_shards=n_shards, local_capacity=CL, halo_size=H)
+    return conn, bounds
+
+
+def shard_array(values: np.ndarray, bounds: np.ndarray, local_capacity: int,
+                fill: float = 0.0) -> np.ndarray:
+    """Split a per-element array [..., n] into stacked shards
+    [n_shards, ..., CL] padded with `fill`."""
+    n_shards = len(bounds) - 1
+    out = np.full((n_shards,) + values.shape[:-1] + (local_capacity,),
+                  fill, values.dtype)
+    for s in range(n_shards):
+        lo, hi = bounds[s], bounds[s + 1]
+        out[s, ..., : hi - lo] = values[..., lo:hi]
+    return out
+
+
+def unshard_array(stacked: np.ndarray, bounds: np.ndarray) -> np.ndarray:
+    """Inverse of shard_array: [n_shards, ..., CL] -> [..., n]."""
+    parts = []
+    for s in range(len(bounds) - 1):
+        parts.append(stacked[s, ..., : bounds[s + 1] - bounds[s]])
+    return np.concatenate(parts, axis=-1)
