@@ -244,10 +244,24 @@ class Forest:
         neighbor would end up >1 level finer.
         """
         flags = np.asarray(flags, np.int8).copy()
-        lv = self.level.astype(np.int64)
         k = 1 << self.dim
         h_idx = np.flatnonzero(self.family_heads())
         fam = (h_idx[:, None] + np.arange(k)) if len(h_idx) else None
+        # sanitize coarsen flags first (mirrors adapt()): only complete
+        # families with EVERY member flagged -1 actually coarsen, so stray
+        # -1 flags must not lower tentative levels during balancing
+        keep = np.zeros(self.n_elements, bool)
+        if fam is not None:
+            full = (flags[fam] == -1).all(axis=1)
+            keep[fam[full].ravel()] = True
+        flags[(flags == -1) & ~keep] = 0
+
+        from t8gpu_tpu.mesh import _native
+        if _native.available():
+            return _native.balance_flags(self.anchor, self.level, self.code,
+                                         self.L, self.dim, self.periodic,
+                                         flags)
+        lv = self.level.astype(np.int64)
         for _ in range(64):
             tentative = lv + flags
             nb_max = self._max_neighbor_level(tentative)
@@ -363,23 +377,20 @@ class Forest:
 
     # -- face enumeration --------------------------------------------------------
 
-    def build_faces(self):
-        """Enumerate interior + boundary faces with the reference dedup rule.
+    def _faces_core_numpy(self):
+        """Raw face index enumeration (vectorized NumPy fallback; the C++
+        core in native/forest.cc computes the same arrays).
 
-        Returns dict with left, right, normal[3,F], area, level_difference,
-        neighbor_offset[F, dim] (anchor of left's face corner within the
-        right element, in units of the RIGHT element's subgrid cells — used
-        by the subgrid scheme), plus boundary arrays.
-        """
+        Returns (left, right, axis, sign, ldiff, offset[F,dim],
+        b_elem, b_axis, b_sign)."""
         n = self.n_elements
         size = self.sizes()
         lv = self.level.astype(np.int64)
         ext = np.int64(1) << self.L
-        h = self.h_unit
 
-        lefts, rights, normals, areas, ldiffs, offsets = [], [], [], [], [], []
+        lefts, rights, ldiffs, offsets = [], [], [], []
         axes_, signs_ = [], []
-        b_elems, b_normals, b_areas, b_axes, b_signs = [], [], [], [], []
+        b_elems, b_axes, b_signs = [], [], []
 
         idx = np.arange(n)
         for axis in range(self.dim):
@@ -401,19 +412,15 @@ class Forest:
                 nb_lv = lv[j]
 
                 # emit: neighbor coarser (I am finer) OR equal level and
-                # neighbor has larger SFC index (ref mesh_manager.inl:411-414)
-                emit = ~boundary & ((nb_lv < lv) | ((nb_lv == lv) & (j > idx)))
-                # self-neighbor (periodic single-element axis): emit too
-                emit |= ~boundary & (j == idx) & (nb_lv == lv)
+                # neighbor at larger-or-equal SFC index (== only for the
+                # self-periodic single-element axis)
+                # (ref mesh_manager.inl:411-414)
+                emit = ~boundary & ((nb_lv < lv) | ((nb_lv == lv) & (j >= idx)))
 
                 e = np.flatnonzero(emit)
                 if len(e):
                     lefts.append(e.astype(np.int32))
                     rights.append(j[e].astype(np.int32))
-                    nrm = np.zeros((3, len(e)), np.float32)
-                    nrm[axis] = float(sign)
-                    normals.append(nrm)
-                    areas.append(((size[e] * h) ** (self.dim - 1)).astype(np.float32))
                     ldiffs.append((lv[e] - nb_lv[e]).astype(np.int8))
                     # anchor offset (anchor units) of the face-adjacent probe
                     # cell inside the right element: q is one unit past my
@@ -428,32 +435,57 @@ class Forest:
                 if (boundary).any():
                     b = np.flatnonzero(boundary)
                     b_elems.append(b.astype(np.int32))
-                    nrmb = np.zeros((3, len(b)), np.float32)
-                    nrmb[axis] = float(sign)
-                    b_normals.append(nrmb)
-                    b_areas.append(((size[b] * h) ** (self.dim - 1)).astype(np.float32))
                     b_axes.append(np.full(len(b), axis, np.int8))
                     b_signs.append(np.full(len(b), sign, np.int8))
 
-        out = dict(
-            left=np.concatenate(lefts) if lefts else np.zeros(0, np.int32),
-            right=np.concatenate(rights) if rights else np.zeros(0, np.int32),
-            normal=(np.concatenate(normals, axis=1) if normals
-                    else np.zeros((3, 0), np.float32)),
-            area=np.concatenate(areas) if areas else np.zeros(0, np.float32),
-            level_difference=(np.concatenate(ldiffs) if ldiffs
-                              else np.zeros(0, np.int8)),
-            neighbor_offset=(np.concatenate(offsets) if offsets
-                             else np.zeros((0, self.dim), np.int64)),
-            axis=np.concatenate(axes_) if axes_ else np.zeros(0, np.int8),
-            sign=np.concatenate(signs_) if signs_ else np.zeros(0, np.int8),
-            b_elem=np.concatenate(b_elems) if b_elems else None,
-            b_normal=(np.concatenate(b_normals, axis=1) if b_elems else None),
-            b_area=np.concatenate(b_areas) if b_elems else None,
-            b_axis=np.concatenate(b_axes) if b_elems else None,
-            b_sign=np.concatenate(b_signs) if b_elems else None,
+        cat = lambda lst, dt: (np.concatenate(lst) if lst else np.zeros(0, dt))
+        return (cat(lefts, np.int32), cat(rights, np.int32),
+                cat(axes_, np.int8), cat(signs_, np.int8),
+                cat(ldiffs, np.int8),
+                (np.concatenate(offsets) if offsets
+                 else np.zeros((0, self.dim), np.int64)),
+                cat(b_elems, np.int32), cat(b_axes, np.int8),
+                cat(b_signs, np.int8))
+
+    def _faces_core(self):
+        from t8gpu_tpu.mesh import _native
+        if _native.available():
+            return _native.faces_core(self.anchor, self.level, self.code,
+                                      self.L, self.dim, self.periodic)
+        return self._faces_core_numpy()
+
+    def build_faces(self):
+        """Enumerate interior + boundary faces with the reference dedup rule.
+
+        Returns dict with left, right, normal[3,F], area, level_difference,
+        neighbor_offset[F, dim] (anchor of left's face corner within the
+        right element — used by the subgrid scheme), axis/sign, plus
+        boundary arrays.
+        """
+        (left, right, axis, sign, ldiff, offset,
+         b_elem, b_axis, b_sign) = self._faces_core()
+        size = self.sizes()
+        h = self.h_unit
+        F, B = len(left), len(b_elem)
+
+        normal = np.zeros((3, F), np.float32)
+        normal[axis, np.arange(F)] = sign
+        area = ((size[left] * h) ** (self.dim - 1)).astype(np.float32)
+        if B:
+            b_normal = np.zeros((3, B), np.float32)
+            b_normal[b_axis, np.arange(B)] = b_sign
+            b_area = ((size[b_elem] * h) ** (self.dim - 1)).astype(np.float32)
+
+        return dict(
+            left=left, right=right, normal=normal, area=area,
+            level_difference=ldiff, neighbor_offset=offset,
+            axis=axis, sign=sign,
+            b_elem=b_elem if B else None,
+            b_normal=b_normal if B else None,
+            b_area=b_area if B else None,
+            b_axis=b_axis if B else None,
+            b_sign=b_sign if B else None,
         )
-        return out
 
     def connectivity(self, element_capacity: Optional[int] = None) -> FaceConnectivity:
         f = self.build_faces()
