@@ -42,7 +42,17 @@ def main():
                    help="b in the adapt callback (ref subgrid_mesh_manager.inl:214)")
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh_subgrid")
+    p.add_argument("--checkpoint-every", type=int, default=0)
+    p.add_argument("--resume", default="",
+                   help="checkpoint file to resume from")
     args = p.parse_args()
+
+    if args.resume:
+        from t8gpu_tpu.io.checkpoint import restore_solver
+        solver, meta = restore_solver(args.resume)
+        print(f"resumed from {args.resume} at step {meta.get('step', 0)}")
+        run_loop(solver, args, SubgridSpec(tuple(meta["extents"])))
+        return
 
     spec = SubgridSpec((args.extent,) * args.dim)
     if args.amr:
@@ -57,7 +67,10 @@ def main():
     solver = SubgridCompressibleEulerSolver(
         mesh, lambda c: kh_planar(c, dim=args.dim),
         config=EulerConfig(flux=args.flux), amr=amr)
+    run_loop(solver, args, spec)
 
+
+def run_loop(solver, args, spec):
     n_cells = solver.n_elements * spec.size
     print(f"elements={solver.n_elements} cells={n_cells}")
     m0 = solver.compute_integral()
@@ -72,6 +85,9 @@ def main():
         if args.amr and (it + 1) % args.adapt_every == 0:
             solver.adapt()
             dt = solver.compute_timestep()
+        if args.checkpoint_every and (it + 1) % args.checkpoint_every == 0:
+            from t8gpu_tpu.io.checkpoint import save_solver
+            save_solver(f"{args.prefix}_ck.npz", solver, step=it + 1)
         if args.vtk_every and (it + 1) % args.vtk_every == 0:
             u = solver.conserved_state().reshape(5, -1)
             mesh_now = solver.mesh if solver.manager is None else solver.manager.mesh

@@ -1,0 +1,76 @@
+"""Checkpoint / resume round-trips (an extension over the reference, which
+has no persistence — SURVEY.md §5)."""
+
+import numpy as np
+
+from t8gpu_tpu.io.checkpoint import (load_checkpoint, restore_solver,
+                                     save_checkpoint, save_solver)
+from t8gpu_tpu.memory.subgrid import SUBGRID_4x4
+from t8gpu_tpu.mesh.forest import Forest
+from t8gpu_tpu.mesh.manager import MeshManager
+from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+from t8gpu_tpu.models.initial_conditions import kh_planar
+from t8gpu_tpu.models.subgrid_euler import (SubgridCompressibleEulerSolver,
+                                            subgrid_manager)
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+
+
+def test_forest_roundtrip(tmp_path):
+    forest = Forest.uniform(3, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[:4] = [1, 0, 1, 0]
+    flags = forest.balance_flags(flags)
+    forest, _ = forest.adapt(flags)
+    u = np.random.default_rng(0).normal(
+        size=(5, forest.n_elements)).astype(np.float32)
+
+    p = str(tmp_path / "ck.npz")
+    save_checkpoint(p, forest, u, {"step": 7})
+    f2, u2, meta = load_checkpoint(p)
+    assert meta["step"] == 7
+    np.testing.assert_array_equal(f2.anchor, forest.anchor)
+    np.testing.assert_array_equal(f2.level, forest.level)
+    assert f2.L == forest.L and f2.periodic == forest.periodic
+    np.testing.assert_array_equal(u2, u)
+
+
+def test_plain_solver_resume_identical(tmp_path):
+    """Save mid-run, restore, continue: trajectories match exactly."""
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=2.0)
+    s1 = CompressibleEulerSolver(MeshManager(Forest.uniform(3, dim=2), amr),
+                                 lambda c: kh_planar(c, dim=2),
+                                 config=EulerConfig(flux="hll"))
+    dt = 1e-3
+    for _ in range(3):
+        s1.iterate(dt)
+    p = str(tmp_path / "run.npz")
+    save_solver(p, s1, step=3)
+
+    s2, meta = restore_solver(p)
+    assert meta["step"] == 3
+    assert s2.config.flux == "hll"
+    for s in (s1, s2):
+        for _ in range(3):
+            s.iterate(dt)
+    np.testing.assert_array_equal(s1.conserved_state(), s2.conserved_state())
+
+
+def test_subgrid_solver_resume_identical(tmp_path):
+    amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.05)
+    s1 = SubgridCompressibleEulerSolver(
+        subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr),
+        lambda c: kh_planar(c, dim=2))
+    dt = s1.compute_timestep()
+    for _ in range(3):
+        s1.iterate(dt)
+    s1.adapt()   # checkpoint an adapted state
+    p = str(tmp_path / "run_sg.npz")
+    save_solver(p, s1, step=3)
+
+    s2, meta = restore_solver(p)
+    assert meta["extents"] == [4, 4]
+    assert s2.n_elements == s1.n_elements
+    for s in (s1, s2):
+        for _ in range(3):
+            s.iterate(dt)
+    np.testing.assert_array_equal(s1.conserved_state(), s2.conserved_state())
