@@ -65,6 +65,64 @@ def _flat_cells(spec: SubgridSpec, elem: np.ndarray, coords) -> np.ndarray:
     return (elem.astype(np.int64) * spec.size + idx).astype(np.int32)
 
 
+def _tangent_grid(ext: int, dim: int) -> np.ndarray:
+    """Subface tangent tiling [S, dim-1] in C order."""
+    S = ext ** (dim - 1)
+    return np.stack(np.meshgrid(*([np.arange(ext)] * (dim - 1)),
+                                indexing="ij"), axis=-1).reshape(S, dim - 1)
+
+
+def expand_axis_subfaces(spec: SubgridSpec, axis: int, le, re, sign, ldiff,
+                         off_anchor, nb_size, le_size, h: float):
+    """Resolve the faces of one axis group into per-subface cell pairs.
+
+    Implements the reference anchor/stride/double_stride pairing
+    (kernels.inl:710-758) in bulk: for each face, tile the LEFT (finer or
+    equal) element's face with ext^(dim-1) subfaces, pair each with the
+    right element's cell (tangent index >> ldiff for 2:1 hanging faces)
+    and canonicalize -axis faces by swapping sides.
+
+    Returns (elem_l, coords_l, elem_r, coords_r, area) flattened over
+    faces x subfaces, with GLOBAL element ids (callers map to their own
+    flat/extended indexing via _flat_cells).
+    """
+    dim = spec.dim
+    ext = spec.extent
+    t_grid = _tangent_grid(ext, dim)
+    S = t_grid.shape[0]
+    K = len(le)
+    sign = np.asarray(sign, np.int64)
+    ldiff = np.asarray(ldiff, np.int64)
+    off_cells = (off_anchor * ext) // np.asarray(nb_size)[:, None]
+
+    tangents = [a for a in range(dim) if a != axis]
+    t = t_grid[None, :, :]
+    lcoord = [None] * dim
+    rcoord = [None] * dim
+    lcoord[axis] = np.where(sign > 0, ext - 1, 0)[:, None] * np.ones((1, S), np.int64)
+    rcoord[axis] = off_cells[:, axis][:, None] * np.ones((1, S), np.int64)
+    for ti, ta in enumerate(tangents):
+        lcoord[ta] = np.broadcast_to(t[:, :, ti], (K, S))
+        rcoord[ta] = off_cells[:, ta][:, None] + (t[:, :, ti] >> ldiff[:, None])
+
+    elem_l = np.broadcast_to(np.asarray(le)[:, None], (K, S)).ravel()
+    elem_r = np.broadcast_to(np.asarray(re)[:, None], (K, S)).ravel()
+    lcoord = [c.ravel() for c in lcoord]
+    rcoord = [c.ravel() for c in rcoord]
+    # canonicalize -axis faces: +axis normal points lower -> higher
+    # coordinate, so the geometric left side of a -axis face is the neighbor
+    swap = np.broadcast_to((sign < 0)[:, None], (K, S)).ravel()
+    elem_l2 = np.where(swap, elem_r, elem_l)
+    elem_r2 = np.where(swap, elem_l, elem_r)
+    lcoord2 = [np.where(swap, rc, lc) for lc, rc in zip(lcoord, rcoord)]
+    rcoord2 = [np.where(swap, lc, rc) for lc, rc in zip(lcoord, rcoord)]
+    # subface area = the finer (emitting) element's cell face area
+    area = np.broadcast_to(
+        ((np.asarray(le_size) * h / ext) ** (dim - 1)).astype(np.float32)[:, None],
+        (K, S)).ravel()
+    return elem_l2, lcoord2, elem_r2, rcoord2, area
+
+
 def build_subgrid_connectivity(
         forest: Forest, spec: SubgridSpec,
         element_capacity: Optional[int] = None) -> SubgridConnectivity:
@@ -83,49 +141,19 @@ def build_subgrid_connectivity(
     sizes = forest.sizes()
     h = forest.h_unit
     S = ext ** (dim - 1)
-
-    # subface tangent tiling [S, dim-1]
-    t_grid = np.stack(np.meshgrid(*([np.arange(ext)] * (dim - 1)),
-                                  indexing="ij"), axis=-1).reshape(S, dim - 1)
+    t_grid = _tangent_grid(ext, dim)
 
     l_cells, r_cells, areas = [], [], []
     for axis in range(dim):
         sel = np.flatnonzero(f["axis"] == axis)
         if len(sel):
-            le = f["left"][sel]
-            re = f["right"][sel]
-            sign = f["sign"][sel].astype(np.int64)
-            ldiff = f["level_difference"][sel].astype(np.int64)  # >= 0
-            off_anchor = f["neighbor_offset"][sel]               # [K, dim]
-            nb_size = sizes[re]
-            # neighbor offset anchor units -> right-subgrid cell units
-            off_cells = (off_anchor * ext) // nb_size[:, None]   # [K, dim]
-
-            tangents = [a for a in range(dim) if a != axis]
-            K = len(sel)
-            # broadcast faces x subfaces
-            t = t_grid[None, :, :]                               # [1, S, dim-1]
-            lcoord = [None] * dim
-            rcoord = [None] * dim
-            lcoord[axis] = np.where(sign > 0, ext - 1, 0)[:, None] * np.ones((1, S), np.int64)
-            rcoord[axis] = off_cells[:, axis][:, None] * np.ones((1, S), np.int64)
-            for ti, ta in enumerate(tangents):
-                lcoord[ta] = np.broadcast_to(t[:, :, ti], (K, S))
-                rcoord[ta] = off_cells[:, ta][:, None] + (t[:, :, ti] >> ldiff[:, None])
-
-            elem_l = np.broadcast_to(le[:, None], (K, S))
-            elem_r = np.broadcast_to(re[:, None], (K, S))
-            lc = _flat_cells(spec, elem_l.ravel(), [c.ravel() for c in lcoord])
-            rc = _flat_cells(spec, elem_r.ravel(), [c.ravel() for c in rcoord])
-            # canonicalize -axis faces: +axis normal points lower -> higher
-            # coordinate, so the geometric left side of a -axis face is the
-            # neighbor
-            swap = np.broadcast_to((sign < 0)[:, None], (K, S)).ravel()
-            lc2 = np.where(swap, rc, lc)
-            rc2 = np.where(swap, lc, rc)
-            # subface area = the finer (emitting) element's cell face area
-            sub_area = ((sizes[le] * h / ext) ** (dim - 1)).astype(np.float32)
-            ar = np.broadcast_to(sub_area[:, None], (K, S)).ravel()
+            le, re = f["left"][sel], f["right"][sel]
+            el, cl, er, cr, ar = expand_axis_subfaces(
+                spec, axis, le, re, f["sign"][sel],
+                f["level_difference"][sel], f["neighbor_offset"][sel],
+                sizes[re], sizes[le], h)
+            lc2 = _flat_cells(spec, el, cl)
+            rc2 = _flat_cells(spec, er, cr)
         else:
             lc2 = np.zeros(0, np.int32)
             rc2 = np.zeros(0, np.int32)

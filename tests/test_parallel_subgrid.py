@@ -1,0 +1,77 @@
+"""Sharded subgrid solver vs single-device subgrid solver (8 CPU shards)."""
+
+import numpy as np
+import pytest
+
+from t8gpu_tpu.memory.subgrid import SUBGRID_4x4
+from t8gpu_tpu.mesh.forest import Forest
+from t8gpu_tpu.mesh.subgrid import SubgridMesh
+from t8gpu_tpu.models.initial_conditions import kh_planar
+from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+from t8gpu_tpu.utils.config import AMRConfig
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_sharded_subgrid_matches_single(periodic):
+    forest = Forest.uniform(3, dim=2, periodic=periodic)
+    ic = lambda c: kh_planar(c, dim=2)
+    ref = SubgridCompressibleEulerSolver(
+        SubgridMesh.from_forest(forest, SUBGRID_4x4), ic)
+    sh = ShardedSubgridEulerSolver(forest, SUBGRID_4x4, ic)
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    u_ref = ref.conserved_state()
+    u_sh = sh.conserved_state()
+    np.testing.assert_allclose(u_sh, u_ref, rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(sh.compute_timestep(), ref.compute_timestep(),
+                               rtol=1e-5)
+
+
+def test_sharded_subgrid_hanging_faces_match():
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[[0, 5]] = 1
+    flags = forest.balance_flags(flags)
+    forest, _ = forest.adapt(flags)
+
+    ic = lambda c: kh_planar(c, dim=2)
+    ref = SubgridCompressibleEulerSolver(
+        SubgridMesh.from_forest(forest, SUBGRID_4x4), ic)
+    sh = ShardedSubgridEulerSolver(forest, SUBGRID_4x4, ic)
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_subgrid_amr_cycle_matches_single():
+    """The distributed AMR cycle produces the same forest and (close) state
+    as the single-device cycle."""
+    from t8gpu_tpu.models.subgrid_euler import subgrid_manager
+
+    amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.02)
+    ic = lambda c: kh_planar(c, dim=2)
+    ref = SubgridCompressibleEulerSolver(
+        subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr), ic)
+    sh = ShardedSubgridEulerSolver(Forest.uniform(2, dim=2), SUBGRID_4x4,
+                                   ic, amr=amr)
+    m0 = sh.compute_integral()
+    dt = 2e-3
+    for _ in range(2):
+        for _ in range(5):
+            ref.iterate(dt)
+            sh.iterate(dt)
+        ref.adapt()
+        sh.adapt()
+        ref_forest = ref.manager.forest
+        np.testing.assert_array_equal(sh.forest.level, ref_forest.level)
+        np.testing.assert_array_equal(sh.forest.anchor, ref_forest.anchor)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=5e-5, atol=2e-6)
+    assert np.isfinite(sh.conserved_state()).all()
+    np.testing.assert_allclose(sh.compute_integral(), m0, rtol=5e-4)
