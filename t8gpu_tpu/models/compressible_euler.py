@@ -61,6 +61,22 @@ def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "mode", "n_steps"),
+                   donate_argnames=("u",))
+def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
+               *, n_steps: int, gamma: float, flux: str, mode: str):
+    """n_steps fused RK3 steps in one device dispatch (connectivity is
+    static between adapts, so the batch compiles to one XLA while-loop)."""
+    flux_fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux, mode=mode)
+
+    def body(_i, carry):
+        v, _ = carry
+        return rk.ssp_rk3(v, flux_fn, dt, inv_volume)
+
+    return jax.lax.fori_loop(0, n_steps, body, (u, jnp.zeros((), u.dtype)))
+
+
 @jax.jit
 def _integral(u_rho, volume):
     return (u_rho * volume).sum()
@@ -124,6 +140,13 @@ class CompressibleEulerSolver:
         self.u, self._max_speed = _rk3_step(
             self.u, self.conn, self.inv_volume, jnp.float32(dt),
             gamma=self.config.gamma, flux=self.config.flux,
+            mode=self.accumulation)
+
+    def iterate_many(self, n_steps: int, dt: float):
+        """Run n_steps RK3 steps as one fused device program."""
+        self.u, self._max_speed = _rk3_multi(
+            self.u, self.conn, self.inv_volume, jnp.float32(dt),
+            n_steps=n_steps, gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation)
 
     # -- diagnostics ---------------------------------------------------------

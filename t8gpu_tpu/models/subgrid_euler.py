@@ -50,6 +50,28 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "gamma", "flux", "n_steps"),
+                   donate_argnames=("u",))
+def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
+               *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str):
+    """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
+
+    Between adapt events the connectivity is static, so whole step batches
+    compile to a single XLA while-loop — the reference cannot do this (its
+    step requires host-driven kernel launches + MPI barriers,
+    solver.inl:152-266); on TPU it also amortizes host->device dispatch
+    latency over the batch."""
+    flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma, flux)
+
+    def body(_i, carry):
+        v, _ = carry
+        return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
+
+    return jax.lax.fori_loop(0, n_steps, body,
+                             (u, jnp.zeros((), u.dtype)))
+
+
 @jax.jit
 def _integral(u_rho, cell_volume):
     return (u_rho * cell_volume).sum()
@@ -82,7 +104,8 @@ class SubgridCompressibleEulerSolver:
 
         u0 = np.asarray(ic(mesh.cell_centers()), np.float32)
         u0 = u0.reshape((5, mesh.n_elements) + mesh.spec.extents)
-        self.install_mesh(mesh, jnp.asarray(u0))
+        # internal layout is element-minor: [5, *ext, N] (ops/subgrid.py)
+        self.install_mesh(mesh, jnp.asarray(np.moveaxis(u0, 1, -1)))
 
     # -- mesh / state installation --------------------------------------------
 
@@ -98,12 +121,13 @@ class SubgridCompressibleEulerSolver:
         inv = np.zeros(cap, np.float32)
         inv[:n] = B / mesh.volumes
         dim = self.spec.dim
-        self.inv_cell_volume = jnp.asarray(inv).reshape((1, cap) + (1,) * dim)
-        if u.shape[1] != cap:
+        # [cap] broadcasts directly against the element-minor state
+        self.inv_cell_volume = jnp.asarray(inv)
+        if u.shape[-1] != cap:
             guard = jnp.broadcast_to(
                 jnp.asarray(GUARD_STATE).reshape((5,) + (1,) * (dim + 1)),
-                (5, cap - u.shape[1]) + self.spec.extents)
-            u = jnp.concatenate([u, guard], axis=1)
+                (5,) + self.spec.extents + (cap - u.shape[-1],))
+            u = jnp.concatenate([u, guard], axis=-1)
         self.u = u
 
     # -- time stepping (ref solver.inl:152-266) --------------------------------
@@ -113,6 +137,13 @@ class SubgridCompressibleEulerSolver:
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), spec=self.spec, gamma=self.config.gamma,
             flux=self.config.flux)
+
+    def iterate_many(self, n_steps: int, dt: float):
+        """Run n_steps RK3 steps as one fused device program."""
+        self.u, self._max_speed = _rk3_multi(
+            self.u, self.conn, self.volumes, self.inv_cell_volume,
+            jnp.float32(dt), n_steps=n_steps, spec=self.spec,
+            gamma=self.config.gamma, flux=self.config.flux)
 
     # -- AMR cycle (ref solver.inl:327-345) -------------------------------------
 
@@ -145,10 +176,7 @@ class SubgridCompressibleEulerSolver:
 
     def compute_integral(self) -> float:
         """Global integral of rho dV (ref solver.inl has the plain analogue)."""
-        dim = self.spec.dim
-        cell_vol = (self.volumes / self.spec.size).reshape(
-            (-1,) + (1,) * dim)
-        return float(_integral(self.u[0], cell_vol))
+        return float(_integral(self.u[0], self.volumes / self.spec.size))
 
     def compute_timestep(self) -> float:
         """CFL timestep: cfl * h_cell_min / max wave speed."""
@@ -165,8 +193,9 @@ class SubgridCompressibleEulerSolver:
         return self.mesh.n_elements
 
     def conserved_state(self) -> np.ndarray:
-        """Unpadded [5, N, *ext] state on host."""
-        return np.asarray(self.u[:, : self.n_elements])
+        """Unpadded [5, N, *ext] state on host (element-major external
+        order; internally the layout is element-minor)."""
+        return np.moveaxis(np.asarray(self.u[..., : self.n_elements]), -1, 1)
 
 
 def subgrid_manager(forest, spec: SubgridSpec,

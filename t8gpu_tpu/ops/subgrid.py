@@ -24,6 +24,16 @@ face-frame rotation is a static momentum-row permutation per axis group —
 mathematically identical to the reference's complete_orthonormal_basis
 rotation (the numerical flux treats the two tangential components
 symmetrically).
+
+LAYOUT (the TPU-critical choice): state is [5, bx, by(, bz), E] with the
+ELEMENT axis minor-most.  TPU f32 arrays tile to (8 sublanes, 128 lanes)
+on the last two dims; with elements minor, the huge E axis fills the
+lanes and the block cells fill sublanes exactly (4*4*4 = 64 = 8x8), so
+every stencil/flux op vectorizes at full width.  The reference's
+element-major CUDA layout ([E * block] with one thread block per element,
+subgrid_memory_manager.h:85-101) transposed to [.., 4, 4, 4, E-minor]
+would waste 97% of the lanes — this transpose is the single biggest
+perf lever of the rebuild.  Flat cell index = cell * Ecap + element.
 """
 
 from __future__ import annotations
@@ -59,22 +69,22 @@ def _guard_state(dtype):
 @functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"))
 def inner_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                      spec: SubgridSpec, gamma: float, flux: str):
-    """Interior cell-face flux divergence: [5, Ecap, *ext] -> same shape,
+    """Interior cell-face flux divergence: [5, *ext, Ecap] -> same shape,
     plus the max interior wave speed.
 
     For each axis, KEPES/HLL fluxes on the ext-1 interior interfaces are
     computed from shifted slices and accumulated as D[i] += f[i-1] - f[i]
-    (cell surface = (V^(1/dim)/ext)^(dim-1), ref kernels.inl:351-355)."""
+    (cell surface = (V^(1/dim)/ext)^(dim-1), ref kernels.inl:351-355).
+    The E-minor layout keeps every op full-lane-width."""
     dim = spec.dim
     ext = spec.extent
     h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / ext
-    surface = (h_cell ** (dim - 1)) * (volumes > 0)         # [Ecap]
-    surface = surface.reshape((1, -1) + (1,) * dim)
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)         # [Ecap], minor
 
     D = jnp.zeros_like(u)
     speed = jnp.zeros((), u.dtype)
     for a in range(dim):
-        ax = 2 + a
+        ax = 1 + a
         u_l = jax.lax.slice_in_dim(u, 0, ext - 1, axis=ax)
         u_r = jax.lax.slice_in_dim(u, 1, ext, axis=ax)
         f, sp = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
@@ -85,34 +95,165 @@ def inner_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
         pad_lo[ax] = (1, 0)   # f[i-1] lands on cell i
         pad_hi[ax] = (0, 1)   # f[i]   leaves  cell i
         D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
-        speed = jnp.maximum(speed, (sp * (surface[0] > 0)).max())
+        speed = jnp.maximum(speed, (sp * (surface > 0)).max())
     return D, speed
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "flux"))
-def outer_apply(D_flat: jnp.ndarray, u_flat: jnp.ndarray,
-                conn: SubgridConnectivity, gamma: float, flux: str):
-    """Add mesh-face (element-boundary) fluxes into the flat divergence
-    [5, Ecap*B].  Returns (D_flat, max outer wave speed)."""
-    speed = jnp.zeros((), u_flat.dtype)
-    for a, (lc, rc, ar) in enumerate(zip(conn.l_cell, conn.r_cell, conn.area)):
-        u_l = u_flat[:, lc]
-        u_r = u_flat[:, rc]
-        f, sp = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
-                               gamma=gamma, flux=flux)
-        f = axis_unrotate(f, a) * ar
-        D_flat = D_flat.at[:, lc].add(-f).at[:, rc].add(f)
-        speed = jnp.maximum(speed, (sp * (ar > 0)).max())
-    return D_flat, speed
+def _slab_add(D: jnp.ndarray, contrib: jnp.ndarray, axis: int, layer_hi: bool,
+              spec: SubgridSpec) -> jnp.ndarray:
+    """Add a boundary-layer contribution [5, ext^(dim-1) * Ecap] into the
+    full block divergence [5, *ext, Ecap] at the axis' first/last layer —
+    a DENSE pad+add (no scatter)."""
+    dim = spec.dim
+    ext = spec.extent
+    tshape = (contrib.shape[0],) + (ext,) * (dim - 1) + (-1,)
+    contrib = contrib.reshape(tshape)
+    contrib = jnp.expand_dims(contrib, 1 + axis)
+    pad = [(0, 0)] * contrib.ndim
+    pad[1 + axis] = (ext - 1, 0) if layer_hi else (0, ext - 1)
+    return D + jnp.pad(contrib, pad)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "flux"))
-def boundary_apply(D_flat: jnp.ndarray, u_flat: jnp.ndarray,
-                   conn: SubgridConnectivity, gamma: float, flux: str):
+def _upsample2(x: jnp.ndarray, tangent_axes) -> jnp.ndarray:
+    for ax in tangent_axes:
+        x = jnp.repeat(x, 2, axis=ax)
+    return x
+
+
+def _gather_layers(opp_layer: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
+    """Gather neighbor layer slabs: [5, *t_ext, E] x nbr [E', M]
+    -> [5, *t_ext, E', M].
+
+    TPU-critical: XLA gathers along the minor (lane) axis of a
+    multi-dimensional operand fall off a ~30x-slower path (measured
+    9.8 ms vs 0.33 ms for the same 10M elements); transposing the slab to
+    row-major [E, payload] first makes every gathered slice contiguous.
+    """
+    lead = opp_layer.shape[:-1]
+    E = opp_layer.shape[-1]
+    rows = opp_layer.reshape(-1, E).T            # [E, P] contiguous payload
+    g = rows[nbr]                                # [E', M, P]
+    g = jnp.moveaxis(g, -1, 0)                   # [P, E', M]
+    return g.reshape(lead + nbr.shape)
+
+
+def _fine_interleave(nb: jnp.ndarray, spec: SubgridSpec) -> jnp.ndarray:
+    """Finer-neighbor layers [5, *t_ext, E, M] -> virtual fine tiling
+    [5, *(2 ext), E], quadrant-major per tangent axis (tf = q*ext + c)."""
+    ext = spec.extent
+    if spec.dim - 1 == 1:
+        q = nb.reshape(nb.shape[:-1] + (2,))          # [5, t0, E, b0]
+        fine = jnp.moveaxis(q, -1, 1)                 # [5, b0, t0, E]
+        return fine.reshape(5, 2 * ext, -1)
+    q = nb.reshape(nb.shape[:-1] + (2, 2))            # [5, t0, t1, E, b1, b0]
+    fine = jnp.moveaxis(q, (-1, -2), (1, 3))          # [5, b0, t0, b1, t1, E]
+    return fine.reshape(5, 2 * ext, 2 * ext, -1)
+
+
+def _coarse_window(base: jnp.ndarray, bits: jnp.ndarray,
+                   spec: SubgridSpec) -> jnp.ndarray:
+    """Coarser-neighbor layer [5, *t_ext, E] -> my-resolution sample
+    [5, *t_ext, E]: select the per-element tangent half-window, then
+    replicate 2x per axis (t -> off + t//2)."""
+    ext = spec.extent
+    n_t = spec.dim - 1
+    cw = base
+    for ti in range(n_t):
+        ax = 1 + ti
+        lower = jax.lax.slice_in_dim(cw, 0, ext // 2, axis=ax)
+        upper = jax.lax.slice_in_dim(cw, ext // 2, ext, axis=ax)
+        b = bits[:, ti].reshape((1,) * (cw.ndim - 1) + (-1,))
+        cw = jnp.where(b > 0, upper, lower)
+    return _upsample2(cw, tuple(range(1, 1 + n_t)))
+
+
+def _pool2(f: jnp.ndarray, n_t: int) -> jnp.ndarray:
+    """Sum 2x virtual subfaces per tangent axis back onto layer cells."""
+    for ti in range(n_t):
+        shape = (f.shape[: 1 + ti] + (f.shape[1 + ti] // 2, 2)
+                 + f.shape[2 + ti:])
+        f = f.reshape(shape).sum(axis=2 + ti)
+    return f
+
+
+def outer_apply(D: jnp.ndarray, u: jnp.ndarray,
+                conn: SubgridConnectivity, spec: SubgridSpec,
+                volumes: jnp.ndarray, gamma: float, flux: str):
+    """Add mesh-face fluxes into the block divergence [5, *ext, Ecap] via
+    the slab-exchange scheme (see SubgridConnectivity): per element side,
+    gather neighbor layer slabs (one row-contiguous gather), evaluate the
+    subfaces densely, and pad-add into the boundary layer.  No scatters,
+    no per-cell gathers — the TPU replacement for the reference's per-face
+    kernel + atomicAdd (kernels.inl:664-911).
+
+    Two passes per side: pass 1 at MY layer resolution covers equal and
+    coarser neighbors exactly; pass 2 at virtual fine (2x) resolution
+    covers finer neighbors and is compiled away entirely when the side has
+    none (conn.has_fine — always on uniform meshes).
+    Returns (D, max speed)."""
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    t_axes = tuple(range(1, 1 + n_t))
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    area_t = (h_e / ext) ** n_t                          # [E] physical cell face
+    area_v = area_t / (2 ** n_t)                         # virtual fine subface
+    speed = jnp.zeros((), u.dtype)
+
+    for a in range(dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
+                                    conn.bits[k], conn.mask[k])
+            hi = sign > 0
+            my_layer = jax.lax.index_in_dim(
+                u, ext - 1 if hi else 0, axis=1 + a, keepdims=False)
+            opp_layer = jax.lax.index_in_dim(
+                u, 0 if hi else ext - 1, axis=1 + a, keepdims=False)
+            nb = _gather_layers(opp_layer, nbr)          # [5, *t_ext, E, M]
+            base = nb[..., 0]
+
+            # ---- pass 1: my resolution (equal + coarser neighbors) -------
+            r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+            other = jnp.where(r < 0, _coarse_window(base, bits, spec), base)
+            u_l, u_r = (my_layer, other) if hi else (other, my_layer)
+            f, sp = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
+                                   gamma=gamma, flux=flux)
+            w1 = mask * area_t * (rel <= 0)
+            f = axis_unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
+            contrib = -f if hi else f
+            sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
+            speed = jnp.maximum(speed, (sp * sp_m).max())
+
+            # ---- pass 2: virtual fine resolution (finer neighbors) -------
+            if conn.has_fine[k]:
+                fine = _fine_interleave(nb, spec)        # [5, *(2ext), E]
+                mine = _upsample2(my_layer, t_axes)
+                u_l, u_r = (mine, fine) if hi else (fine, mine)
+                f2, sp2 = numerical_flux(axis_rotate(u_l, a),
+                                         axis_rotate(u_r, a),
+                                         gamma=gamma, flux=flux)
+                w2 = mask * area_v * (rel > 0)
+                f2 = (axis_unrotate(f2, a)
+                      * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
+                f2 = _pool2(f2, n_t)
+                contrib = contrib + (-f2 if hi else f2)
+                sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
+                speed = jnp.maximum(speed, (sp2 * sp_m2).max())
+
+            D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+                          spec=spec)
+    return D, speed
+
+
+def boundary_apply(D: jnp.ndarray, u_flat: jnp.ndarray,
+                   conn: SubgridConnectivity, spec: SubgridSpec,
+                   gamma: float, flux: str):
     """Reflective-wall fluxes (mirror ghost: negated normal momentum,
-    ref kernels.inl:913-1107) added into the flat divergence."""
+    ref kernels.inl:913-1107) added into the block divergence, gather-based."""
     speed = jnp.zeros((), u_flat.dtype)
-    for (axis, sign), bc, ar in zip(conn.b_groups, conn.b_cell, conn.b_area):
+    for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
+                                        conn.b_area, conn.b_recv):
         u_own = axis_rotate(u_flat[:, bc], axis)
         u_ghost = u_own.at[1].multiply(-1.0)
         if sign > 0:   # outward normal +axis: owner is the left state
@@ -120,9 +261,12 @@ def boundary_apply(D_flat: jnp.ndarray, u_flat: jnp.ndarray,
         else:          # outward normal -axis: in the +axis frame the owner
             f, sp = numerical_flux(u_ghost, u_own, gamma=gamma, flux=flux)
         f = axis_unrotate(f, axis) * ar
-        D_flat = D_flat.at[:, bc].add(-f if sign > 0 else f)
+        f_pad = jnp.concatenate([f, jnp.zeros((5, 1), f.dtype)], axis=1)
+        c = f_pad[:, br]
+        D = _slab_add(D, -c if sign > 0 else c, axis,
+                      layer_hi=sign > 0, spec=spec)
         speed = jnp.maximum(speed, (sp * (ar > 0)).max())
-    return D_flat, speed
+    return D, speed
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"))
@@ -130,30 +274,28 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                     conn: SubgridConnectivity, spec: SubgridSpec,
                     gamma: float, flux: str):
     """Full surface-flux divergence for the subgrid scheme:
-    inner + outer + boundary.  u: [5, Ecap, *ext].  Returns (D, max_speed)."""
+    inner + outer + boundary.  u: [5, *ext, Ecap].  Returns (D, max_speed)."""
     D, sp_i = inner_divergence(u, volumes, spec, gamma, flux)
-    shape = u.shape
-    u_flat = u.reshape(5, -1)
-    D_flat = D.reshape(5, -1)
-    D_flat, sp_o = outer_apply(D_flat, u_flat, conn, gamma, flux)
+    D, sp_o = outer_apply(D, u, conn, spec, volumes, gamma, flux)
     if conn.b_groups:
-        D_flat, sp_b = boundary_apply(D_flat, u_flat, conn, gamma, flux)
+        D, sp_b = boundary_apply(D, u.reshape(5, -1), conn, spec, gamma, flux)
         sp_o = jnp.maximum(sp_o, sp_b)
-    return D_flat.reshape(shape), jnp.maximum(sp_i, sp_o)
+    return D, jnp.maximum(sp_i, sp_o)
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def h1_criteria(u: jnp.ndarray, volumes: jnp.ndarray,
                 spec: SubgridSpec) -> jnp.ndarray:
     """Density H1-seminorm / volume per element -> [Ecap]
-    (ref compute_refinement_criteria kernels.inl:1109-1168)."""
-    rho = u[0]                                  # [Ecap, *ext]
+    (ref compute_refinement_criteria kernels.inl:1109-1168).
+    u: [5, *ext, Ecap] (element-minor)."""
+    rho = u[0]                                  # [*ext, Ecap]
     dim = spec.dim
     h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / spec.extent
-    s = jnp.zeros(rho.shape[0], u.dtype)
+    s = jnp.zeros(rho.shape[-1], u.dtype)
     for a in range(dim):
-        d = jnp.diff(rho, axis=1 + a)
-        s = s + (d * d).sum(axis=tuple(range(1, dim + 1)))
+        d = jnp.diff(rho, axis=a)
+        s = s + (d * d).sum(axis=tuple(range(dim)))
     return s * h_cell / jnp.where(volumes > 0, volumes, 1.0) * (volumes > 0)
 
 
@@ -166,41 +308,43 @@ def apply_subgrid_remap(u: jnp.ndarray, src: jnp.ndarray,
     subgrid_mesh_manager.inl:301-425).  All transfers are single-level
     (guaranteed by Forest.balance_flags).
 
-    u: [5, cap_old, *ext]; src/refined/child_id/coarsened: [capacity].
-      keep:    new[e, i]   = old[src, i]
-      refine:  new[e, i]   = old[src, oct*ext/2 + i//2]   (parent octant)
-      coarsen: new[e, i]   = pooled[src + z(i), i & (ext/2-1)]
+    u: [5, *ext, cap_old]; src/refined/child_id/coarsened: [capacity].
+      keep:    new[i, e]   = old[i, src]
+      refine:  new[i, e]   = old[oct*ext/2 + i//2, src]   (parent octant)
+      coarsen: new[i, e]   = pooled[i & (ext/2-1), src + z(i)]
                where pooled = 2x2(x2) cell means of old and z(i) selects the
                z-order child owning the coarse cell octant.
     """
     dim = spec.dim
     ext = spec.extent
     half = ext // 2
-    cap_old = u.shape[1]
+    cap_old = u.shape[-1]
 
     cells = [jnp.arange(ext, dtype=jnp.int32) for _ in range(dim)]
 
     def bcast_cell(c, a):
-        """[ext] -> [1, ext at axis a, 1...] over (elem, *ext)."""
+        """[ext] -> broadcastable over (*ext, capacity) at cell axis a."""
         shape = [1] * (dim + 1)
-        shape[1 + a] = ext
+        shape[a] = ext
         return c.reshape(shape)
+
+    elem_shape = (1,) * dim + (-1,)
 
     # ---- path A: keep / refine (one gather) -------------------------------
     oct_bits = [(child_id >> a) & 1 for a in range(dim)]     # [capacity]
+    r = refined.reshape(elem_shape)
     idx_a = []
     for a in range(dim):
         i = bcast_cell(cells[a], a)
-        o = (oct_bits[a] * half).reshape((-1,) + (1,) * dim)
-        r = refined.reshape((-1,) + (1,) * dim)
-        idx_a.append(jnp.where(r, o + (i >> 1), i))          # [capacity,*ext broadcast]
-    src_b = src.reshape((-1,) + (1,) * dim)
-    path_a = u[(slice(None), src_b) + tuple(idx_a)]          # [5, capacity, *ext]
+        o = (oct_bits[a] * half).reshape(elem_shape)
+        idx_a.append(jnp.where(r, o + (i >> 1), i))
+    src_b = src.reshape(elem_shape)
+    path_a = u[(slice(None),) + tuple(idx_a) + (src_b,)]     # [5, *ext, capacity]
 
     # ---- path B: coarsen (pool once, one gather) ---------------------------
-    pool_shape = (5, cap_old) + sum(((half, 2),) * dim, ())
+    pool_shape = (5,) + sum(((half, 2),) * dim, ()) + (cap_old,)
     pooled = u.reshape(pool_shape)
-    pooled = pooled.mean(axis=tuple(3 + 2 * a for a in range(dim)))  # [5,cap_old,*half]
+    pooled = pooled.mean(axis=tuple(2 + 2 * a for a in range(dim)))  # [5,*half,cap_old]
     z = jnp.zeros((1,) * (dim + 1), jnp.int32)
     idx_b = []
     for a in range(dim):
@@ -208,7 +352,7 @@ def apply_subgrid_remap(u: jnp.ndarray, src: jnp.ndarray,
         z = z + ((i >> (spec.log2_extent - 1)) << a)         # z-order child id
         idx_b.append(i & (half - 1))
     src_z = jnp.minimum(src_b + z, cap_old - 1)
-    path_b = pooled[(slice(None), src_z) + tuple(idx_b)]     # [5, capacity, *ext]
+    path_b = pooled[(slice(None),) + tuple(idx_b) + (src_z,)]
 
-    c = coarsened.reshape((1, -1) + (1,) * dim)
+    c = coarsened.reshape((1,) + elem_shape[:-1] + (-1,))
     return jnp.where(c, path_b, path_a)

@@ -37,20 +37,26 @@ from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class ShardedSubgridConnectivity:
-    """Stacked per-shard subface maps (axis 0 = shard axis).
+    """Stacked per-shard side tables (axis 0 = shard axis).
 
-    Cell indices are flat over the EXTENDED element axis:
-    [0, CL*B) local | [CL*B, (CL+S*H)*B) halo pool."""
+    Same slab-exchange scheme as the single-device SubgridConnectivity,
+    but neighbor ids index the EXTENDED element axis
+    [0, CL) local | [CL, CL + n_shards*H) halo pool, and each shard's
+    tables cover only its local elements — every shard computes its own
+    side of each face, so nothing is ever written remotely."""
 
-    l_cell: Tuple[jnp.ndarray, ...]   # per face-axis [S, Ka] i32
-    r_cell: Tuple[jnp.ndarray, ...]
-    area: Tuple[jnp.ndarray, ...]
+    nbr: Tuple[jnp.ndarray, ...]      # per side [S, CL, M] i32 (extended)
+    rel: Tuple[jnp.ndarray, ...]      # per side [S, CL] i8
+    bits: Tuple[jnp.ndarray, ...]     # per side [S, CL, dim-1] i8
+    mask: Tuple[jnp.ndarray, ...]     # per side [S, CL] f32
     b_cell: Tuple[jnp.ndarray, ...]   # per boundary group [S, Kb]
     b_area: Tuple[jnp.ndarray, ...]
+    b_recv: Tuple[jnp.ndarray, ...]   # per boundary group [S, CL*T] i32
     send_idx: jnp.ndarray             # i32 [S, H] local element ids
 
     b_groups: Tuple[Tuple[int, int], ...] = dataclasses.field(
         metadata=dict(static=True))
+    has_fine: Tuple[bool, ...] = dataclasses.field(metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     local_capacity: int = dataclasses.field(metadata=dict(static=True))
     halo_size: int = dataclasses.field(metadata=dict(static=True))
@@ -73,66 +79,53 @@ def build_sharded_subgrid_connectivity(
     owner = np.searchsorted(bounds, np.arange(n), side="right") - 1
     CL = bucket_capacity(int((bounds[1:] - bounds[:-1]).max()))
 
-    gl, gr = f["left"].astype(np.int64), f["right"].astype(np.int64)
-    o_l, o_r = owner[gl], owner[gr]
-    cross = o_l != o_r
-    send_lists = []
-    for s in range(n_shards):
-        need = np.concatenate([gl[cross & (o_l == s)], gr[cross & (o_r == s)]])
-        send_lists.append(np.unique(need))
+    # --- global side tables, then shard + remap ------------------------------
+    from t8gpu_tpu.mesh.subgrid import build_recv_map, build_side_tables
+    M = 1 << (dim - 1)
+    T = ext ** (dim - 1)
+    g_nbr, g_rel, g_bits, g_mask = build_side_tables(forest, spec, n)
+
+    # halo send lists: elements referenced by another shard's side tables
+    send_lists = [[] for _ in range(n_shards)]
+    for k in range(2 * dim):
+        ids = g_nbr[k][:n].astype(np.int64)              # [n, M]
+        own_rows = np.repeat(owner, M).reshape(n, M)
+        own_ids = owner[ids]
+        remote = own_ids != own_rows
+        for r in range(n_shards):
+            send_lists[r].append(ids[remote & (own_ids == r)])
+    send_lists = [np.unique(np.concatenate(lst)) if lst else np.zeros(0, np.int64)
+                  for lst in send_lists]
     H = bucket_capacity(max(max((len(x) for x in send_lists), default=1), 1),
                         base=64)
     send_idx = np.zeros((n_shards, H), np.int32)
-    pool_pos = {}
-    for s, lst in enumerate(send_lists):
-        send_idx[s, : len(lst)] = lst - starts[s]
-        for p, g in enumerate(lst):
-            pool_pos[int(g)] = s * H + p
+    pool_of = np.full(n, -1, np.int64)                   # global id -> pool slot
+    for r, lst in enumerate(send_lists):
+        send_idx[r, : len(lst)] = lst - starts[r]
+        pool_of[lst] = r * H + np.arange(len(lst))
 
-    def ext_elem(g: np.ndarray, s: int) -> np.ndarray:
-        """Global element ids -> extended element indices for shard s."""
-        local = owner[g] == s
-        out = np.where(local, g - starts[s], 0).astype(np.int64)
-        for i in np.flatnonzero(~local):
-            out[i] = CL + pool_pos[int(g[i])]
-        return out
-
-    # --- interior subfaces per (shard, axis) --------------------------------
-    l_groups = [[] for _ in range(dim)]
-    r_groups = [[] for _ in range(dim)]
-    a_groups = [[] for _ in range(dim)]
-    for axis in range(dim):
-        sel_ax = np.flatnonzero(f["axis"] == axis)
-        per_shard = []
+    nbrs, rels, bitss, masks = [], [], [], []
+    for k in range(2 * dim):
+        nbr_s = np.zeros((n_shards, CL, M), np.int32)
+        rel_s = np.zeros((n_shards, CL), np.int8)
+        bit_s = np.zeros((n_shards, CL, max(dim - 1, 1)), np.int8)
+        msk_s = np.zeros((n_shards, CL), np.float32)
         for s in range(n_shards):
-            sel = sel_ax[(o_l[sel_ax] == s) | (o_r[sel_ax] == s)]
-            if len(sel):
-                le, re = gl[sel], gr[sel]
-                el, cl, er, cr, ar = expand_axis_subfaces(
-                    spec, axis, le, re, f["sign"][sel],
-                    f["level_difference"][sel], f["neighbor_offset"][sel],
-                    sizes[re], sizes[le], h)
-                lc = _flat_cells(spec, ext_elem(el, s), cl)
-                rc = _flat_cells(spec, ext_elem(er, s), cr)
-            else:
-                lc = np.zeros(0, np.int32)
-                rc = np.zeros(0, np.int32)
-                ar = np.zeros(0, np.float32)
-            per_shard.append((lc, rc, ar))
-        Ka = bucket_capacity(max(max((len(p[0]) for p in per_shard), default=1), 1))
-        ls = np.zeros((n_shards, Ka), np.int32)
-        rs = np.zeros((n_shards, Ka), np.int32)
-        ars = np.zeros((n_shards, Ka), np.float32)
-        for s, (lc, rc, ar) in enumerate(per_shard):
-            ls[s, : len(lc)] = lc
-            rs[s, : len(rc)] = rc
-            ars[s, : len(ar)] = ar
-        l_groups[axis] = jnp.asarray(ls)
-        r_groups[axis] = jnp.asarray(rs)
-        a_groups[axis] = jnp.asarray(ars)
+            lo, hi = bounds[s], bounds[s + 1]
+            ids = g_nbr[k][lo:hi].astype(np.int64)
+            local = owner[ids] == s
+            ext_ids = np.where(local, ids - starts[s], CL + pool_of[ids])
+            nbr_s[s, : hi - lo] = ext_ids
+            rel_s[s, : hi - lo] = g_rel[k][lo:hi]
+            bit_s[s, : hi - lo] = g_bits[k][lo:hi]
+            msk_s[s, : hi - lo] = g_mask[k][lo:hi]
+        nbrs.append(jnp.asarray(nbr_s))
+        rels.append(jnp.asarray(rel_s))
+        bitss.append(jnp.asarray(bit_s))
+        masks.append(jnp.asarray(msk_s))
 
     # --- boundary subfaces per (shard, axis, sign) --------------------------
-    b_cells, b_areas, b_groups = [], [], []
+    b_cells, b_areas, b_groups, b_recvs = [], [], [], []
     if f["b_elem"] is not None:
         gb = f["b_elem"].astype(np.int64)
         t_grid = _tangent_grid(ext, dim)
@@ -157,7 +150,8 @@ def build_sharded_subgrid_connectivity(
                                 t_grid[None, :, ti], (K, S_sub))
                         elem = np.broadcast_to((be - starts[s])[:, None], (K, S_sub))
                         bc = _flat_cells(spec, elem.ravel(),
-                                         [c.ravel() for c in coord])
+                                         [c.ravel() for c in coord],
+                                         CL + n_shards * H)
                         ar = np.broadcast_to(
                             ((sizes[be] * h / ext) ** (dim - 1)
                              ).astype(np.float32)[:, None], (K, S_sub)).ravel()
@@ -169,47 +163,100 @@ def build_sharded_subgrid_connectivity(
                                              default=1), 1))
                 bs = np.zeros((n_shards, Kb), np.int32)
                 ars = np.zeros((n_shards, Kb), np.float32)
+                brs = np.full((n_shards, CL * T), Kb, np.int32)
                 for s, (bc, ar) in enumerate(per_shard):
                     bs[s, : len(bc)] = bc
                     ars[s, : len(ar)] = ar
+                    brs[s] = build_recv_map(
+                        bc, CL, spec, axis, 1, sentinel=Kb,
+                        n_elems_decode=CL + n_shards * H)[:, 0]
                 b_cells.append(jnp.asarray(bs))
                 b_areas.append(jnp.asarray(ars))
+                b_recvs.append(jnp.asarray(brs))
                 b_groups.append((axis, sign))
 
     conn = ShardedSubgridConnectivity(
-        l_cell=tuple(l_groups), r_cell=tuple(r_groups), area=tuple(a_groups),
+        nbr=tuple(nbrs), rel=tuple(rels), bits=tuple(bitss),
+        mask=tuple(masks),
         b_cell=tuple(b_cells), b_area=tuple(b_areas),
+        b_recv=tuple(b_recvs),
         send_idx=jnp.asarray(send_idx), b_groups=tuple(b_groups),
+        has_fine=tuple(bool((r[:n] == 1).any()) for r in g_rel),
         n_shards=n_shards, local_capacity=CL, halo_size=H)
     return conn, bounds
 
 
 def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
                                     gamma: float, flux: str):
-    """Per-shard flux divergence [5, CL, *ext] + GLOBAL max wave speed.
-    Runs inside shard_map; one block halo all_gather per call."""
+    """Per-shard flux divergence [5, *ext, CL] + GLOBAL max wave speed.
+    Runs inside shard_map; one block halo all_gather per call.
+    Element-minor layout throughout (see ops/subgrid.py)."""
     D, sp_i = sg.inner_divergence(u, volumes, spec, gamma, flux)
 
-    send = u[:, conn.send_idx]                           # [5, H, *ext]
-    pool = jax.lax.all_gather(send, halo.AXIS)           # [S, 5, H, *ext]
-    pool = jnp.moveaxis(pool, 0, 1).reshape((u.shape[0], -1) + spec.extents)
-    u_ext_flat = jnp.concatenate([u, pool], axis=1).reshape(u.shape[0], -1)
-
-    n_local_cells = u.shape[1] * spec.size
-    D_flat = D.reshape(u.shape[0], -1)
+    send = u[..., conn.send_idx]                         # [5, *ext, H]
+    pool = jax.lax.all_gather(send, halo.AXIS)           # [S, 5, *ext, H]
+    pool = jnp.moveaxis(pool, 0, -2)                     # [5, *ext, S, H]
+    pool = pool.reshape(pool.shape[: spec.dim + 1] + (-1,))
+    u_ext = jnp.concatenate([u, pool], axis=-1)          # [5, *ext, CL+S*H]
     speed = sp_i
-    for a, (lc, rc, ar) in enumerate(zip(conn.l_cell, conn.r_cell, conn.area)):
-        u_l = u_ext_flat[:, lc]
-        u_r = u_ext_flat[:, rc]
-        f, sp = sg.numerical_flux(sg.axis_rotate(u_l, a), sg.axis_rotate(u_r, a),
-                                  gamma=gamma, flux=flux)
-        f = sg.axis_unrotate(f, a) * ar
-        # halo-cell contributions are dropped: the owning shard accumulates
-        # them from its duplicate of this face
-        D_flat = D_flat.at[:, lc].add(-f, mode="drop")
-        D_flat = D_flat.at[:, rc].add(f, mode="drop")
-        speed = jnp.maximum(speed, (sp * (ar > 0)).max())
-    for (axis, sign), bc, ar in zip(conn.b_groups, conn.b_cell, conn.b_area):
+
+    # slab-exchange outer fluxes, same scheme as ops/subgrid.outer_apply but
+    # neighbor layers gathered from the extended element axis
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    t_axes = tuple(range(1, 1 + n_t))
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    area_t = (h_e / ext) ** n_t
+    area_v = area_t / (2 ** n_t)
+    for a in range(dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
+                                    conn.bits[k], conn.mask[k])
+            hi = sign > 0
+            my_layer = jax.lax.index_in_dim(
+                u, ext - 1 if hi else 0, axis=1 + a, keepdims=False)
+            opp_layer = jax.lax.index_in_dim(
+                u_ext, 0 if hi else ext - 1, axis=1 + a, keepdims=False)
+            nb = sg._gather_layers(opp_layer, nbr)
+            base = nb[..., 0]
+
+            r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+            other = jnp.where(r < 0, sg._coarse_window(base, bits, spec),
+                              base)
+            u_l, u_r = (my_layer, other) if hi else (other, my_layer)
+            f, sp = sg.numerical_flux(sg.axis_rotate(u_l, a),
+                                      sg.axis_rotate(u_r, a),
+                                      gamma=gamma, flux=flux)
+            w1 = mask * area_t * (rel <= 0)
+            f = (sg.axis_unrotate(f, a)
+                 * w1.reshape((1,) * (f.ndim - 1) + (-1,)))
+            contrib = -f if hi else f
+            sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
+            speed = jnp.maximum(speed, (sp * sp_m).max())
+
+            if conn.has_fine[k]:
+                fine = sg._fine_interleave(nb, spec)
+                mine = sg._upsample2(my_layer, t_axes)
+                u_l, u_r = (mine, fine) if hi else (fine, mine)
+                f2, sp2 = sg.numerical_flux(sg.axis_rotate(u_l, a),
+                                            sg.axis_rotate(u_r, a),
+                                            gamma=gamma, flux=flux)
+                w2 = mask * area_v * (rel > 0)
+                f2 = (sg.axis_unrotate(f2, a)
+                      * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
+                f2 = sg._pool2(f2, n_t)
+                contrib = contrib + (-f2 if hi else f2)
+                sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
+                speed = jnp.maximum(speed, (sp2 * sp_m2).max())
+
+            D = sg._slab_add(D, contrib.reshape(contrib.shape[0], -1), a,
+                             layer_hi=hi, spec=spec)
+
+    u_ext_flat = u_ext.reshape(u.shape[0], -1)
+    for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
+                                        conn.b_area, conn.b_recv):
         u_own = sg.axis_rotate(u_ext_flat[:, bc], axis)
         u_ghost = u_own.at[1].multiply(-1.0)
         if sign > 0:
@@ -217,10 +264,12 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
         else:
             f, sp = sg.numerical_flux(u_ghost, u_own, gamma=gamma, flux=flux)
         f = sg.axis_unrotate(f, axis) * ar
-        D_flat = D_flat.at[:, bc].add(-f if sign > 0 else f, mode="drop")
+        f_pad = jnp.concatenate([f, jnp.zeros((5, 1), f.dtype)], axis=1)
+        c = f_pad[:, br]
+        D = sg._slab_add(D, -c if sign > 0 else c, axis,
+                         layer_hi=sign > 0, spec=spec)
         speed = jnp.maximum(speed, (sp * (ar > 0)).max())
 
-    D = D_flat[:, :n_local_cells].reshape(D.shape)
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
@@ -242,7 +291,8 @@ class ShardedSubgridEulerSolver:
         from t8gpu_tpu.mesh.subgrid import cell_centers
         u0 = np.asarray(ic(cell_centers(forest, spec)), np.float32)
         u0 = u0.reshape((u0.shape[0], forest.n_elements) + spec.extents)
-        self._install(forest, u0)
+        # internal layout is element-minor: [5, *ext, N]
+        self._install(forest, np.moveaxis(u0, 1, -1))
 
     def _install(self, forest: Forest, u_global: np.ndarray):
         self.forest = forest
@@ -256,21 +306,21 @@ class ShardedSubgridEulerSolver:
         volumes = forest.volumes().astype(np.float32)
         vol = shard_array(volumes, bounds, CL)
         inv = shard_array((B / volumes).astype(np.float32), bounds, CL)
-        # pad state element slots with the guard state
+        # pad state element slots with the guard state (element-minor:
+        # u_global is [5, *ext, N], shards slice/pad the minor axis)
         from t8gpu_tpu.models.subgrid_euler import GUARD_STATE
-        u_stacked = np.empty((self.n_shards, 5, CL) + self.spec.extents,
+        u_stacked = np.empty((self.n_shards, 5) + self.spec.extents + (CL,),
                              np.float32)
-        u_stacked[:] = GUARD_STATE.reshape((1, 5, 1) + (1,) * dim)
+        u_stacked[:] = GUARD_STATE.reshape((1, 5) + (1,) * (dim + 1))
         for s in range(self.n_shards):
             lo, hi = bounds[s], bounds[s + 1]
-            u_stacked[s, :, : hi - lo] = u_global[:, lo:hi]
+            u_stacked[s, ..., : hi - lo] = u_global[..., lo:hi]
 
         shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
         self.conn = jax.device_put(conn, shard)
         self.u = jax.device_put(jnp.asarray(u_stacked), shard)
         self.volumes = jax.device_put(jnp.asarray(vol), shard)
-        self.inv_cell_volume = jax.device_put(
-            jnp.asarray(inv).reshape((self.n_shards, 1, CL) + (1,) * dim), shard)
+        self.inv_cell_volume = jax.device_put(jnp.asarray(inv), shard)
         self._step = self._build_step()
 
     def _build_step(self):
@@ -329,14 +379,15 @@ class ShardedSubgridEulerSolver:
         self._max_speed = None
 
     def _gather_state(self) -> np.ndarray:
+        """Internal element-minor global state [5, *ext, N]."""
         stacked = np.asarray(self.u)
-        parts = [stacked[s, :, : self.bounds[s + 1] - self.bounds[s]]
+        parts = [stacked[s][..., : self.bounds[s + 1] - self.bounds[s]]
                  for s in range(self.n_shards)]
-        return np.concatenate(parts, axis=1)
+        return np.concatenate(parts, axis=-1)
 
     def compute_integral(self) -> float:
         cv = self.volumes / self.spec.size            # [S, CL]
-        cv = cv.reshape(cv.shape + (1,) * self.spec.dim)
+        cv = cv.reshape((self.n_shards,) + (1,) * self.spec.dim + (-1,))
         return float((self.u[:, 0] * cv).sum())
 
     def compute_timestep(self) -> float:
@@ -350,4 +401,5 @@ class ShardedSubgridEulerSolver:
         return self.forest.n_elements
 
     def conserved_state(self) -> np.ndarray:
-        return self._gather_state()
+        """Global unpadded [5, N, *ext] (element-major external order)."""
+        return np.moveaxis(self._gather_state(), -1, 1)

@@ -109,7 +109,8 @@ def test_subgrid_remap_refine_coarsen_roundtrip():
     rng = np.random.default_rng(3)
     n = forest.n_elements
     cap = smesh.conn.element_capacity
-    u = jnp.asarray(rng.normal(size=(5, cap, 4, 4)).astype(np.float32))
+    # element-minor layout [5, ext, ext, cap]
+    u = jnp.asarray(rng.normal(size=(5, 4, 4, cap)).astype(np.float32))
 
     fine, remap = forest.adapt(np.ones(n, np.int8))
     cap_f = smesh.conn.element_capacity  # may differ; compute fresh
@@ -137,13 +138,14 @@ def test_subgrid_remap_refine_coarsen_roundtrip():
         I, J = c & 1, (c >> 1) & 1
         for i in range(4):
             for j in range(4):
-                assert uf[0, e, i, j] == uo[0, s, I * 2 + i // 2, J * 2 + j // 2]
+                assert uf[0, i, j, e] == uo[0, I * 2 + i // 2, J * 2 + j // 2, s]
 
     back, remap2 = fine.adapt(-np.ones(fine.n_elements, np.int8))
     cap_b = bucket_capacity(back.n_elements)
     u_b = sg.apply_subgrid_remap(u_f, *pad(remap2, cap_b), spec=spec,
                                  capacity=cap_b)
-    np.testing.assert_allclose(np.asarray(u_b)[:, :n], uo[:, :n], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(u_b)[..., :n], uo[..., :n],
+                               rtol=1e-6)
 
 
 def test_subgrid_remap_conserves_mass():
@@ -163,15 +165,15 @@ def test_h1_criteria():
     spec = SUBGRID_4x4
     smesh = SubgridMesh.from_forest(forest, spec)
     cap = smesh.conn.element_capacity
-    u = jnp.ones((5, cap, 4, 4))
+    u = jnp.ones((5, 4, 4, cap))
     crit = sg.h1_criteria(u, jnp.asarray(
         np.pad(smesh.volumes, (0, cap - forest.n_elements))), spec)
     np.testing.assert_allclose(np.asarray(crit), 0.0, atol=1e-7)
 
     # known pattern: rho = i (x index) in element 0
-    rho = np.zeros((cap, 4, 4), np.float32)
-    rho[0] = np.arange(4, dtype=np.float32)[:, None]
-    u = jnp.asarray(np.broadcast_to(rho, (5, cap, 4, 4)).copy())
+    rho = np.zeros((4, 4, cap), np.float32)
+    rho[:, :, 0] = np.arange(4, dtype=np.float32)[:, None]
+    u = jnp.asarray(np.broadcast_to(rho, (5, 4, 4, cap)).copy())
     crit = np.asarray(sg.h1_criteria(u, jnp.asarray(
         np.pad(smesh.volumes, (0, cap - forest.n_elements))), spec))
     V = smesh.volumes[0]
