@@ -20,6 +20,8 @@ NOMINAL_A100_DOF_RATE = 1.0e9  # cell-updates/s, see module docstring
 
 
 def main():
+    from t8gpu_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from t8gpu_tpu.memory.subgrid import SUBGRID_4x4x4
     from t8gpu_tpu.mesh.forest import Forest
     from t8gpu_tpu.mesh.subgrid import SubgridMesh

@@ -21,6 +21,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from t8gpu_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from t8gpu_tpu.io.vtk import write_vtu
 from t8gpu_tpu.mesh.forest import Forest
 from t8gpu_tpu.mesh.manager import MeshManager

@@ -18,6 +18,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+from t8gpu_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 from t8gpu_tpu.io.vtk import write_vtu
 from t8gpu_tpu.memory.subgrid import SubgridSpec
 from t8gpu_tpu.mesh.forest import Forest
@@ -77,24 +81,37 @@ def run_loop(solver, args, spec):
     dt = solver.compute_timestep()
     print(f"initial integral={m0:.6f} dt={dt:.3e}")
 
+    cadences = [c for c in (args.adapt_every if args.amr else 0,
+                            args.checkpoint_every, args.vtk_every) if c]
+
+    def chunk_until_event(it):
+        n = args.steps - it
+        for ev in cadences:
+            n = min(n, ev - it % ev)
+        return n
+
     t0 = time.perf_counter()
     cell_steps = 0
-    for it in range(args.steps):
-        solver.iterate(dt)
-        cell_steps += solver.n_elements * spec.size
-        if args.amr and (it + 1) % args.adapt_every == 0:
+    it = 0
+    while it < args.steps:
+        # fuse all steps up to the next adapt/IO event into ONE dispatch
+        n = chunk_until_event(it)
+        solver.iterate_many(n, dt)
+        cell_steps += n * solver.n_elements * spec.size
+        it += n
+        if args.amr and it % args.adapt_every == 0 and it < args.steps:
             solver.adapt()
             dt = solver.compute_timestep()
-        if args.checkpoint_every and (it + 1) % args.checkpoint_every == 0:
+        if args.checkpoint_every and it % args.checkpoint_every == 0:
             from t8gpu_tpu.io.checkpoint import save_solver
-            save_solver(f"{args.prefix}_ck.npz", solver, step=it + 1)
-        if args.vtk_every and (it + 1) % args.vtk_every == 0:
+            save_solver(f"{args.prefix}_ck.npz", solver, step=it)
+        if args.vtk_every and it % args.vtk_every == 0:
             u = solver.conserved_state().reshape(5, -1)
             mesh_now = solver.mesh if solver.manager is None else solver.manager.mesh
             cc = mesh_now.cell_centers()
             h = np.repeat((mesh_now.volumes ** (1 / args.dim)) / spec.extent,
                           spec.size)
-            write_vtu(f"{args.prefix}_{it + 1:06d}.vtu", cc, h,
+            write_vtu(f"{args.prefix}_{it:06d}.vtu", cc, h,
                       {"density": u[0], "energy": u[4], "momentum": u[1:4]},
                       dim=args.dim)
     solver.u.block_until_ready()
