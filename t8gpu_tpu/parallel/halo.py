@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from t8gpu_tpu.ops import euler
+from t8gpu_tpu.ops.fluxes import gather_cols
 from t8gpu_tpu.parallel.partition import ShardedConnectivity
 
 AXIS = "sfc"
@@ -30,7 +31,7 @@ def halo_exchange(u_local: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
     u_local: [5, CL]; send_idx: [H] local ids.
     Returns the extended element axis [5, CL + n_shards*H].
     """
-    send = u_local[:, send_idx]                          # [5, H]
+    send = gather_cols(u_local, send_idx)                # [5, H]
     pool = jax.lax.all_gather(send, AXIS)                # [S, 5, H]
     pool = jnp.moveaxis(pool, 0, 1).reshape(u_local.shape[0], -1)
     return jnp.concatenate([u_local, pool], axis=1)
@@ -46,8 +47,8 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
     """
     u_ext = halo_exchange(u_local, conn.send_idx)
 
-    u_l = u_ext[:, conn.left]
-    u_r = u_ext[:, conn.right]
+    u_l = gather_cols(u_ext, conn.left)
+    u_r = gather_cols(u_ext, conn.right)
     basis = euler.face_basis(conn.normal)
     f_rot, speed = euler.numerical_flux(
         euler.rotate_state(u_l, *basis), euler.rotate_state(u_r, *basis),
@@ -56,7 +57,7 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
     speed = speed * (conn.area > 0)
 
     if conn.boundary_capacity:
-        u_in = u_local[:, conn.b_elem]
+        u_in = gather_cols(u_local, conn.b_elem)
         basis_b = euler.face_basis(conn.b_normal)
         u_rot = euler.rotate_state(u_in, *basis_b)
         fb_rot, speed_b = euler.numerical_flux(
@@ -68,7 +69,7 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
         speed_b = jnp.zeros((0,), u_local.dtype)
 
     all_f = jnp.concatenate([f, fb, jnp.zeros((5, 1), f.dtype)], axis=1)
-    contrib = all_f[:, conn.inc_slot]                    # [5, CL, D]
+    contrib = gather_cols(all_f, conn.inc_slot)          # [5, CL, D]
     acc = (contrib * conn.inc_sign).sum(axis=-1)
 
     local_max = jnp.maximum(speed.max(), speed_b.max() if speed_b.size else 0.0)
