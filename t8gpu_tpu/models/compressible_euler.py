@@ -195,3 +195,16 @@ class CompressibleEulerSolver:
     def conserved_state(self) -> np.ndarray:
         """Unpadded [5, N] state on host."""
         return np.asarray(self.u[:, : self.n_elements])
+
+    # -- enum-keyed storage view (ref MemoryManager<V,S> API parity) ----------
+
+    def as_store(self):
+        """Snapshot the solver state into an enum-keyed VariableStore
+        (the reference's MemoryManager access pattern,
+        memory_manager.h:350-457): Prev holds the current conserved state,
+        volume the element volumes."""
+        from t8gpu_tpu.memory.store import VariableStore
+
+        store = VariableStore.create(VariableList, StepList, self.n_elements)
+        store = store.set_step(StepList.Prev, self.u[:, : self.n_elements])
+        return store.set_volume(self.volume[: self.n_elements])

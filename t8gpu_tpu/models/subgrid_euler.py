@@ -197,6 +197,24 @@ class SubgridCompressibleEulerSolver:
         order; internally the layout is element-minor)."""
         return np.moveaxis(np.asarray(self.u[..., : self.n_elements]), -1, 1)
 
+    # -- enum-keyed storage view (ref SubgridMemoryManager API parity) --------
+
+    def as_store(self):
+        """Snapshot into an enum-keyed VariableStore over flat cells
+        (cell count = n_elements * block size; the reference's
+        SubgridMemoryManager equivalent, subgrid_memory_manager.h:425)."""
+        from t8gpu_tpu.memory.store import VariableStore
+        from t8gpu_tpu.models.compressible_euler import StepList, VariableList
+
+        n_cells = self.n_elements * self.spec.size
+        store = VariableStore.create(VariableList, StepList, n_cells)
+        store = store.set_step(
+            StepList.Prev,
+            jnp.asarray(self.conserved_state().reshape(5, -1)))
+        cell_vol = np.repeat(np.asarray(self.volumes[: self.n_elements])
+                             / self.spec.size, self.spec.size)
+        return store.set_volume(jnp.asarray(cell_vol))
+
 
 def subgrid_manager(forest, spec: SubgridSpec,
                     amr: AMRConfig = AMRConfig()) -> MeshManager:

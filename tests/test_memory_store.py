@@ -67,3 +67,35 @@ def test_store_is_pytree():
     assert len(leaves) == 2  # data + volume; n_elements is static
     out = jax.jit(lambda st: st.get(Step.Prev, Var.Rho).sum())(s)
     assert float(out) == 0.0
+
+
+def test_solver_store_views():
+    """Solvers expose enum-keyed VariableStore snapshots (MemoryManager
+    API parity, memory_manager.h:350-457)."""
+    import numpy as np
+
+    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.mesh.uniform import uniform_mesh
+    from t8gpu_tpu.models.compressible_euler import (
+        CompressibleEulerSolver, StepList, VariableList)
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    ic = lambda c: kh_planar(c, dim=2)
+    s = CompressibleEulerSolver(uniform_mesh(3, dim=2), ic)
+    store = s.as_store()
+    np.testing.assert_allclose(
+        np.asarray(store.get(StepList.Prev, VariableList.Rho))[: s.n_elements],
+        s.conserved_state()[0], rtol=1e-6)
+    np.testing.assert_allclose(float(store.get_volume().sum()), 1.0, rtol=1e-5)
+
+    s2 = SubgridCompressibleEulerSolver(
+        SubgridMesh.from_forest(Forest.uniform(2, dim=2), SUBGRID_4x4), ic)
+    store2 = s2.as_store()
+    np.testing.assert_allclose(
+        np.asarray(store2.get(StepList.Prev, VariableList.Rho))[
+            : s2.n_elements * 16],
+        s2.conserved_state()[0].reshape(-1), rtol=1e-6)
+    np.testing.assert_allclose(float(store2.get_volume().sum()), 1.0, rtol=1e-5)
