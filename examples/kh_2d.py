@@ -67,17 +67,25 @@ def main():
     dt = solver.compute_timestep()
     print(f"initial integral={m0:.6f} dt={dt:.3e}")
 
+    cadences = [c for c in ((args.adapt_every if args.amr else 0),
+                            args.vtk_every) if c]
+
     t0 = time.perf_counter()
-    for it in range(args.steps):
-        solver.iterate(dt)
-        if args.amr and (it + 1) % args.adapt_every == 0:
+    it = 0
+    while it < args.steps:
+        n = args.steps - it
+        for ev in cadences:
+            n = min(n, ev - it % ev)
+        solver.iterate_many(n, dt)   # one fused dispatch up to the event
+        it += n
+        if args.amr and it % args.adapt_every == 0 and it < args.steps:
             solver.adapt()
             dt = solver.compute_timestep()
-        if args.vtk_every and (it + 1) % args.vtk_every == 0:
+        if args.vtk_every and it % args.vtk_every == 0:
             u = solver.conserved_state()
             mesh_now = solver.mesh
             h = np.asarray(mesh_now.volumes) ** (1.0 / args.dim)
-            write_vtu(f"{args.prefix}_{it + 1:06d}.vtu", mesh_now.centers, h,
+            write_vtu(f"{args.prefix}_{it:06d}.vtu", mesh_now.centers, h,
                       {"density": u[0], "energy": u[4], "momentum": u[1:4]},
                       dim=args.dim)
     solver.u.block_until_ready()

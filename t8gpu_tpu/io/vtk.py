@@ -99,3 +99,28 @@ def write_vtu(path: str,
     with open(path, "w") as f:
         f.write("\n".join(parts))
     return path
+
+
+def write_mesh_vtu(path: str, mesh, shard_bounds=None) -> str:
+    """Export the mesh itself with debug fields (ref writes treeid /
+    mpirank / level / element_id into its VTK output,
+    mesh_manager.inl:531-541): per element its refinement level, SFC
+    index, and owning shard (when an SFC partition is given)."""
+    import numpy as np
+
+    forest = getattr(mesh, "forest", None)
+    n = mesh.n_elements
+    level = (np.asarray(forest.level, np.float32) if forest is not None
+             else np.zeros(n, np.float32))
+    fields = {
+        "level": level,
+        "element_id": np.arange(n, dtype=np.float32),
+    }
+    if shard_bounds is not None:
+        owner = np.searchsorted(shard_bounds, np.arange(n), side="right") - 1
+        fields["shard"] = owner.astype(np.float32)
+    dim = mesh.dim
+    h = np.asarray(mesh.volumes) ** (1.0 / dim)
+    centers = (mesh.centers if hasattr(mesh, "centers")
+               else forest.centers().astype(np.float32))
+    return write_vtu(path, np.asarray(centers), h, fields, dim=dim)

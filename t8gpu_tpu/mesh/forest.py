@@ -512,6 +512,10 @@ class ForestMesh:
         return self.forest.dim
 
     @property
+    def n_elements(self) -> int:
+        return self.forest.n_elements
+
+    @property
     def max_level(self) -> int:
         return int(self.forest.level.max())
 

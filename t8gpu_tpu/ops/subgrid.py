@@ -54,11 +54,15 @@ _UNROTATE = {0: (0, 1, 2, 3, 4), 1: (0, 2, 1, 3, 4), 2: (0, 2, 3, 1, 4)}
 
 
 def axis_rotate(u: jnp.ndarray, axis: int) -> jnp.ndarray:
-    return u[jnp.asarray(_ROTATE[axis])]
+    if axis == 0:
+        return u
+    return jnp.stack([u[i] for i in _ROTATE[axis]])
 
 
 def axis_unrotate(f: jnp.ndarray, axis: int) -> jnp.ndarray:
-    return f[jnp.asarray(_UNROTATE[axis])]
+    if axis == 0:
+        return f
+    return jnp.stack([f[i] for i in _UNROTATE[axis]])
 
 
 def _guard_state(dtype):
@@ -269,13 +273,21 @@ def boundary_apply(D: jnp.ndarray, u_flat: jnp.ndarray,
     return D, speed
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "gamma", "flux", "use_pallas"))
 def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                     conn: SubgridConnectivity, spec: SubgridSpec,
-                    gamma: float, flux: str):
+                    gamma: float, flux: str, use_pallas: bool = False):
     """Full surface-flux divergence for the subgrid scheme:
-    inner + outer + boundary.  u: [5, *ext, Ecap].  Returns (D, max_speed)."""
-    D, sp_i = inner_divergence(u, volumes, spec, gamma, flux)
+    inner + outer + boundary.  u: [5, *ext, Ecap].  Returns (D, max_speed).
+
+    use_pallas selects the hand-written Pallas inner-flux kernel
+    (ops/pallas_kernels.py) instead of the XLA-fused stencil."""
+    if use_pallas:
+        from t8gpu_tpu.ops.pallas_kernels import inner_divergence_pallas
+        D, sp_i = inner_divergence_pallas(u, volumes, spec, gamma, flux)
+    else:
+        D, sp_i = inner_divergence(u, volumes, spec, gamma, flux)
     D, sp_o = outer_apply(D, u, conn, spec, volumes, gamma, flux)
     if conn.b_groups:
         D, sp_b = boundary_apply(D, u.reshape(5, -1), conn, spec, gamma, flux)

@@ -196,3 +196,19 @@ def test_forest_mesh_adapter_runs_solver_smoke():
     for _ in range(5):
         solver.iterate(1e-3)
     assert abs(solver.compute_integral() - m0) < 1e-4 * abs(m0)
+
+
+def test_write_mesh_vtu(tmp_path):
+    """Mesh debug export (level / element_id / shard fields)."""
+    from t8gpu_tpu.io.vtk import write_mesh_vtu
+    from t8gpu_tpu.parallel.partition import partition_elements
+
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    mesh = ForestMesh.from_forest(forest)
+    bounds = partition_elements(forest.n_elements, 4)
+    p = write_mesh_vtu(str(tmp_path / "mesh.vtu"), mesh, bounds)
+    text = open(p).read()
+    assert "level" in text and "shard" in text
