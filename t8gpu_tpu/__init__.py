@@ -1,21 +1,45 @@
-"""t8gpu_tpu — a TPU-native finite-volume AMR framework in JAX.
+"""t8gpu_tpu — TPU-native finite-volume AMR framework.
 
-A ground-up rebuild of the capabilities of DLR-AMR/t8gpu (CUDA/C++/MPI)
-designed for TPU hardware: sharded ``jax.Array`` storage over a device mesh,
-gather/segment-sum flux accumulation (deterministic, no atomics), host-side
-space-filling-curve forest management, and Pallas kernels on the hot paths.
+A from-scratch JAX/XLA rebuild of the capabilities of DLR-AMR/t8gpu
+(see README.md for the component map and SURVEY.md for the reference
+analysis).  Public API:
 
-Layer map (mirrors the reference architecture, reference SURVEY.md §1):
-
-  utils/     — config, profiling, meta helpers        (ref: t8gpu/utils/)
-  memory/    — enum-keyed SoA variable storage        (ref: t8gpu/memory/)
-  mesh/      — forest, AMR, connectivity              (ref: t8gpu/mesh/)
-  ops/       — numerics kernels: fluxes, RK3, subgrid (ref: t8gpu/timestepping + examples kernels)
-  parallel/  — device-mesh sharding, halo exchange    (ref: CUDA IPC + MPI layer)
-  models/    — bundled solvers (compressible Euler)   (ref: examples/)
-  io/        — VTK export, checkpointing              (ref: VTK export paths)
+    from t8gpu_tpu import (
+        # meshes
+        Forest, ForestMesh, MeshManager, uniform_mesh, shell_mesh,
+        SubgridMesh, SubgridSpec,
+        # solvers (single device)
+        CompressibleEulerSolver, SubgridCompressibleEulerSolver,
+        subgrid_manager,
+        # solvers (multi-chip)
+        ShardedEulerSolver, ShardedSubgridEulerSolver,
+        # config + storage + io
+        EulerConfig, AMRConfig, RunConfig, VariableStore,
+        save_solver, restore_solver, write_vtu,
+    )
 """
 
-__version__ = "0.1.0"
+from t8gpu_tpu.io.checkpoint import restore_solver, save_solver
+from t8gpu_tpu.io.vtk import write_mesh_vtu, write_vtu
+from t8gpu_tpu.memory.store import VariableStore
+from t8gpu_tpu.memory.subgrid import SUBGRID_4x4, SUBGRID_4x4x4, SubgridSpec
+from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+from t8gpu_tpu.mesh.manager import MeshManager
+from t8gpu_tpu.mesh.shell import shell_mesh
+from t8gpu_tpu.mesh.subgrid import SubgridMesh
+from t8gpu_tpu.mesh.uniform import uniform_mesh
+from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+from t8gpu_tpu.models.subgrid_euler import (SubgridCompressibleEulerSolver,
+                                            subgrid_manager)
+from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig, RunConfig
 
-from t8gpu_tpu.utils.config import EulerConfig, AMRConfig  # noqa: F401
+__all__ = [
+    "AMRConfig", "CompressibleEulerSolver", "EulerConfig", "Forest",
+    "ForestMesh", "MeshManager", "RunConfig", "SUBGRID_4x4",
+    "SUBGRID_4x4x4", "ShardedEulerSolver", "ShardedSubgridEulerSolver",
+    "SubgridCompressibleEulerSolver", "SubgridMesh", "SubgridSpec",
+    "VariableStore", "restore_solver", "save_solver", "shell_mesh",
+    "subgrid_manager", "uniform_mesh", "write_mesh_vtu", "write_vtu",
+]

@@ -1,22 +1,22 @@
-"""Subgrid mesh: per-face cell index maps for the block-structured scheme.
+"""Subgrid mesh: per-side neighbor tables for the block-structured scheme.
 
 TPU-native counterpart of the reference `SubgridMeshManager` /
 `SubgridMeshConnectivityAccessor` (`t8gpu/mesh/subgrid_mesh_manager.h:30-216`).
 The reference resolves hanging-face cell pairing at kernel runtime from
 (level_difference, neighbor_offset, normal) with anchor/stride index
 arithmetic (`examples/subgrid/kernels.inl:710-758`, the `double_stride`
-trick); here the host resolves every subface to a flat (left_cell,
-right_cell) index pair once per adapt, and the device kernels are plain
-vectorized gathers + scatter-adds over those index arrays.
+trick); here the host builds per-element-SIDE neighbor tables once per
+adapt and the device evaluates whole face slabs densely (the
+slab-exchange scheme — see the SubgridConnectivity docstring and
+ops/subgrid.py for the rationale and the exactness argument).
 
-Faces are canonicalized to +axis normals (a -axis face swaps sides) and
-grouped by axis, so the flux rotation per group is a static momentum
-permutation — no per-face basis construction (normals on the subgrid
-scheme are axis-aligned, ref kernels.inl:717-750).
+All flux rotations are static momentum permutations per axis group —
+no per-face basis construction (normals on the subgrid scheme are
+axis-aligned, ref kernels.inl:717-750).
 
-Flat cell index = element * block_size + C-order offset over (x, y[, z]).
-Padding entries point at cell 0 with area 0 (contributing exactly zero,
-same convention as mesh/connectivity.py).
+Flat cell index = cell * n_elements + element (element-minor layout),
+matching the [5, *ext, E] state arrays.  Boundary (wall) faces keep a
+small per-subface gather path with receive maps.
 """
 
 from __future__ import annotations
@@ -145,57 +145,6 @@ def build_recv_map(cells: np.ndarray, n_rows_elems: int, spec: SubgridSpec,
     recv = np.full((n_rows_elems * T, multiplicity), sentinel, np.int32)
     recv[rows_sorted, slot] = np.asarray(positions)[order].astype(np.int32)
     return recv
-
-
-def expand_axis_subfaces(spec: SubgridSpec, axis: int, le, re, sign, ldiff,
-                         off_anchor, nb_size, le_size, h: float):
-    """Resolve the faces of one axis group into per-subface cell pairs.
-
-    Implements the reference anchor/stride/double_stride pairing
-    (kernels.inl:710-758) in bulk: for each face, tile the LEFT (finer or
-    equal) element's face with ext^(dim-1) subfaces, pair each with the
-    right element's cell (tangent index >> ldiff for 2:1 hanging faces)
-    and canonicalize -axis faces by swapping sides.
-
-    Returns (elem_l, coords_l, elem_r, coords_r, area) flattened over
-    faces x subfaces, with GLOBAL element ids (callers map to their own
-    flat/extended indexing via _flat_cells).
-    """
-    dim = spec.dim
-    ext = spec.extent
-    t_grid = _tangent_grid(ext, dim)
-    S = t_grid.shape[0]
-    K = len(le)
-    sign = np.asarray(sign, np.int64)
-    ldiff = np.asarray(ldiff, np.int64)
-    off_cells = (off_anchor * ext) // np.asarray(nb_size)[:, None]
-
-    tangents = [a for a in range(dim) if a != axis]
-    t = t_grid[None, :, :]
-    lcoord = [None] * dim
-    rcoord = [None] * dim
-    lcoord[axis] = np.where(sign > 0, ext - 1, 0)[:, None] * np.ones((1, S), np.int64)
-    rcoord[axis] = off_cells[:, axis][:, None] * np.ones((1, S), np.int64)
-    for ti, ta in enumerate(tangents):
-        lcoord[ta] = np.broadcast_to(t[:, :, ti], (K, S))
-        rcoord[ta] = off_cells[:, ta][:, None] + (t[:, :, ti] >> ldiff[:, None])
-
-    elem_l = np.broadcast_to(np.asarray(le)[:, None], (K, S)).ravel()
-    elem_r = np.broadcast_to(np.asarray(re)[:, None], (K, S)).ravel()
-    lcoord = [c.ravel() for c in lcoord]
-    rcoord = [c.ravel() for c in rcoord]
-    # canonicalize -axis faces: +axis normal points lower -> higher
-    # coordinate, so the geometric left side of a -axis face is the neighbor
-    swap = np.broadcast_to((sign < 0)[:, None], (K, S)).ravel()
-    elem_l2 = np.where(swap, elem_r, elem_l)
-    elem_r2 = np.where(swap, elem_l, elem_r)
-    lcoord2 = [np.where(swap, rc, lc) for lc, rc in zip(lcoord, rcoord)]
-    rcoord2 = [np.where(swap, lc, rc) for lc, rc in zip(lcoord, rcoord)]
-    # subface area = the finer (emitting) element's cell face area
-    area = np.broadcast_to(
-        ((np.asarray(le_size) * h / ext) ** (dim - 1)).astype(np.float32)[:, None],
-        (K, S)).ravel()
-    return elem_l2, lcoord2, elem_r2, rcoord2, area
 
 
 def build_side_tables(forest: Forest, spec: SubgridSpec, cap_e: int,

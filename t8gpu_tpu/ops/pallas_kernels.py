@@ -10,8 +10,16 @@ intermediate materializations XLA's fusion sometimes spills between the
 slice / flux / pad stages.
 
 Element-minor layout [5, *ext, E] as everywhere; the grid runs over
-element tiles of TILE lanes.  Falls back to the XLA path automatically
-when Pallas is unavailable (CPU test mesh uses interpret mode).
+element tiles of TILE lanes.
+
+STATUS (round 1, measured on v5e): bit-exact vs the XLA stencil, but
+currently ~1000x SLOWER (3.9 s vs 3.4 ms per eval at 2.1 M cells) — the
+small leading block axes ([5, 4, 4, 4, T]) force Mosaic relayouts/scalar
+loops around every slice.  A fast version needs the kernel restructured
+over 2-D [row, lane] tiles with explicit row arithmetic for the stencil
+offsets.  Kept as an opt-in (flux_divergence(use_pallas=True)) and a
+correctness-tested starting point; XLA's fusion of the same stencil is
+the production path.
 """
 
 from __future__ import annotations
@@ -34,7 +42,7 @@ def _kernel(u_ref, vol_ref, d_ref, sp_ref, *, spec: SubgridSpec,
     dim = spec.dim
     ext = spec.extent
     u = u_ref[...]                                   # [5, *ext, T]
-    vol = vol_ref[...]                               # [T]
+    vol = vol_ref[0]                                 # [T] (stored [1, T])
     h_cell = jnp.where(vol > 0, vol, 1.0) ** (1.0 / dim) / ext
     surface = (h_cell ** (dim - 1)) * (vol > 0)
 
@@ -54,7 +62,7 @@ def _kernel(u_ref, vol_ref, d_ref, sp_ref, *, spec: SubgridSpec,
         D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
         speed = jnp.maximum(speed, sp.max(axis=tuple(range(sp.ndim - 1))))
     d_ref[...] = D
-    sp_ref[...] = speed * (vol > 0)
+    sp_ref[0, :] = speed * (vol > 0)
 
 
 @functools.partial(jax.jit,
@@ -76,15 +84,17 @@ def inner_divergence_pallas(u: jnp.ndarray, volumes: jnp.ndarray,
     def idx(i):
         return (0,) * (spec.dim + 1) + (i,)
 
+    # 1-D arrays get ambiguous XLA lane tilings; carry volume/speed as
+    # [1, E] so Mosaic and XLA agree on the (8, 128) layout
     D, sp = pl.pallas_call(
         functools.partial(_kernel, spec=spec, gamma=gamma, flux=flux),
         grid=grid,
         in_specs=[pl.BlockSpec(blk_u, idx),
-                  pl.BlockSpec((tile,), lambda i: (i,))],
+                  pl.BlockSpec((1, tile), lambda i: (0, i))],
         out_specs=[pl.BlockSpec(blk_u, idx),
-                   pl.BlockSpec((tile,), lambda i: (i,))],
+                   pl.BlockSpec((1, tile), lambda i: (0, i))],
         out_shape=[jax.ShapeDtypeStruct(u.shape, u.dtype),
-                   jax.ShapeDtypeStruct((E,), u.dtype)],
+                   jax.ShapeDtypeStruct((1, E), u.dtype)],
         interpret=interpret,
-    )(u, volumes)
+    )(u, volumes.reshape(1, -1))
     return D, sp.max()

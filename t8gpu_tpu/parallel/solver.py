@@ -76,9 +76,10 @@ class ShardedEulerSolver:
         self.inv_volume = jax.device_put(jnp.asarray(inv), shard)
         self.volume = jax.device_put(jnp.asarray(vol), shard)
         self._step = self._build_step()
+        self._multi = {}
         self._criteria = self._build_criteria()
 
-    def _build_step(self):
+    def _build_step(self, n_steps: int = 1):
         mesh_dev = self.mesh_dev
         gamma, flux = self.config.gamma, self.config.flux
         spec = P(halo.AXIS)
@@ -91,7 +92,13 @@ class ShardedEulerSolver:
             u, conn, inv_vol = jax.tree.map(
                 lambda x: x[0], (u, conn, inv_vol))
             flux_fn = lambda v: halo.sharded_flux_divergence(v, conn, gamma, flux)
-            u_next, speed = rk.ssp_rk3(u, flux_fn, dt, inv_vol)
+
+            def body(_i, carry):
+                v, _ = carry
+                return rk.ssp_rk3(v, flux_fn, dt, inv_vol)
+
+            u_next, speed = jax.lax.fori_loop(
+                0, n_steps, body, (u, jnp.zeros((), u.dtype)))
             return u_next[None], speed
 
         return jax.jit(step, donate_argnums=(0,))
@@ -113,6 +120,15 @@ class ShardedEulerSolver:
 
     def iterate(self, dt: float):
         self.u, self._max_speed = self._step(
+            self.u, self.conn, self.inv_volume, jnp.float32(dt))
+
+    def iterate_many(self, n_steps: int, dt: float):
+        """Run n_steps RK3 steps as one fused device program (one dispatch,
+        halo collectives inside the loop)."""
+        fn = self._multi.get(n_steps)
+        if fn is None:
+            fn = self._multi[n_steps] = self._build_step(n_steps)
+        self.u, self._max_speed = fn(
             self.u, self.conn, self.inv_volume, jnp.float32(dt))
 
     # -- AMR + repartition (ref solver.inl:327-345, mesh_manager.inl:645-723) ---

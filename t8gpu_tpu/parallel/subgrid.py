@@ -2,13 +2,14 @@
 
 The distributed counterpart of models/subgrid_euler.py (the reference's
 `SubgridCompressibleEulerSolver` under `mpirun -n N`): elements (whole
-subgrid blocks) are SFC-partitioned; each flux evaluation all_gathers the
-halo BLOCKS published by every shard, inner fluxes stay purely local
-(dense VPU work), and outer/boundary fluxes index the extended
-[local | halo-pool] cell axis.  Contributions landing on halo cells are
-dropped (scatter mode='drop') — the owning shard computes them from its
-own copy of the duplicated face, exactly replacing the reference's remote
-atomicAdd over CUDA IPC (`examples/subgrid/kernels.inl:789-801`).
+subgrid blocks) are SFC-partitioned; each flux evaluation all_gathers
+the halo blocks published by every shard, inner fluxes stay purely
+local (dense VPU work), and outer fluxes run the same slab-exchange
+scheme as the single-device path with neighbor ids indexing the
+extended [local | halo-pool] element axis.  Every shard computes only
+its own side of each face, so nothing is ever written remotely —
+replacing the reference's remote atomicAdd over CUDA IPC
+(`examples/subgrid/kernels.inl:789-801`).
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from t8gpu_tpu.memory.store import bucket_capacity
 from t8gpu_tpu.memory.subgrid import SubgridSpec
 from t8gpu_tpu.mesh.forest import Forest
-from t8gpu_tpu.mesh.subgrid import _flat_cells, expand_axis_subfaces, _tangent_grid
+from t8gpu_tpu.mesh.subgrid import _flat_cells, _tangent_grid
 from t8gpu_tpu.ops import rk
 from t8gpu_tpu.ops import subgrid as sg
 from t8gpu_tpu.parallel import halo
@@ -322,8 +323,9 @@ class ShardedSubgridEulerSolver:
         self.volumes = jax.device_put(jnp.asarray(vol), shard)
         self.inv_cell_volume = jax.device_put(jnp.asarray(inv), shard)
         self._step = self._build_step()
+        self._multi = {}
 
-    def _build_step(self):
+    def _build_step(self, n_steps: int = 1):
         gamma, flux = self.config.gamma, self.config.flux
         spec_p = P(halo.AXIS)
         sgspec = self.spec
@@ -337,13 +339,28 @@ class ShardedSubgridEulerSolver:
                 lambda x: x[0], (u, conn, volumes, inv_cv))
             flux_fn = lambda v: sharded_subgrid_flux_divergence(
                 v, volumes, conn, sgspec, gamma, flux)
-            u_next, speed = rk.ssp_rk3(u, flux_fn, dt, inv_cv)
+
+            def body(_i, carry):
+                v, _ = carry
+                return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
+
+            u_next, speed = jax.lax.fori_loop(
+                0, n_steps, body, (u, jnp.zeros((), u.dtype)))
             return u_next[None], speed
 
         return jax.jit(step, donate_argnums=(0,))
 
     def iterate(self, dt: float):
         self.u, self._max_speed = self._step(
+            self.u, self.conn, self.volumes, self.inv_cell_volume,
+            jnp.float32(dt))
+
+    def iterate_many(self, n_steps: int, dt: float):
+        """n_steps fused RK3 steps in one dispatch (collectives inside)."""
+        fn = self._multi.get(n_steps)
+        if fn is None:
+            fn = self._multi[n_steps] = self._build_step(n_steps)
+        self.u, self._max_speed = fn(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt))
 

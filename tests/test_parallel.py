@@ -118,3 +118,15 @@ def test_halo_exchange_collective_layout():
                 r, p = divmod(li - CL, H)
                 g = starts[r] + send[r, p]
             assert 0 <= g < forest.n_elements
+
+
+def test_sharded_iterate_many_matches_loop():
+    forest = Forest.uniform(3, dim=2)
+    ic = lambda c: kh_planar(c, dim=2)
+    s1 = ShardedEulerSolver(forest, ic)
+    s2 = ShardedEulerSolver(forest, ic)
+    for _ in range(4):
+        s1.iterate(1e-3)
+    s2.iterate_many(4, 1e-3)
+    np.testing.assert_allclose(s1.conserved_state(), s2.conserved_state(),
+                               rtol=1e-6, atol=1e-7)

@@ -75,3 +75,15 @@ def test_sharded_subgrid_amr_cycle_matches_single():
                                rtol=5e-5, atol=2e-6)
     assert np.isfinite(sh.conserved_state()).all()
     np.testing.assert_allclose(sh.compute_integral(), m0, rtol=5e-4)
+
+
+def test_sharded_subgrid_iterate_many_matches_loop():
+    forest = Forest.uniform(2, dim=2)
+    ic = lambda c: kh_planar(c, dim=2)
+    s1 = ShardedSubgridEulerSolver(forest, SUBGRID_4x4, ic)
+    s2 = ShardedSubgridEulerSolver(forest, SUBGRID_4x4, ic)
+    for _ in range(4):
+        s1.iterate(1e-3)
+    s2.iterate_many(4, 1e-3)
+    np.testing.assert_allclose(s1.conserved_state(), s2.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
