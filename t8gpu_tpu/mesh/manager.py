@@ -18,8 +18,6 @@ between adapts at the same bucket.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -14,7 +14,6 @@ they are shape-polymorphic elementwise ops.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 # Stage coefficients (ref ssp_runge_kutta.inl:6-26).  The reference stores
 # 0.33333333333333f / 0.66666666666666f which round to the same float32

@@ -19,14 +19,14 @@ JAX controller), and the remapped state is resharded — the analogue of
 from __future__ import annotations
 
 import functools
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+from t8gpu_tpu.mesh.forest import Forest
 from t8gpu_tpu.ops import rk
 from t8gpu_tpu.ops.amr import apply_remap, pad_remap
 from t8gpu_tpu.parallel import halo
@@ -157,9 +157,11 @@ class ShardedEulerSolver:
                                        k=k, capacity=n_new))
 
         # repartition: equal-count SFC split of the new forest + reshard
-        conn, bounds = build_sharded_connectivity(
-            new_forest.build_faces(), n_new, self.n_shards)
-        u_stacked = shard_array(u_new, bounds, conn.local_capacity)
+        from t8gpu_tpu.memory.store import bucket_capacity
+        from t8gpu_tpu.parallel.partition import partition_elements
+        bounds = partition_elements(n_new, self.n_shards)
+        CL = bucket_capacity(int((bounds[1:] - bounds[:-1]).max()))
+        u_stacked = shard_array(u_new, bounds, CL)
         self._install(new_forest, u_stacked=u_stacked)
         self._max_speed = None
 
