@@ -198,3 +198,23 @@ def test_subgrid_full_amr_loop():
             manager.forest.build_faces()["level_difference"]).max() <= 1
     np.testing.assert_allclose(solver.compute_integral(), m0, rtol=5e-4)
     assert np.isfinite(solver.conserved_state()).all()
+
+
+def test_uniform_subgrid_ext8_matches_plain():
+    """Subgrid<8,8> == plain solver at equal resolution (the larger block
+    is the recommended performance configuration, BENCHMARKS.md)."""
+    spec = SubgridSpec((8, 8))
+    forest = Forest.uniform(2, dim=2)
+    smesh = SubgridMesh.from_forest(forest, spec)
+    plain = uniform_mesh(2 + spec.log2_extent, dim=2, periodic=True)
+    perm = _cell_to_plain_perm(forest, spec, plain)
+
+    s_sub = SubgridCompressibleEulerSolver(
+        smesh, lambda c: kh_planar(c, dim=2))
+    s_plain = CompressibleEulerSolver(plain, lambda c: kh_planar(c, dim=2))
+    for _ in range(3):
+        s_sub.iterate(1e-3)
+        s_plain.iterate(1e-3)
+    np.testing.assert_allclose(s_sub.conserved_state().reshape(5, -1),
+                               s_plain.conserved_state()[:, perm],
+                               rtol=2e-4, atol=2e-5)
