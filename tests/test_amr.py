@@ -116,3 +116,20 @@ def test_solver_amr_cycle_conserves_mass():
     np.testing.assert_allclose(m1, m0, rtol=2e-4)
     # the shear layer must trigger some refinement
     assert max(n_hist) > n_hist[0]
+
+
+def test_solver_amr_cycle_3d():
+    """3D plain-element AMR cycle (k=8 families, octant remaps)."""
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=1.0)
+    manager = MeshManager(Forest.uniform(3, dim=3), amr)
+    solver = CompressibleEulerSolver(manager, lambda cc: kh_planar(cc, dim=3))
+    m0 = solver.compute_integral()
+    for _ in range(2):
+        dt = solver.compute_timestep()
+        for _ in range(3):
+            solver.iterate(dt)
+        solver.adapt()
+        assert np.abs(
+            manager.forest.build_faces()["level_difference"]).max() <= 1
+    np.testing.assert_allclose(solver.compute_integral(), m0, rtol=2e-4)
+    assert np.isfinite(solver.conserved_state()).all()

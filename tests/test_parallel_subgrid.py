@@ -87,3 +87,23 @@ def test_sharded_subgrid_iterate_many_matches_loop():
     s2.iterate_many(4, 1e-3)
     np.testing.assert_allclose(s1.conserved_state(), s2.conserved_state(),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_subgrid_3d_matches_single():
+    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4x4
+
+    forest = Forest.uniform(2, dim=3)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+
+    ic = lambda c: kh_planar(c, dim=3)
+    ref = SubgridCompressibleEulerSolver(
+        SubgridMesh.from_forest(forest, SUBGRID_4x4x4), ic)
+    sh = ShardedSubgridEulerSolver(forest, SUBGRID_4x4x4, ic)
+    dt = 1e-3
+    for _ in range(3):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=2e-5, atol=1e-6)
