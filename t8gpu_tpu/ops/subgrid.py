@@ -7,10 +7,11 @@ TPU-native re-derivations of the reference subgrid CUDA kernels
     shifted slices over the block axes (ref compute_inner_fluxes
     kernels.inl:335-662: one CUDA block per element with __shared__ staging;
     here a batched elementwise program XLA fuses with the RK stages).
-  * `outer_apply`         — mesh-face fluxes via the host-resolved flat
-    subface index maps (ref compute_outer_fluxes kernels.inl:664-911 with
-    its runtime anchor/stride/double_stride arithmetic + atomicAdd; here
-    gather -> flux -> deterministic scatter-add).
+  * `outer_apply`         — mesh-face fluxes via the slab-exchange scheme
+    (ref compute_outer_fluxes kernels.inl:664-911 with its runtime
+    anchor/stride/double_stride arithmetic + atomicAdd; here each element
+    side gathers neighbor layer slabs with ONE row-contiguous gather and
+    evaluates subfaces densely — no scatters, no per-cell gathers).
   * `boundary_apply`      — reflective walls (ref compute_boundary_fluxes
     kernels.inl:913-1107).
   * `h1_criteria`         — density H1-seminorm refinement criteria
