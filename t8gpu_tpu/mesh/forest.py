@@ -494,6 +494,8 @@ class Forest:
             n_elements=self.n_elements,
             b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
             element_capacity=element_capacity,
+            axis=f["axis"], sign=f["sign"],
+            b_axis=f["b_axis"], b_sign=f["b_sign"],
         )
 
 

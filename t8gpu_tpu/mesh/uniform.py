@@ -55,8 +55,8 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
     centers = (coords + 0.5) * h
     volumes = np.full(n, h**dim, dtype)
 
-    lefts, rights, normals, areas = [], [], [], []
-    b_elems, b_normals, b_areas = [], [], []
+    lefts, rights, normals, areas, axes_ = [], [], [], [], []
+    b_elems, b_normals, b_areas, b_axes, b_signs = [], [], [], [], []
     face_area = h ** (dim - 1)
 
     for axis in range(dim):
@@ -72,6 +72,7 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
             nrm[axis] = 1.0
             normals.append(nrm)
             areas.append(np.full(n, face_area, dtype))
+            axes_.append(np.full(n, axis, np.int8))
         else:
             inner = ~wrap
             nb_codes = morton_encode(nb[inner], dim)
@@ -81,6 +82,7 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
             nrm[axis] = 1.0
             normals.append(nrm)
             areas.append(np.full(inner.sum(), face_area, dtype))
+            axes_.append(np.full(inner.sum(), axis, np.int8))
             # two walls per axis
             for side, sel in ((1.0, wrap), (-1.0, coords[:, axis] == 0)):
                 b_elems.append(codes[sel])
@@ -88,6 +90,8 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
                 nrmb[axis] = side
                 b_normals.append(nrmb)
                 b_areas.append(np.full(sel.sum(), face_area, dtype))
+                b_axes.append(np.full(sel.sum(), axis, np.int8))
+                b_signs.append(np.full(sel.sum(), int(side), np.int8))
 
     conn = build_connectivity(
         left=np.concatenate(lefts).astype(np.int32),
@@ -99,6 +103,10 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
         b_normal=(np.concatenate(b_normals, axis=1) if b_elems else None),
         b_area=(np.concatenate(b_areas) if b_elems else None),
         dtype=dtype,
+        axis=np.concatenate(axes_),
+        sign=np.ones(sum(len(x) for x in axes_), np.int8),
+        b_axis=(np.concatenate(b_axes) if b_elems else None),
+        b_sign=(np.concatenate(b_signs) if b_elems else None),
     )
     return UniformMesh(dim=dim, level=level, periodic=periodic,
                        centers=centers.astype(dtype) * 1.0,

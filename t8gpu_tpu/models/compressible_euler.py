@@ -32,6 +32,12 @@ from t8gpu_tpu.ops.amr import refinement_criteria
 from t8gpu_tpu.ops.fluxes import flux_divergence
 from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
+# Quiescent state for padded element slots: keeps the per-cell fields
+# (1/rho, logs) finite without masking branches (same rationale as the
+# subgrid GUARD_STATE).  Padded slots never contribute to fluxes (their
+# incidence rows are sentinels) and are never read back.
+GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
+
 
 class VariableList(enum.IntEnum):
     """Conserved variables (ref examples/compressible_euler/solver.h:14-21)."""
@@ -131,7 +137,9 @@ class CompressibleEulerSolver:
         inv[:n] = 1.0 / np.asarray(mesh.volumes)
         self.inv_volume = jnp.asarray(inv)
         if u.shape[-1] != cap:
-            u = jnp.pad(u, [(0, 0), (0, cap - u.shape[-1])])
+            guard = jnp.broadcast_to(
+                jnp.asarray(GUARD_STATE)[:, None], (5, cap - u.shape[-1]))
+            u = jnp.concatenate([u, guard], axis=1)
         self.u = u
 
     # -- time stepping (ref solver.cu:75-175) --------------------------------
@@ -168,10 +176,16 @@ class CompressibleEulerSolver:
                 self.u, self.conn, gamma=self.config.gamma,
                 flux=self.config.flux, mode=self.accumulation)
             self._max_speed = speed
-        level = getattr(self.mesh, "max_level", None)
-        if level is None:
-            level = getattr(self.mesh, "level", self.amr.max_level)
-        return float(self.config.cfl * 0.5**level / float(self._max_speed))
+        # characteristic min cell size: meshes with anisotropic elements
+        # (shell prisms) provide cfl_h = 2*dim*min(V/sum A), tighter than
+        # the 0.5^level estimate used on Cartesian forests
+        h = getattr(self.mesh, "cfl_h", None)
+        if h is None:
+            level = getattr(self.mesh, "max_level", None)
+            if level is None:
+                level = getattr(self.mesh, "level", self.amr.max_level)
+            h = 0.5 ** level
+        return float(self.config.cfl * h / float(self._max_speed))
 
     # -- AMR cycle (ref solver.cu:243-277) -------------------------------------
 

@@ -277,3 +277,262 @@ FLUXES = {
 def numerical_flux(u_l, u_r, gamma: float = 1.4, flux: str = "kepes"):
     """Dispatch on the flux family (static under jit)."""
     return FLUXES[flux](u_l, u_r, gamma)
+
+
+# ---------------------------------------------------------------------------
+# Precomputed per-cell fields (the TPU hot-path formulation).
+#
+# The straightforward per-face evaluation above recomputes every
+# transcendental per face and per side: kepes_es_flux costs 6 logs + 1 sqrt
+# per face (2 ln_mean logs + 2x2 entropy-variable logs), and each cell is
+# touched by ~2*dim faces per flux evaluation.  Measured on v5e the KEPES
+# stencil is VPU-transcendental-bound (BENCHMARKS.md), so the rebuild
+# computes all logarithm- and division-heavy per-cell quantities ONCE per
+# cell per flux evaluation and evaluates faces with pure arithmetic (+ one
+# sqrt for a_hat).  The ln_mean log difference log(a_r/a_l) becomes
+# log(a_r) - log(a_l) of the precomputed logs, exact in the regime where
+# the exact branch is selected (|xi-1| > ~1e-2) and bypassed by the series
+# branch elsewhere.
+#
+# Fields are stacked as rows of ONE array [C, ...] so all the slab/gather
+# machinery built for [5, ...] states applies unchanged; rows 1..3 are the
+# velocity vector and rotate exactly like momentum.
+#
+# Row layouts (velocity always rows 1..3, rotation-covariant; all other
+# rows are rotation-invariant scalars):
+#   kepes: [rho, vx, vy, vz, p, rho/p, log(rho), log(p), vent0, ke]
+#   hll:   [rho, vx, vy, vz, p, h, c, sqrt(rho), ke]
+# with ke = |v|^2/2, vent0 the first entropy variable (kernels.cu:236-262),
+# h total specific enthalpy, c the sound speed.
+# ---------------------------------------------------------------------------
+
+N_FIELDS = {"kepes": 10, "hll": 9}
+
+# Optionally force one materialization of the per-cell fields per flux
+# evaluation (prevents XLA from re-fusing the logs into every face
+# consumer).  Measured on v5e (BENCHMARKS.md): letting XLA fuse freely is
+# ~10% faster on the flagship step (17.2 vs 19.1 ms) — the stencil is
+# HBM-bound enough that re-fused transcendentals beat extra
+# materializations — so the barrier is OFF by default.  Process-level
+# switch, read at trace time.
+FIELDS_BARRIER = False
+
+
+def maybe_barrier(q):
+    import jax
+
+    return jax.lax.optimization_barrier(q) if FIELDS_BARRIER else q
+
+
+def cell_fields_tuple(u, gamma: float, flux: str = "kepes") -> tuple:
+    """Per-cell face-flux ingredients as a TUPLE of row arrays (each shaped
+    like u[0]).  Computed once per flux evaluation; every per-face quantity
+    then derives from these rows with arithmetic only (kepes_fields_flux).
+
+    The tuple-of-rows representation (rather than one stacked [C, ...]
+    array) matters on TPU: face-frame "rotation" is a pure tuple
+    permutation (zero copies), and XLA materializes each row buffer once
+    behind the optimization barrier instead of copying a stacked block per
+    axis sweep.  `u` may be a [5, ...] array or a 5-tuple of rows.
+    """
+    kappa_m1 = gamma - 1.0
+    rho, m1, m2, m3, e = u
+    inv_rho = 1.0 / rho
+    v1, v2, v3 = m1 * inv_rho, m2 * inv_rho, m3 * inv_rho
+    ke = 0.5 * (v1 * v1 + v2 * v2 + v3 * v3)
+    p = kappa_m1 * (e - rho * ke)
+    if flux == "kepes":
+        rho_p = rho / p
+        log_rho = jnp.log(rho)
+        log_p = jnp.log(p)
+        s = log_p - gamma * log_rho
+        vent0 = (gamma - s) / kappa_m1 - rho_p * ke
+        return (rho, v1, v2, v3, p, rho_p, log_rho, log_p, vent0, ke)
+    elif flux == "hll":
+        h = (e + p) * inv_rho
+        c = jnp.sqrt(kappa_m1 * (h - ke))
+        return (rho, v1, v2, v3, p, h, c, jnp.sqrt(rho), ke)
+    raise ValueError(f"unknown flux family: {flux}")
+
+
+def cell_fields(u: jnp.ndarray, gamma: float, flux: str = "kepes") -> jnp.ndarray:
+    """cell_fields_tuple stacked into one [C, ...] array (the plain-element
+    path gathers whole field columns per face, which wants one operand)."""
+    return jnp.stack(cell_fields_tuple(u, gamma, flux))
+
+
+def _ln_mean_d(a_l, a_r, dlog):
+    """ln_mean from precomputed log difference dlog = log(a_r) - log(a_l).
+
+    Same series/exact split as ln_mean (ref kernels.cu:24-36); the exact
+    branch divides by the precomputed log difference instead of evaluating
+    a per-face log.
+    """
+    xi = a_r / a_l
+    v = (xi * (xi - 2.0) + 1.0) / (xi * (xi + 2.0) + 1.0)
+    series = (a_l + a_r) * 52.5 / (105.0 + v * (35.0 + v * (21.0 + v * 15.0)))
+    exact = (a_r - a_l) / jnp.where(v < 1.0e-4, 1.0, dlog)
+    return jnp.where(v < 1.0e-4, series, exact)
+
+
+def kepes_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
+    """Entropy-stable KEPES flux from precomputed cell fields (face frame:
+    row 1 is the normal velocity).  Matches kepes_es_flux to fp tolerance
+    (the exact-branch ln_mean divides a difference of precomputed logs).
+    Returns (flux [5, ...], speed [...])."""
+    kappa_m1 = gamma - 1.0
+    rho_l, u_l, v_l, w_l, p_l, rhop_l, lrho_l, lp_l, vent0_l, ke_l = q_l
+    rho_r, u_r, v_r, w_r, p_r, rhop_r, lrho_r, lp_r, vent0_r, ke_r = q_r
+
+    beta_l = 0.5 * rhop_l
+    beta_r = 0.5 * rhop_r
+    rho_mean = 0.5 * (rho_l + rho_r)
+    rho_hat = _ln_mean_d(rho_l, rho_r, lrho_r - lrho_l)
+    beta_mean = 0.5 * (beta_l + beta_r)
+    beta_hat = _ln_mean_d(beta_l, beta_r,
+                          (lrho_r - lp_r) - (lrho_l - lp_l))
+
+    u_hat = 0.5 * (u_l + u_r)
+    v_hat = 0.5 * (v_l + v_r)
+    w_hat = 0.5 * (w_l + w_r)
+    a_hat = jnp.sqrt(gamma * 0.5 * (p_l + p_r) / rho_hat)
+    inv_bh = 1.0 / beta_hat
+    h_hat = (gamma / (2.0 * kappa_m1)) * inv_bh + 0.5 * (
+        u_l * u_r + v_l * v_r + w_l * w_r)
+    p1_hat = 0.5 * rho_mean / beta_mean
+    vel2_m = ke_l + ke_r
+
+    f0 = rho_hat * u_hat
+    f1 = f0 * u_hat + p1_hat
+    f2 = f0 * v_hat
+    f3 = f0 * w_hat
+    f4 = (f0 * 0.5 * (inv_bh / kappa_m1 - vel2_m)
+          + u_hat * f1 + v_hat * f2 + w_hat * f3)
+
+    # Dissipation (ref kernels.cu:95-133): same algebra as kepes_es_flux
+    # with the entropy-variable jump assembled from per-cell rows.
+    d0 = 0.5 * jnp.abs(u_hat - a_hat) * rho_hat / gamma
+    d1 = jnp.abs(u_hat) * (kappa_m1 / gamma) * rho_hat
+    d2 = jnp.abs(u_hat) * p1_hat
+    d4 = 0.5 * jnp.abs(u_hat + a_hat) * rho_hat / gamma
+
+    dv0 = vent0_r - vent0_l
+    dv1 = rhop_r * u_r - rhop_l * u_l
+    dv2 = rhop_r * v_r - rhop_l * v_l
+    dv3 = rhop_r * w_r - rhop_l * w_l
+    dv4 = -(rhop_r - rhop_l)
+
+    ek = 0.5 * (u_hat * u_hat + v_hat * v_hat + w_hat * w_hat)
+    w0 = dv0 + (u_hat - a_hat) * dv1 + v_hat * dv2 + w_hat * dv3 + (h_hat - u_hat * a_hat) * dv4
+    w1 = dv0 + u_hat * dv1 + v_hat * dv2 + w_hat * dv3 + ek * dv4
+    w2 = dv2 + v_hat * dv4
+    w3 = dv3 + w_hat * dv4
+    w4 = dv0 + (u_hat + a_hat) * dv1 + v_hat * dv2 + w_hat * dv3 + (h_hat + u_hat * a_hat) * dv4
+
+    g0, g1, g2, g3, g4 = d0 * w0, d1 * w1, d2 * w2, d2 * w3, d4 * w4
+
+    diss0 = g0 + g1 + g4
+    diss1 = (u_hat - a_hat) * g0 + u_hat * g1 + (u_hat + a_hat) * g4
+    diss2 = v_hat * (g0 + g1 + g4) + g2
+    diss3 = w_hat * (g0 + g1 + g4) + g3
+    diss4 = ((h_hat - u_hat * a_hat) * g0 + ek * g1 + v_hat * g2
+             + w_hat * g3 + (h_hat + u_hat * a_hat) * g4)
+
+    flux = jnp.stack([f0 - 0.5 * diss0, f1 - 0.5 * diss1, f2 - 0.5 * diss2,
+                      f3 - 0.5 * diss3, f4 - 0.5 * diss4])
+    speed = jnp.abs(u_hat) + a_hat
+    return flux, speed
+
+
+def hll_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
+    """Roe-speed HLL flux from precomputed cell fields (face frame).
+    Matches hll_flux; the per-cell sqrt(rho)/c/h are precomputed, leaving
+    one sqrt (c_roe) per face.  Returns (flux [5, ...], speed [...])."""
+    kappa_m1 = gamma - 1.0
+    rho_l, u_l, v_l, w_l, p_l, h_l, c_l, sq_l, ke_l = q_l
+    rho_r, u_r, v_r, w_r, p_r, h_r, c_r, sq_r, ke_r = q_r
+
+    inv_w = 1.0 / (sq_l + sq_r)
+    v1 = (sq_l * u_l + sq_r * u_r) * inv_w
+    v2 = (sq_l * v_l + sq_r * v_r) * inv_w
+    v3 = (sq_l * w_l + sq_r * w_r) * inv_w
+    h_roe = (sq_l * h_l + sq_r * h_r) * inv_w
+    c_roe = jnp.sqrt(kappa_m1 * (h_roe - 0.5 * (v1 * v1 + v2 * v2 + v3 * v3)))
+
+    s_l = jnp.minimum(v1 - c_roe, u_l - c_l)
+    s_r = jnp.maximum(v1 + c_roe, u_r + c_r)
+
+    m_l = rho_l * u_l
+    m_r = rho_r * u_r
+    e_l = rho_l * h_l - p_l
+    e_r = rho_r * h_r - p_r
+    f_l = jnp.stack([m_l, m_l * u_l + p_l, m_l * v_l, m_l * w_l, m_l * h_l])
+    f_r = jnp.stack([m_r, m_r * u_r + p_r, m_r * v_r, m_r * w_r, m_r * h_r])
+    du = jnp.stack([rho_r - rho_l, m_r - m_l, rho_r * v_r - rho_l * v_l,
+                    rho_r * w_r - rho_l * w_l, e_r - e_l])
+
+    s_l_c = jnp.minimum(s_l, 0.0)
+    s_r_c = jnp.maximum(s_r, 0.0)
+    flux = ((s_r_c * f_l - s_l_c * f_r) + (s_r_c * s_l_c) * du) / (s_r_c - s_l_c)
+    speed = jnp.maximum(jnp.abs(s_l), jnp.abs(s_r))
+    return flux, speed
+
+
+FIELDS_FLUXES = {
+    "kepes": kepes_fields_flux,
+    "hll": hll_fields_flux,
+}
+
+
+def fields_flux(q_l, q_r, gamma: float = 1.4, flux: str = "kepes"):
+    """Dispatch the fields-based flux (static under jit)."""
+    return FIELDS_FLUXES[flux](q_l, q_r, gamma)
+
+
+def fields_mirror(q):
+    """Reflective-wall ghost fields: negate the normal velocity (row 1).
+    All other rows (p, logs, vent0, ke, h, c, ...) depend only on rho, p,
+    |v|^2 and are mirror-invariant (ref reflect_state, kernels.cu:371-375).
+    Accepts a stacked [C, ...] array or a tuple of rows."""
+    if isinstance(q, tuple):
+        return (q[0], -q[1]) + q[2:]
+    return q.at[1].multiply(-1.0)
+
+
+def fields_rotate(q: jnp.ndarray, n, t1, t2) -> jnp.ndarray:
+    """Rotate the velocity rows 1..3 into a general face basis (n, t1, t2);
+    scalar rows pass through (general-normal path, ref kernels.cu:174-193)."""
+    vn = q[1] * n[0] + q[2] * n[1] + q[3] * n[2]
+    vt1 = q[1] * t1[0] + q[2] * t1[1] + q[3] * t1[2]
+    vt2 = q[1] * t2[0] + q[2] * t2[1] + q[3] * t2[2]
+    return jnp.concatenate(
+        [q[:1], vn[None], vt1[None], vt2[None], q[4:]], axis=0)
+
+
+# Axis-aligned face frames are static row permutations — no per-face basis
+# math.  State rows [rho, m_x, m_y, m_z, e] -> face frame
+# [rho, m_normal, m_t1, m_t2, e] for a +axis normal, and back; velocity
+# rows of a fields array permute identically (rows 1..3).
+AXIS_ROTATE = {0: (0, 1, 2, 3, 4), 1: (0, 2, 1, 3, 4), 2: (0, 3, 1, 2, 4)}
+AXIS_UNROTATE = {0: (0, 1, 2, 3, 4), 1: (0, 2, 1, 3, 4), 2: (0, 2, 3, 1, 4)}
+
+
+def fields_axis_rotate(q, axis: int):
+    """Rotate cell fields into the +axis face frame: only the velocity
+    rows 1..3 permute (all other field rows are scalars).  On a tuple of
+    rows this is a free reordering; on a stacked [C, ...] array it
+    materializes a permuted copy."""
+    if axis == 0:
+        return q
+    perm = AXIS_ROTATE[axis]
+    if isinstance(q, tuple):
+        return (q[0], q[perm[1]], q[perm[2]], q[perm[3]]) + q[4:]
+    rows = [q[0], q[perm[1]], q[perm[2]], q[perm[3]]]
+    return jnp.concatenate([jnp.stack(rows), q[4:]], axis=0)
+
+
+def flux_axis_unrotate(f: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Rotate a 5-row flux back from the +axis face frame."""
+    if axis == 0:
+        return f
+    return jnp.stack([f[i] for i in AXIS_UNROTATE[axis]])

@@ -1,10 +1,23 @@
-"""Face-flux evaluation and per-element accumulation.
+"""Face-flux evaluation and per-element accumulation (plain elements).
 
 TPU-native equivalent of the reference per-face CUDA kernels
 (`kepes_compute_fluxes` examples/compressible_euler/kernels.cu:135-309,
 `reflective_boundary_condition` kernels.cu:311-469): gather left/right
 states, rotate into the face frame, evaluate the numerical flux, rotate
 back, scale by face area, and accumulate signed contributions per element.
+
+TPU hot-path structure (round 2):
+  * all per-cell transcendental work (logs, entropy variables, 1/rho) is
+    precomputed ONCE per element per flux evaluation (ops/euler.cell_fields)
+    behind an optimization barrier; faces consume the fields with pure
+    arithmetic + one sqrt (ops/euler.kepes_fields_flux);
+  * on axis-aligned Cartesian meshes (conn.axis_ranges set) faces are
+    grouped by normal axis, so the face-frame rotation is a STATIC row
+    permutation per group — no per-face basis construction and no
+    rotate/inverse-rotate matrix products (the reference pays the general
+    basis on every face, kernels.cu:174-193);
+  * general meshes (e.g. the prismed spherical shell) keep the per-face
+    orthonormal-basis path.
 
 Accumulation is deterministic (no atomics): either a CSR gather over the
 host-built incidence table or an XLA segment-sum — see
@@ -21,44 +34,86 @@ from t8gpu_tpu.ops import euler
 
 
 def gather_cols(u: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Gather columns of [5, N] along the minor axis -> [5, *idx.shape].
+    """Gather columns of [C, N] along the minor axis -> [C, *idx.shape].
 
     TPU-critical: XLA gathers along the minor (lane) axis fall off a
     ~30x-slower elementwise path; transposing to row-major first makes
     every gathered slice contiguous (same finding as
     ops/subgrid._gather_layers)."""
-    g = u.T[idx]                        # [*idx.shape, 5]
+    g = u.T[idx]                        # [*idx.shape, C]
     return jnp.moveaxis(g, -1, 0)
 
 
 def interior_face_fluxes(u: jnp.ndarray, conn: FaceConnectivity,
                          gamma: float = 1.4, flux: str = "kepes"):
-    """Area-scaled interior face fluxes [5, Fcap] + per-face speeds [Fcap].
+    """Area-scaled interior face fluxes [5, Fcap] + per-face speeds [Fcap]
+    from an element state batch [5, capacity].  Mirrors kernels.cu:135-309."""
+    return interior_face_fluxes_fields(
+        euler.cell_fields(u, gamma, flux), conn, gamma, flux)
 
-    `u` is the element state [5, capacity].  Mirrors kernels.cu:135-309.
-    """
-    u_l = gather_cols(u, conn.left)
-    u_r = gather_cols(u, conn.right)
-    basis = euler.face_basis(conn.normal)
-    f_rot, speed = euler.numerical_flux(
-        euler.rotate_state(u_l, *basis), euler.rotate_state(u_r, *basis),
-        gamma=gamma, flux=flux)
-    f = euler.inverse_rotate_state(f_rot, *basis) * conn.area
+
+def interior_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
+                                gamma: float = 1.4, flux: str = "kepes"):
+    """interior_face_fluxes from a precomputed cell-fields array
+    [C, capacity] (ops/euler.cell_fields) — the hot-path entry shared with
+    the boundary stage through flux_divergence."""
+    q_l = gather_cols(q, conn.left)
+    q_r = gather_cols(q, conn.right)
+    if conn.axis_ranges is not None:
+        fs, sps = [], []
+        for a, s0, s1 in conn.axis_ranges:
+            f_rot, sp = euler.fields_flux(
+                euler.fields_axis_rotate(q_l[:, s0:s1], a),
+                euler.fields_axis_rotate(q_r[:, s0:s1], a),
+                gamma=gamma, flux=flux)
+            fs.append(euler.flux_axis_unrotate(f_rot, a))
+            sps.append(sp)
+        f = jnp.concatenate(fs, axis=1) * conn.area
+        speed = jnp.concatenate(sps)
+    else:
+        basis = euler.face_basis(conn.normal)
+        f_rot, speed = euler.fields_flux(
+            euler.fields_rotate(q_l, *basis),
+            euler.fields_rotate(q_r, *basis), gamma=gamma, flux=flux)
+        f = euler.inverse_rotate_state(f_rot, *basis) * conn.area
     return f, speed * (conn.area > 0)
 
 
 def boundary_face_fluxes(u: jnp.ndarray, conn: FaceConnectivity,
                          gamma: float = 1.4, flux: str = "kepes"):
-    """Reflective-wall fluxes [5, Fbcap] (ref kernels.cu:311-469): the ghost
-    state is the owner's state with normal momentum negated."""
+    """Reflective-wall fluxes [5, Fbcap] (ref kernels.cu:311-469) from an
+    element state batch: the ghost state is the owner's state with normal
+    momentum negated."""
+    return boundary_face_fluxes_fields(
+        euler.cell_fields(u, gamma, flux), conn, gamma, flux)
+
+
+def boundary_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
+                                gamma: float = 1.4, flux: str = "kepes"):
+    """boundary_face_fluxes from a precomputed cell-fields array."""
     if conn.boundary_capacity == 0:
-        return jnp.zeros((5, 0), u.dtype), jnp.zeros((0,), u.dtype)
-    u_in = gather_cols(u, conn.b_elem)
-    basis = euler.face_basis(conn.b_normal)
-    u_rot = euler.rotate_state(u_in, *basis)
-    u_ghost = u_rot.at[1].multiply(-1.0)
-    f_rot, speed = euler.numerical_flux(u_rot, u_ghost, gamma=gamma, flux=flux)
-    f = euler.inverse_rotate_state(f_rot, *basis) * conn.b_area
+        return jnp.zeros((5, 0), q.dtype), jnp.zeros((0,), q.dtype)
+    q_in = gather_cols(q, conn.b_elem)
+    if conn.b_axis_ranges is not None:
+        fs, sps = [], []
+        for a, sgn, s0, s1 in conn.b_axis_ranges:
+            q_own = euler.fields_axis_rotate(q_in[:, s0:s1], a)
+            q_ghost = euler.fields_mirror(q_own)
+            # Outward normal sgn*e_a: F(own, ghost, sgn*e_a) computed in the
+            # +a frame via F(l, r, n) = -F(r, l, -n).
+            pair = (q_own, q_ghost) if sgn > 0 else (q_ghost, q_own)
+            f_rot, sp = euler.fields_flux(*pair, gamma=gamma, flux=flux)
+            f_a = euler.flux_axis_unrotate(f_rot, a)
+            fs.append(f_a if sgn > 0 else -f_a)
+            sps.append(sp)
+        f = jnp.concatenate(fs, axis=1) * conn.b_area
+        speed = jnp.concatenate(sps)
+    else:
+        basis = euler.face_basis(conn.b_normal)
+        q_rot = euler.fields_rotate(q_in, *basis)
+        f_rot, speed = euler.fields_flux(
+            q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
+        f = euler.inverse_rotate_state(f_rot, *basis) * conn.b_area
     return f, speed * (conn.b_area > 0)
 
 
@@ -96,8 +151,9 @@ def flux_divergence(u: jnp.ndarray, conn: FaceConnectivity,
 
     Returns (accum [5, capacity], max_speed scalar).
     """
-    f, speed = interior_face_fluxes(u, conn, gamma, flux)
-    fb, speed_b = boundary_face_fluxes(u, conn, gamma, flux)
+    q = euler.maybe_barrier(euler.cell_fields(u, gamma, flux))
+    f, speed = interior_face_fluxes_fields(q, conn, gamma, flux)
+    fb, speed_b = boundary_face_fluxes_fields(q, conn, gamma, flux)
     acc = accumulate(f, fb, conn, mode)
     max_speed = jnp.maximum(
         speed.max() if speed.size else 0.0,

@@ -46,11 +46,12 @@ import jax.numpy as jnp
 
 from t8gpu_tpu.memory.subgrid import SubgridSpec
 from t8gpu_tpu.mesh.subgrid import SubgridConnectivity
-from t8gpu_tpu.ops.euler import numerical_flux
+from t8gpu_tpu.ops.euler import (AXIS_ROTATE, cell_fields, fields_axis_rotate,
+                                 fields_flux, numerical_flux)
 
 # momentum-row permutations: state rows [rho, m_x, m_y, m_z, e] -> face frame
 # [rho, m_normal, m_t1, m_t2, e] for an +axis normal, and back.
-_ROTATE = {0: (0, 1, 2, 3, 4), 1: (0, 2, 1, 3, 4), 2: (0, 3, 1, 2, 4)}
+_ROTATE = AXIS_ROTATE
 _UNROTATE = {0: (0, 1, 2, 3, 4), 1: (0, 2, 1, 3, 4), 2: (0, 2, 3, 1, 4)}
 
 
@@ -75,28 +76,42 @@ def _guard_state(dtype):
 def inner_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                      spec: SubgridSpec, gamma: float, flux: str):
     """Interior cell-face flux divergence: [5, *ext, Ecap] -> same shape,
-    plus the max interior wave speed.
+    plus the max interior wave speed (standalone u-based entry; the fused
+    path in flux_divergence shares precomputed fields across stages)."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+    q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
+    return inner_divergence_fields(q, volumes, spec, gamma, flux)
+
+
+def inner_divergence_fields(q: tuple, volumes: jnp.ndarray,
+                            spec: SubgridSpec, gamma: float, flux: str):
+    """Interior cell-face flux divergence from precomputed cell fields
+    (tuple of C rows, each [*ext, Ecap]) -> (D [5, *ext, Ecap], max
+    interior wave speed).
 
     For each axis, KEPES/HLL fluxes on the ext-1 interior interfaces are
     computed from shifted slices and accumulated as D[i] += f[i-1] - f[i]
     (cell surface = (V^(1/dim)/ext)^(dim-1), ref kernels.inl:351-355).
-    The E-minor layout keeps every op full-lane-width."""
+    The E-minor layout keeps every op full-lane-width; the tuple fields
+    formulation removes all per-face logs (ops/euler.cell_fields_tuple)
+    and makes the face-frame rotation a free row permutation."""
     dim = spec.dim
     ext = spec.extent
     h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / ext
     surface = (h_cell ** (dim - 1)) * (volumes > 0)         # [Ecap], minor
 
-    D = jnp.zeros_like(u)
-    speed = jnp.zeros((), u.dtype)
+    D = jnp.zeros((5,) + q[0].shape, q[0].dtype)
+    speed = jnp.zeros((), q[0].dtype)
     for a in range(dim):
         ax = 1 + a
-        u_l = jax.lax.slice_in_dim(u, 0, ext - 1, axis=ax)
-        u_r = jax.lax.slice_in_dim(u, 1, ext, axis=ax)
-        f, sp = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
-                               gamma=gamma, flux=flux)
+        q_rot = fields_axis_rotate(q, a)
+        q_l = tuple(jax.lax.slice_in_dim(r, 0, ext - 1, axis=a)
+                    for r in q_rot)
+        q_r = tuple(jax.lax.slice_in_dim(r, 1, ext, axis=a) for r in q_rot)
+        f, sp = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
         f = axis_unrotate(f, a) * surface
-        pad_lo = [(0, 0)] * u.ndim
-        pad_hi = [(0, 0)] * u.ndim
+        pad_lo = [(0, 0)] * f.ndim
+        pad_hi = [(0, 0)] * f.ndim
         pad_lo[ax] = (1, 0)   # f[i-1] lands on cell i
         pad_hi[ax] = (0, 1)   # f[i]   leaves  cell i
         D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
@@ -143,16 +158,17 @@ def _gather_layers(opp_layer: jnp.ndarray, nbr: jnp.ndarray) -> jnp.ndarray:
 
 
 def _fine_interleave(nb: jnp.ndarray, spec: SubgridSpec) -> jnp.ndarray:
-    """Finer-neighbor layers [5, *t_ext, E, M] -> virtual fine tiling
-    [5, *(2 ext), E], quadrant-major per tangent axis (tf = q*ext + c)."""
+    """Finer-neighbor layers [C, *t_ext, E, M] -> virtual fine tiling
+    [C, *(2 ext), E], quadrant-major per tangent axis (tf = q*ext + c)."""
     ext = spec.extent
+    C = nb.shape[0]
     if spec.dim - 1 == 1:
-        q = nb.reshape(nb.shape[:-1] + (2,))          # [5, t0, E, b0]
-        fine = jnp.moveaxis(q, -1, 1)                 # [5, b0, t0, E]
-        return fine.reshape(5, 2 * ext, -1)
-    q = nb.reshape(nb.shape[:-1] + (2, 2))            # [5, t0, t1, E, b1, b0]
-    fine = jnp.moveaxis(q, (-1, -2), (1, 3))          # [5, b0, t0, b1, t1, E]
-    return fine.reshape(5, 2 * ext, 2 * ext, -1)
+        q = nb.reshape(nb.shape[:-1] + (2,))          # [C, t0, E, b0]
+        fine = jnp.moveaxis(q, -1, 1)                 # [C, b0, t0, E]
+        return fine.reshape(C, 2 * ext, -1)
+    q = nb.reshape(nb.shape[:-1] + (2, 2))            # [C, t0, t1, E, b1, b0]
+    fine = jnp.moveaxis(q, (-1, -2), (1, 3))          # [C, b0, t0, b1, t1, E]
+    return fine.reshape(C, 2 * ext, 2 * ext, -1)
 
 
 def _coarse_window(base: jnp.ndarray, bits: jnp.ndarray,
@@ -181,7 +197,7 @@ def _pool2(f: jnp.ndarray, n_t: int) -> jnp.ndarray:
     return f
 
 
-def outer_apply(D: jnp.ndarray, u: jnp.ndarray,
+def outer_apply(D: jnp.ndarray, q: tuple,
                 conn: SubgridConnectivity, spec: SubgridSpec,
                 volumes: jnp.ndarray, gamma: float, flux: str):
     """Add mesh-face fluxes into the block divergence [5, *ext, Ecap] via
@@ -190,6 +206,14 @@ def outer_apply(D: jnp.ndarray, u: jnp.ndarray,
     subfaces densely, and pad-add into the boundary layer.  No scatters,
     no per-cell gathers — the TPU replacement for the reference's per-face
     kernel + atomicAdd (kernels.inl:664-911).
+
+    `q` is the precomputed cell-fields tuple (C rows of [*ext, Ecap],
+    ops/euler.cell_fields_tuple) shared with the inner stencil; only the
+    boundary-layer slabs are stacked for the gather.  The 2:1
+    interpolation steps (_coarse_window half-window select + replicate,
+    _fine_interleave quadrant reorder) are pure cell selections — no
+    arithmetic on states — so applying them to precomputed fields is
+    exact.
 
     Two passes per side: pass 1 at MY layer resolution covers equal and
     coarser neighbors exactly; pass 2 at virtual fine (2x) resolution
@@ -203,27 +227,29 @@ def outer_apply(D: jnp.ndarray, u: jnp.ndarray,
     h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
     area_t = (h_e / ext) ** n_t                          # [E] physical cell face
     area_v = area_t / (2 ** n_t)                         # virtual fine subface
-    speed = jnp.zeros((), u.dtype)
+    speed = jnp.zeros((), q[0].dtype)
 
     for a in range(dim):
+        q_rot = fields_axis_rotate(q, a)                 # tuple: free
         for s_i, sign in ((0, 1), (1, -1)):
             k = 2 * a + s_i
             nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
                                     conn.bits[k], conn.mask[k])
             hi = sign > 0
-            my_layer = jax.lax.index_in_dim(
-                u, ext - 1 if hi else 0, axis=1 + a, keepdims=False)
-            opp_layer = jax.lax.index_in_dim(
-                u, 0 if hi else ext - 1, axis=1 + a, keepdims=False)
-            nb = _gather_layers(opp_layer, nbr)          # [5, *t_ext, E, M]
+            my_layer = jnp.stack([
+                jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
+                                     keepdims=False) for r in q_rot])
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in q_rot])
+            nb = _gather_layers(opp_layer, nbr)          # [C, *t_ext, E, M]
             base = nb[..., 0]
 
             # ---- pass 1: my resolution (equal + coarser neighbors) -------
             r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
             other = jnp.where(r < 0, _coarse_window(base, bits, spec), base)
-            u_l, u_r = (my_layer, other) if hi else (other, my_layer)
-            f, sp = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
-                                   gamma=gamma, flux=flux)
+            q_l, q_r = (my_layer, other) if hi else (other, my_layer)
+            f, sp = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
             w1 = mask * area_t * (rel <= 0)
             f = axis_unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
             contrib = -f if hi else f
@@ -232,12 +258,10 @@ def outer_apply(D: jnp.ndarray, u: jnp.ndarray,
 
             # ---- pass 2: virtual fine resolution (finer neighbors) -------
             if conn.has_fine[k]:
-                fine = _fine_interleave(nb, spec)        # [5, *(2ext), E]
+                fine = _fine_interleave(nb, spec)        # [C, *(2ext), E]
                 mine = _upsample2(my_layer, t_axes)
-                u_l, u_r = (mine, fine) if hi else (fine, mine)
-                f2, sp2 = numerical_flux(axis_rotate(u_l, a),
-                                         axis_rotate(u_r, a),
-                                         gamma=gamma, flux=flux)
+                q_l, q_r = (mine, fine) if hi else (fine, mine)
+                f2, sp2 = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
                 w2 = mask * area_v * (rel > 0)
                 f2 = (axis_unrotate(f2, a)
                       * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
@@ -251,20 +275,23 @@ def outer_apply(D: jnp.ndarray, u: jnp.ndarray,
     return D, speed
 
 
-def boundary_apply(D: jnp.ndarray, u_flat: jnp.ndarray,
+def boundary_apply(D: jnp.ndarray, q_flat: tuple,
                    conn: SubgridConnectivity, spec: SubgridSpec,
                    gamma: float, flux: str):
     """Reflective-wall fluxes (mirror ghost: negated normal momentum,
-    ref kernels.inl:913-1107) added into the block divergence, gather-based."""
-    speed = jnp.zeros((), u_flat.dtype)
+    ref kernels.inl:913-1107) added into the block divergence, gather-based.
+    q_flat: precomputed cell-fields tuple, rows flattened to [cells] — the
+    mirror ghost only negates the normal velocity row (fields_mirror)."""
+    from t8gpu_tpu.ops.euler import fields_mirror
+    speed = jnp.zeros((), q_flat[0].dtype)
     for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
                                         conn.b_area, conn.b_recv):
-        u_own = axis_rotate(u_flat[:, bc], axis)
-        u_ghost = u_own.at[1].multiply(-1.0)
+        q_own = fields_axis_rotate(tuple(r[bc] for r in q_flat), axis)
+        q_ghost = fields_mirror(q_own)
         if sign > 0:   # outward normal +axis: owner is the left state
-            f, sp = numerical_flux(u_own, u_ghost, gamma=gamma, flux=flux)
+            f, sp = fields_flux(q_own, q_ghost, gamma=gamma, flux=flux)
         else:          # outward normal -axis: in the +axis frame the owner
-            f, sp = numerical_flux(u_ghost, u_own, gamma=gamma, flux=flux)
+            f, sp = fields_flux(q_ghost, q_own, gamma=gamma, flux=flux)
         f = axis_unrotate(f, axis) * ar
         f_pad = jnp.concatenate([f, jnp.zeros((5, 1), f.dtype)], axis=1)
         c = f_pad[:, br]
@@ -282,16 +309,24 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     """Full surface-flux divergence for the subgrid scheme:
     inner + outer + boundary.  u: [5, *ext, Ecap].  Returns (D, max_speed).
 
+    All three stages share ONE per-cell fields computation
+    (ops/euler.cell_fields_tuple) behind an optimization barrier, so the
+    transcendental-heavy per-cell work runs exactly once per evaluation
+    instead of being refused into every face consumer by XLA.
+
     use_pallas selects the hand-written Pallas inner-flux kernel
     (ops/pallas_kernels.py) instead of the XLA-fused stencil."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+    q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
     if use_pallas:
         from t8gpu_tpu.ops.pallas_kernels import inner_divergence_pallas
         D, sp_i = inner_divergence_pallas(u, volumes, spec, gamma, flux)
     else:
-        D, sp_i = inner_divergence(u, volumes, spec, gamma, flux)
-    D, sp_o = outer_apply(D, u, conn, spec, volumes, gamma, flux)
+        D, sp_i = inner_divergence_fields(q, volumes, spec, gamma, flux)
+    D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux)
     if conn.b_groups:
-        D, sp_b = boundary_apply(D, u.reshape(5, -1), conn, spec, gamma, flux)
+        D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q), conn,
+                                 spec, gamma, flux)
         sp_o = jnp.maximum(sp_o, sp_b)
     return D, jnp.maximum(sp_i, sp_o)
 
@@ -310,6 +345,61 @@ def h1_criteria(u: jnp.ndarray, volumes: jnp.ndarray,
         d = jnp.diff(rho, axis=a)
         s = s + (d * d).sum(axis=tuple(range(dim)))
     return s * h_cell / jnp.where(volumes > 0, volumes, 1.0) * (volumes > 0)
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "capacity"))
+def apply_subgrid_remap_gathered(u: jnp.ndarray, src: jnp.ndarray,
+                                 refined: jnp.ndarray, child_id: jnp.ndarray,
+                                 coarsened: jnp.ndarray, fam: jnp.ndarray,
+                                 spec: SubgridSpec, capacity: int) -> jnp.ndarray:
+    """apply_subgrid_remap with EXPLICIT family positions: `fam` [capacity,
+    2^dim] holds the source position of each z-ordered child for coarsen
+    rows (fam[:, 0] == src elsewhere).  Needed when the element axis is a
+    padded-global sharded axis where a family's members are not
+    necessarily contiguous (the distributed adapt path) — and usable as a
+    global device gather whose cross-shard movement XLA lowers to ICI
+    collectives."""
+    dim = spec.dim
+    ext = spec.extent
+    half = ext // 2
+    cap_old = u.shape[-1]
+
+    cells = [jnp.arange(ext, dtype=jnp.int32) for _ in range(dim)]
+
+    def bcast_cell(c, a):
+        shape = [1] * (dim + 1)
+        shape[a] = ext
+        return c.reshape(shape)
+
+    elem_shape = (1,) * dim + (-1,)
+
+    # ---- path A: keep / refine (one gather) -------------------------------
+    oct_bits = [(child_id >> a) & 1 for a in range(dim)]
+    r = refined.reshape(elem_shape)
+    idx_a = []
+    for a in range(dim):
+        i = bcast_cell(cells[a], a)
+        o = (oct_bits[a] * half).reshape(elem_shape)
+        idx_a.append(jnp.where(r, o + (i >> 1), i))
+    src_b = src.reshape(elem_shape)
+    path_a = u[(slice(None),) + tuple(idx_a) + (src_b,)]
+
+    # ---- path B: coarsen (pool once, gather the z-ordered child) ----------
+    pool_shape = (5,) + sum(((half, 2),) * dim, ()) + (cap_old,)
+    pooled = u.reshape(pool_shape)
+    pooled = pooled.mean(axis=tuple(2 + 2 * a for a in range(dim)))
+    z = jnp.zeros((1,) * (dim + 1), jnp.int32)
+    idx_b = []
+    for a in range(dim):
+        i = bcast_cell(cells[a], a)
+        z = z + ((i >> (spec.log2_extent - 1)) << a)
+        idx_b.append(i & (half - 1))
+    e_b = jnp.arange(capacity, dtype=jnp.int32).reshape(elem_shape)
+    src_z = fam[e_b, z]                                  # [*bcast, capacity]
+    path_b = pooled[(slice(None),) + tuple(idx_b) + (src_z,)]
+
+    c = coarsened.reshape((1,) + elem_shape[:-1] + (-1,))
+    return jnp.where(c, path_b, path_a)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "capacity"))

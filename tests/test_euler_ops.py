@@ -158,3 +158,67 @@ def test_dispatch(flux):
     out, speed = euler.numerical_flux(u, u, flux=flux)
     assert out.shape == (5, 8)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestCellFields:
+    """The precomputed-fields hot path must match the per-face reference
+    formulation (ops/euler.kepes_es_flux / hll_flux) to fp tolerance."""
+
+    @pytest.mark.parametrize("flux", ["kepes", "hll"])
+    def test_fields_flux_matches_state_flux(self, flux):
+        uL = jnp.asarray(random_states(512, seed=21), jnp.float32)
+        uR = jnp.asarray(random_states(512, seed=22), jnp.float32)
+        qL = euler.cell_fields(uL, 1.4, flux)
+        qR = euler.cell_fields(uR, 1.4, flux)
+        assert qL.shape == (euler.N_FIELDS[flux], 512)
+        f_ref, s_ref = euler.numerical_flux(uL, uR, gamma=1.4, flux=flux)
+        f_new, s_new = euler.fields_flux(qL, qR, gamma=1.4, flux=flux)
+        np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                                   rtol=5e-5, atol=5e-5)
+        np.testing.assert_allclose(np.asarray(s_new), np.asarray(s_ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_fields_flux_near_equal_states(self):
+        """The ln_mean series/exact crossover must stay finite and accurate
+        when states are nearly equal (the log-difference regime)."""
+        u = random_states(64, seed=23)
+        for delta in (0.0, 1e-6, 1e-4, 1e-2):
+            uL = jnp.asarray(u, jnp.float32)
+            uR = jnp.asarray(u * (1.0 + delta), jnp.float32)
+            f_ref, _ = euler.kepes_es_flux(uL, uR)
+            f_new, _ = euler.fields_flux(
+                euler.cell_fields(uL, 1.4, "kepes"),
+                euler.cell_fields(uR, 1.4, "kepes"), gamma=1.4, flux="kepes")
+            assert np.isfinite(np.asarray(f_new)).all()
+            np.testing.assert_allclose(np.asarray(f_new), np.asarray(f_ref),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_fields_axis_rotation_matches_general_basis(self):
+        """Static row permutation == general-basis rotation for axis-aligned
+        normals (the Cartesian fast path)."""
+        u = jnp.asarray(random_states(64, seed=24), jnp.float32)
+        q = euler.cell_fields(u, 1.4, "kepes")
+        for axis in range(3):
+            n = np.zeros((3, 64), np.float32)
+            n[axis] = 1.0
+            basis = euler.face_basis(jnp.asarray(n))
+            f_gen, s_gen = euler.fields_flux(
+                euler.fields_rotate(q, *basis), euler.fields_rotate(q, *basis),
+                gamma=1.4, flux="kepes")
+            f_gen = euler.inverse_rotate_state(f_gen, *basis)
+            f_ax, s_ax = euler.fields_flux(
+                euler.fields_axis_rotate(q, axis),
+                euler.fields_axis_rotate(q, axis), gamma=1.4, flux="kepes")
+            f_ax = euler.flux_axis_unrotate(f_ax, axis)
+            np.testing.assert_allclose(np.asarray(f_ax), np.asarray(f_gen),
+                                       rtol=2e-5, atol=2e-5)
+            np.testing.assert_allclose(np.asarray(s_ax), np.asarray(s_gen),
+                                       rtol=1e-6)
+
+    def test_fields_mirror_is_reflection(self):
+        u = jnp.asarray(random_states(32, seed=25), jnp.float32)
+        q = euler.cell_fields(u, 1.4, "kepes")
+        m = euler.fields_mirror(q)
+        np.testing.assert_allclose(np.asarray(m[1]), -np.asarray(q[1]))
+        np.testing.assert_allclose(np.asarray(m[0]), np.asarray(q[0]))
+        np.testing.assert_allclose(np.asarray(m[4:]), np.asarray(q[4:]))
