@@ -101,6 +101,57 @@ def write_vtu(path: str,
     return path
 
 
+def write_pvtu(path: str, piece_paths, cell_data_names, vector_names=()) -> str:
+    """Write a .pvtu multi-piece index referencing per-shard .vtu pieces —
+    the multi-rank export the reference gets from t8code's parallel VTK
+    writer (mesh_manager.inl:515-623 under MPI).  `piece_paths` are the
+    per-shard .vtu files (written with write_vtu); names are the cell-data
+    arrays they contain (vector_names listed with 3 components)."""
+    import os
+
+    parts = []
+    parts.append('<?xml version="1.0"?>')
+    parts.append('<VTKFile type="PUnstructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">')
+    parts.append('<PUnstructuredGrid GhostLevel="0">')
+    parts.append('<PPoints><PDataArray type="Float32" NumberOfComponents="3"/>'
+                 '</PPoints>')
+    parts.append('<PCellData>')
+    for name in cell_data_names:
+        if name in vector_names:
+            parts.append(f'<PDataArray type="Float32" Name="{name}" '
+                         'NumberOfComponents="3"/>')
+        else:
+            parts.append(f'<PDataArray type="Float32" Name="{name}"/>')
+    parts.append('</PCellData>')
+    for p in piece_paths:
+        parts.append(f'<Piece Source="{os.path.basename(p)}"/>')
+    parts.append('</PUnstructuredGrid></VTKFile>')
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def write_sharded_vtu(prefix: str, centers: np.ndarray, sizes: np.ndarray,
+                      cell_data: Mapping[str, np.ndarray], dim: int,
+                      bounds: np.ndarray) -> str:
+    """Write one .vtu piece per SFC shard plus the .pvtu index.
+    `bounds` are the element split points (parallel/partition.py).
+    Returns the .pvtu path."""
+    pieces = []
+    for s in range(len(bounds) - 1):
+        lo, hi = int(bounds[s]), int(bounds[s + 1])
+        piece = f"{prefix}_p{s:04d}.vtu"
+        data_s = {k: np.asarray(v)[..., lo:hi] for k, v in cell_data.items()}
+        write_vtu(piece, np.asarray(centers)[lo:hi], np.asarray(sizes)[lo:hi],
+                  data_s, dim=dim)
+        pieces.append(piece)
+    vectors = tuple(k for k, v in cell_data.items()
+                    if np.asarray(v).ndim > 1)
+    return write_pvtu(f"{prefix}.pvtu", pieces, list(cell_data.keys()),
+                      vectors)
+
+
 def write_mesh_vtu(path: str, mesh, shard_bounds=None) -> str:
     """Export the mesh itself with debug fields (ref writes treeid /
     mpirank / level / element_id into its VTK output,
