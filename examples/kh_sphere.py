@@ -4,10 +4,17 @@ TPU-native counterpart of the reference flagship driver
 examples/compressible_euler/main.cu: icosahedral shell cmesh
 (t8_cmesh_new_prismed_spherical_shell_icosahedron(0.8, 0.2, 2, 1)),
 KH-on-a-sphere initial condition in the tangent basis, fixed dt=5e-4,
-20 000 steps (ref main.cu:20-38).  Dynamic shell AMR (the reference's
-t8code prism refinement) is not yet implemented here.
+20 000 steps, adapt every 100 (ref main.cu:20-38, solver.cu:243-277).
+
+Two mesh modes:
+  * default: uniform prismed shell (mesh/shell.py, vertices re-projected
+    to the sphere at every subdivision level);
+  * --amr: the adaptive prism forest (mesh/shell_forest.py, t8code-style
+    linear refinement below the cmesh roots) with gradient-criteria
+    refine/coarsen every --adapt-every steps — the reference flagship loop.
 
     python examples/kh_sphere.py --subdiv 3 --layers 2 --steps 500
+    python examples/kh_sphere.py --amr --subdiv 2 --level 1 --max-level 3
 """
 
 import argparse
@@ -27,7 +34,7 @@ from t8gpu_tpu.io.vtk import write_vtu
 from t8gpu_tpu.mesh.shell import shell_mesh
 from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
 from t8gpu_tpu.models.initial_conditions import kh_sphere
-from t8gpu_tpu.utils.config import EulerConfig
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
 
 def main():
@@ -42,12 +49,32 @@ def main():
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh_sphere")
+    # dynamic AMR on the shell (ref main.cu:32-35: adapt every 100 steps)
+    p.add_argument("--amr", action="store_true",
+                   help="adaptive prism forest with criteria-driven AMR")
+    p.add_argument("--level", type=int, default=1,
+                   help="[--amr] initial uniform level below the roots")
+    p.add_argument("--min-level", type=int, default=0)
+    p.add_argument("--max-level", type=int, default=3)
+    p.add_argument("--adapt-every", type=int, default=100)
+    p.add_argument("--refine-threshold", type=float, default=10.0,
+                   help="criteria threshold b (ref mesh_manager.inl:141)")
     args = p.parse_args()
 
-    mesh = shell_mesh(subdiv=args.subdiv, r_in=args.r_in,
-                      thickness=args.thickness, n_layers=args.layers)
-    solver = CompressibleEulerSolver(mesh, kh_sphere,
-                                     config=EulerConfig(flux=args.flux))
+    if args.amr:
+        from t8gpu_tpu.mesh.shell_forest import shell_manager
+        mgr = shell_manager(
+            subdiv=args.subdiv, level=args.level,
+            amr=AMRConfig(min_level=args.min_level, max_level=args.max_level,
+                          refine_threshold=args.refine_threshold),
+            r_in=args.r_in, thickness=args.thickness, n_layers=args.layers)
+        solver = CompressibleEulerSolver(mgr, kh_sphere,
+                                         config=EulerConfig(flux=args.flux))
+    else:
+        mesh = shell_mesh(subdiv=args.subdiv, r_in=args.r_in,
+                          thickness=args.thickness, n_layers=args.layers)
+        solver = CompressibleEulerSolver(mesh, kh_sphere,
+                                         config=EulerConfig(flux=args.flux))
     print(f"elements={solver.n_elements} faces={solver.conn.n_faces} "
           f"boundary={solver.conn.n_boundary_faces}")
     m0 = solver.compute_integral()
@@ -56,23 +83,33 @@ def main():
 
     t0 = time.perf_counter()
     done = 0
+    adapts = 0
     while done < args.steps:
         n = args.steps - done
+        if args.amr:
+            n = min(n, args.adapt_every - done % args.adapt_every)
         if args.vtk_every:
             n = min(n, args.vtk_every - done % args.vtk_every)
         solver.iterate_many(n, dt)
         done += n
+        if args.amr and done % args.adapt_every == 0 and done < args.steps:
+            solver.adapt()
+            adapts += 1
+            if args.dt == 0:
+                dt = solver.compute_timestep()
         if args.vtk_every and done % args.vtk_every == 0:
             u = solver.conserved_state()
-            h = np.asarray(mesh.volumes) ** (1.0 / 3.0)
-            write_vtu(f"{args.prefix}_{done:06d}.vtu", mesh.centers, h,
+            mesh_now = solver.mesh
+            h = np.asarray(mesh_now.volumes) ** (1.0 / 3.0)
+            write_vtu(f"{args.prefix}_{done:06d}.vtu", mesh_now.centers, h,
                       {"density": u[0], "energy": u[4], "momentum": u[1:4]},
                       dim=3)
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
 
     m1 = solver.compute_integral()
-    print(f"steps={args.steps} wall={wall:.3f}s "
+    print(f"steps={args.steps} adapts={adapts} elements={solver.n_elements} "
+          f"wall={wall:.3f}s "
           f"elem-updates/s={solver.n_elements * args.steps / wall:.3e} "
           f"integral drift={(m1 - m0) / m0:.2e}")
 

@@ -23,7 +23,7 @@ import numpy as np
 
 from t8gpu_tpu.memory.store import bucket_capacity
 from t8gpu_tpu.mesh.forest import Forest, ForestMesh
-from t8gpu_tpu.ops.amr import apply_remap, pad_remap
+from t8gpu_tpu.ops.amr import apply_remap_weighted, pad_remap
 from t8gpu_tpu.utils.config import AMRConfig
 
 
@@ -82,12 +82,21 @@ class MeshManager:
     def adapt(self, criteria: np.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         """One full adapt cycle for plain-element state `u` [..., capacity]:
         adapt_forest + gather remap.  Returns the remapped state (padded to
-        the new capacity bucket)."""
+        the new capacity bucket).
+
+        The restriction is volume-weighted (ops/amr.apply_remap_weighted):
+        exact mass conservation on meshes with unequal family-member
+        volumes (shell prisms), identical to the plain mean on the
+        Cartesian forest."""
+        w_old = np.ones(u.shape[-1], np.float32)
+        vols = np.asarray(self.mesh.volumes)
+        w_old[: len(vols)] = vols
         remap = self.adapt_forest(criteria)
         cap_new = self.mesh.conn.inc_slot.shape[0]
         start, count = pad_remap(remap.src_start, remap.src_count, cap_new)
         k = 1 << self.forest.dim
-        return apply_remap(u, start, count, k=k, capacity=cap_new)
+        return apply_remap_weighted(u, start, count, jnp.asarray(w_old),
+                                    k=k, capacity=cap_new)
 
     # -- partition (multi-chip SFC rebalancing; ref mesh_manager.inl:645-723) --
 

@@ -14,9 +14,11 @@ Volumes come from the divergence theorem over the faces, so the FV scheme
 is exactly conservative on the polyhedral mesh.  Walls (inner/outer caps)
 are reflective, matching the reference boundary kernel.
 
-Dynamic AMR on the shell (tri/prism refinement SFC) is not yet
-implemented — the reference delegates it to t8code's prism scheme; this
-mesh currently supports uniform resolution chosen at build time.
+This module builds UNIFORM shells (resolution chosen at build time, with
+vertices re-projected to the sphere at every subdivision level).  Dynamic
+AMR on the shell — the reference's t8code prism scheme — lives in
+mesh/shell_forest.py (PrismForest / shell_manager): cmesh roots from this
+icosphere construction, linear (chordal) refinement below them.
 """
 
 from __future__ import annotations
@@ -76,6 +78,8 @@ class ShellMesh:
     conn: FaceConnectivity
     n_triangles: int
     n_layers: int
+    cfl_h: float = 0.0    # min characteristic cell size 2*dim*min(V/sum A);
+    #                       tight on anisotropic prisms (volume^(1/3) is not)
 
     @property
     def dim(self) -> int:
@@ -87,8 +91,9 @@ class ShellMesh:
 
     @property
     def max_level(self) -> int:
-        # CFL helper: effective resolution exponent from the smallest
-        # element volume (h_min ~ volume^(1/3))
+        # effective resolution exponent of the smallest cell dimension
+        if self.cfl_h > 0:
+            return int(np.ceil(-np.log2(self.cfl_h)))
         h_min = float(self.volumes.min()) ** (1.0 / 3.0)
         return int(np.ceil(-np.log2(max(h_min, 1e-30))))
 
@@ -210,6 +215,11 @@ def shell_mesh(subdiv: int = 2, r_in: float = 0.8, thickness: float = 0.2,
         b_normal=np.asarray(b_normals, np.float32).T,
         b_area=np.asarray(b_areas, np.float32),
     )
+    suma = np.zeros(n)
+    np.add.at(suma, np.asarray(lefts), np.asarray(areas))
+    np.add.at(suma, np.asarray(rights), np.asarray(areas))
+    np.add.at(suma, np.asarray(b_elems), np.asarray(b_areas))
     return ShellMesh(centers=centers.astype(np.float32),
                      volumes=vol.astype(np.float32), conn=conn,
-                     n_triangles=n_t, n_layers=n_layers)
+                     n_triangles=n_t, n_layers=n_layers,
+                     cfl_h=float(3.0 * (vol / suma).min()))

@@ -68,6 +68,25 @@ def apply_remap(u: jnp.ndarray, src_start: jnp.ndarray, src_count: jnp.ndarray,
     return (vals * valid).sum(axis=-1) / src_count.astype(u.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "capacity"))
+def apply_remap_weighted(u: jnp.ndarray, src_start: jnp.ndarray,
+                         src_count: jnp.ndarray, w_old: jnp.ndarray,
+                         k: int, capacity: int) -> jnp.ndarray:
+    """Volume-weighted apply_remap: restriction averages the 2^dim family
+    weighted by the OLD element volumes — required on meshes whose family
+    members have unequal volumes (the shell prisms: radial children scale
+    as r^2 dr), and identical to the plain mean on equal-volume forests.
+    new = sum(u * w) / sum(w) over the source range; prolongation rows
+    (count == 1) reduce to a plain copy.  Exactly mass-conserving since
+    children tile their parent (sum w_children = V_parent)."""
+    idx = src_start[:, None] + jnp.arange(k, dtype=src_start.dtype)[None, :]
+    idx = jnp.minimum(idx, u.shape[-1] - 1)
+    valid = jnp.arange(k)[None, :] < src_count[:, None]
+    wv = w_old[idx] * valid                              # [capacity, k]
+    vals = jnp.take(u, idx, axis=-1)                     # [..., capacity, k]
+    return (vals * wv).sum(axis=-1) / wv.sum(axis=-1)
+
+
 def pad_remap(src_start: np.ndarray, src_count: np.ndarray, capacity: int):
     """Pad host remap arrays to the element capacity bucket (start=0/count=1
     on padding rows so padded lanes read element 0 and stay finite)."""
