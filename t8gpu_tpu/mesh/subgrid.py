@@ -73,9 +73,13 @@ class SubgridConnectivity:
 
     b_groups: Tuple[Tuple[int, int], ...] = dataclasses.field(
         metadata=dict(static=True))  # (axis, sign) per boundary group
-    # per side: does any element face FINER neighbors?  Static so uniform
-    # meshes compile without the virtual-fine pass (outer_apply pass 2).
+    # per side: does any element face FINER/COARSER neighbors?  Static so
+    # uniform meshes compile without the virtual-fine pass (outer_apply
+    # pass 2), with single-column neighbor gathers, and without the
+    # coarse-window resolution.
     has_fine: Tuple[bool, ...] = dataclasses.field(metadata=dict(static=True))
+    has_coarse: Tuple[bool, ...] = dataclasses.field(
+        metadata=dict(static=True))
     n_elements: int = dataclasses.field(metadata=dict(static=True))
     element_capacity: int = dataclasses.field(metadata=dict(static=True))
 
@@ -268,6 +272,7 @@ def build_subgrid_connectivity(
         b_cell=tuple(b_cells), b_area=tuple(b_areas), b_recv=tuple(b_recvs),
         b_groups=tuple(b_groups),
         has_fine=tuple(bool((r == 1).any()) for r in rels),
+        has_coarse=tuple(bool((r == -1).any()) for r in rels),
         n_elements=n, element_capacity=cap_e)
 
 

@@ -242,12 +242,16 @@ def outer_apply(D: jnp.ndarray, q: tuple,
             opp_layer = jnp.stack([
                 jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
                                      keepdims=False) for r in q_rot])
-            nb = _gather_layers(opp_layer, nbr)          # [C, *t_ext, E, M]
+            # sides without finer neighbors only ever read quadrant 0 —
+            # gather a single neighbor column (4x less traffic in 3D)
+            nb = _gather_layers(opp_layer,
+                                nbr if conn.has_fine[k] else nbr[:, :1])
             base = nb[..., 0]
 
             # ---- pass 1: my resolution (equal + coarser neighbors) -------
             r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
-            other = jnp.where(r < 0, _coarse_window(base, bits, spec), base)
+            other = (jnp.where(r < 0, _coarse_window(base, bits, spec), base)
+                     if conn.has_coarse[k] else base)
             q_l, q_r = (my_layer, other) if hi else (other, my_layer)
             f, sp = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
             w1 = mask * area_t * (rel <= 0)
@@ -270,6 +274,88 @@ def outer_apply(D: jnp.ndarray, q: tuple,
                 sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
                 speed = jnp.maximum(speed, (sp2 * sp_m2).max())
 
+            D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+                          spec=spec)
+    return D, speed
+
+
+def pallas_side_inputs(q: tuple, conn: SubgridConnectivity,
+                       spec: SubgridSpec, volumes: jnp.ndarray):
+    """Inputs for ops.pallas_kernels.fused_flux_pallas: per side the
+    RESOLVED equal/coarse neighbor facing layer (gather + coarse-window,
+    identical to outer_apply pass 1) in unrotated field rows
+    [C, *t_ext, E], plus the packed per-element weights [8, E]
+    (row 0 = interior cell surface, rows 1+k = side-k mesh-face weight)."""
+    dim = spec.dim
+    ext = spec.extent
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h_cell = h_e / ext
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)
+    area_t = (h_e / ext) ** (dim - 1)
+
+    others = []
+    w_rows = [surface]
+    for a in range(dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
+                                    conn.bits[k], conn.mask[k])
+            hi = sign > 0
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in q])
+            # pass 1 only ever reads quadrant 0 (the fine pass re-gathers)
+            nb = _gather_layers(opp_layer, nbr[:, :1])
+            base = nb[..., 0]
+            if conn.has_coarse[k]:
+                r_b = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+                base = jnp.where(r_b < 0, _coarse_window(base, bits, spec),
+                                 base)
+            others.append(base)
+            w_rows.append(mask * area_t * (rel <= 0))
+    w_rows.append(jnp.zeros_like(surface))
+    return tuple(others), jnp.stack(w_rows)
+
+
+def outer_fine_apply(D: jnp.ndarray, q: tuple,
+                     conn: SubgridConnectivity, spec: SubgridSpec,
+                     volumes: jnp.ndarray, gamma: float, flux: str):
+    """ONLY the virtual-fine (hanging 2:1) pass of outer_apply — the
+    additive term the fused Pallas kernel leaves to XLA.  Compiled away
+    entirely on uniform meshes (conn.has_fine all False)."""
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    t_axes = tuple(range(1, 1 + n_t))
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    area_v = (h_e / ext) ** n_t / (2 ** n_t)
+    speed = jnp.zeros((), q[0].dtype)
+    for a in range(dim):
+        q_rot = fields_axis_rotate(q, a)
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            if not conn.has_fine[k]:
+                continue
+            nbr, rel, mask = conn.nbr[k], conn.rel[k], conn.mask[k]
+            hi = sign > 0
+            my_layer = jnp.stack([
+                jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
+                                     keepdims=False) for r in q_rot])
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in q_rot])
+            nb = _gather_layers(opp_layer, nbr)
+            fine = _fine_interleave(nb, spec)
+            mine = _upsample2(my_layer, t_axes)
+            q_l, q_r = (mine, fine) if hi else (fine, mine)
+            f2, sp2 = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
+            w2 = mask * area_v * (rel > 0)
+            f2 = (axis_unrotate(f2, a)
+                  * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
+            f2 = _pool2(f2, n_t)
+            contrib = -f2 if hi else f2
+            sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
+            speed = jnp.maximum(speed, (sp2 * sp_m2).max())
             D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
                           spec=spec)
     return D, speed
@@ -314,16 +400,26 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     transcendental-heavy per-cell work runs exactly once per evaluation
     instead of being refused into every face consumer by XLA.
 
-    use_pallas selects the hand-written Pallas inner-flux kernel
-    (ops/pallas_kernels.py) instead of the XLA-fused stencil."""
+    use_pallas selects the fused Pallas kernel (ops/pallas_kernels.
+    fused_flux_pallas: interior + equal/coarse mesh faces in one VMEM
+    pass; hanging-fine and wall fluxes stay XLA-side additive passes).
+    Currently 3D / extent-8 blocks; other shapes use the XLA stencil."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
-    if use_pallas:
-        from t8gpu_tpu.ops.pallas_kernels import inner_divergence_pallas
-        D, sp_i = inner_divergence_pallas(u, volumes, spec, gamma, flux)
+    if use_pallas and spec.dim == 3 and spec.extent == 8:
+        from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
+        others, weights = pallas_side_inputs(q, conn, spec, volumes)
+        D, sp_e = fused_flux_pallas(jnp.stack(q), weights, others,
+                                    gamma=gamma, flux=flux)
+        sp_i = sp_e.max()
+        D, sp_o = outer_fine_apply(D, q, conn, spec, volumes, gamma, flux)
     else:
-        D, sp_i = inner_divergence_fields(q, volumes, spec, gamma, flux)
-    D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux)
+        if use_pallas:
+            from t8gpu_tpu.ops.pallas_kernels import inner_divergence_pallas
+            D, sp_i = inner_divergence_pallas(u, volumes, spec, gamma, flux)
+        else:
+            D, sp_i = inner_divergence_fields(q, volumes, spec, gamma, flux)
+        D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux)
     if conn.b_groups:
         D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q), conn,
                                  spec, gamma, flux)

@@ -25,16 +25,26 @@ from t8gpu_tpu.parallel.partition import ShardedConnectivity
 AXIS = "sfc"
 
 
-def halo_exchange(u_local: jnp.ndarray, send_idx: jnp.ndarray) -> jnp.ndarray:
-    """Publish this shard's halo rows and gather every shard's pool.
+def halo_exchange(u_local: jnp.ndarray, conn: ShardedConnectivity) -> jnp.ndarray:
+    """Neighbor-wise halo exchange: for each active shard-offset round r,
+    pack exactly the rows shard (s + r) mod S reads and `ppermute` them.
 
-    u_local: [5, CL]; send_idx: [H] local ids.
-    Returns the extended element axis [5, CL + n_shards*H].
+    u_local: [5, CL]; conn.send_rounds[i]: [H_r] local ids (this shard's
+    slice).  Returns the extended element axis [5, CL + sum H_r] with the
+    received round blocks concatenated in conn.halo_rounds order.
+
+    Replaces the round-1 all_gather pool (O(S*H) rows per shard) with a
+    ghost layer scoped to actual neighbors (ref mesh_manager.h:189-229):
+    with the 1-D SFC partition, traffic concentrates on r in {1, S-1}, so
+    the received pool stays O(local boundary) regardless of shard count.
     """
-    send = gather_cols(u_local, send_idx)                # [5, H]
-    pool = jax.lax.all_gather(send, AXIS)                # [S, 5, H]
-    pool = jnp.moveaxis(pool, 0, 1).reshape(u_local.shape[0], -1)
-    return jnp.concatenate([u_local, pool], axis=1)
+    S = conn.n_shards
+    parts = [u_local]
+    for r, idx in zip(conn.halo_rounds, conn.send_rounds):
+        send = gather_cols(u_local, idx)                 # [5, H_r]
+        perm = [(s, (s + r) % S) for s in range(S)]
+        parts.append(jax.lax.ppermute(send, AXIS, perm))
+    return jnp.concatenate(parts, axis=1)
 
 
 def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
@@ -43,25 +53,28 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
 
     conn arrays arrive as this shard's slices (leading axis stripped by
     shard_map in_specs); the same face-flux math as ops/fluxes.py runs on
-    the extended element axis.
+    the extended element axis.  Per-cell fields are computed once on the
+    extended axis after the halo exchange (exchanging raw states keeps ICI
+    traffic at 5 rows; the halo cells' fields are recomputed locally).
     """
-    u_ext = halo_exchange(u_local, conn.send_idx)
+    u_ext = halo_exchange(u_local, conn)
+    q = euler.maybe_barrier(euler.cell_fields(u_ext, gamma, flux))
 
-    u_l = gather_cols(u_ext, conn.left)
-    u_r = gather_cols(u_ext, conn.right)
+    q_l = gather_cols(q, conn.left)
+    q_r = gather_cols(q, conn.right)
     basis = euler.face_basis(conn.normal)
-    f_rot, speed = euler.numerical_flux(
-        euler.rotate_state(u_l, *basis), euler.rotate_state(u_r, *basis),
+    f_rot, speed = euler.fields_flux(
+        euler.fields_rotate(q_l, *basis), euler.fields_rotate(q_r, *basis),
         gamma=gamma, flux=flux)
     f = euler.inverse_rotate_state(f_rot, *basis) * conn.area
     speed = speed * (conn.area > 0)
 
     if conn.boundary_capacity:
-        u_in = gather_cols(u_local, conn.b_elem)
+        q_in = gather_cols(q[:, : u_local.shape[1]], conn.b_elem)
         basis_b = euler.face_basis(conn.b_normal)
-        u_rot = euler.rotate_state(u_in, *basis_b)
-        fb_rot, speed_b = euler.numerical_flux(
-            u_rot, u_rot.at[1].multiply(-1.0), gamma=gamma, flux=flux)
+        q_rot = euler.fields_rotate(q_in, *basis_b)
+        fb_rot, speed_b = euler.fields_flux(
+            q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
         fb = euler.inverse_rotate_state(fb_rot, *basis_b) * conn.b_area
         speed_b = speed_b * (conn.b_area > 0)
     else:

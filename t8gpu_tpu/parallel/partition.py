@@ -10,11 +10,14 @@ collective over ICI:
 
   1. elements (already SFC/Morton ordered) are split into n_shards
      contiguous chunks, padded to a common local capacity;
-  2. every shard publishes a compact send buffer of the elements other
-     shards reference (`send_idx`); one `all_gather` per flux evaluation
-     materializes the global halo pool on every shard;
+  2. the ghost layer is NEIGHBOR-SCOPED (like the reference's ghost
+     bookkeeping, mesh_manager.h:189-229): for every shard-offset round
+     r, shard s packs exactly the elements shard (s+r) mod S reads and a
+     `ppermute` ships them; with a 1-D SFC partition almost all halo
+     traffic is r in {1, S-1}, so the received pool is O(local boundary)
+     — NOT the O(S*H) all-gather pool of round 1;
   3. per-shard face lists index an EXTENDED element axis
-     [0, CL) local | [CL, CL + n_shards*H) halo pool, so flux kernels are
+     [0, CL) local | [CL, ...) received round blocks, so flux kernels are
      the same single-device code on the concatenated array;
   4. faces crossing a shard boundary are duplicated on both shards
      (each accumulates only its own side), keeping accumulation local and
@@ -55,12 +58,16 @@ class ShardedConnectivity:
     # Fcap <= f < Fcap+Bcap boundary, Fcap+Bcap zero sentinel
     inc_slot: jnp.ndarray   # i32 [S, CL, D]
     inc_sign: jnp.ndarray   # f32 [S, CL, D]
-    # halo plan
-    send_idx: jnp.ndarray   # i32 [S, H] local element ids to publish
+    # neighbor-wise halo plan: one send list per ACTIVE shard offset round
+    # r (halo_rounds[i]); send_rounds[i][s] holds the local ids shard s
+    # packs for shard (s + r) mod S
+    send_rounds: Tuple[jnp.ndarray, ...]   # i32 [S, H_r] each
 
+    halo_rounds: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     local_capacity: int = dataclasses.field(metadata=dict(static=True))
-    halo_size: int = dataclasses.field(metadata=dict(static=True))
+    halo_size: int = dataclasses.field(metadata=dict(static=True))  # sum H_r
 
     @property
     def face_capacity(self) -> int:
@@ -97,25 +104,42 @@ def build_sharded_connectivity(
     CL = local_capacity or bucket_capacity(
         int((bounds[1:] - bounds[:-1]).max()))
 
-    # --- halo send lists: for each shard, the elements other shards read --
-    send_lists = []
+    # --- neighbor-wise halo plan (ghost scoping, mesh_manager.h:189-229) --
+    # per destination shard t, the remote elements its faces read, grouped
+    # by owner; each (owner s -> dest t) pair is one ppermute round
+    # r = (t - s) mod S.  SFC contiguity makes almost all traffic r = 1 or
+    # r = S-1; inactive rounds are dropped statically.
     o_l, o_r = owner[gl], owner[gr]
-    cross = o_l != o_r
-    for s in range(n_shards):
-        need_from_s = np.concatenate([
-            gl[cross & (o_l == s) & (o_r != s)],
-            gr[cross & (o_r == s) & (o_l != s)],
-        ])
-        send_lists.append(np.unique(need_from_s))
-    H = bucket_capacity(max(max((len(x) for x in send_lists), default=1), 1),
-                        base=64)
-    send_idx = np.zeros((n_shards, H), np.int32)
-    # map global element -> halo pool position (s * H + p)
-    pool_pos = {}
-    for s, lst in enumerate(send_lists):
-        send_idx[s, : len(lst)] = lst - starts[s]          # local indices
-        for p, g in enumerate(lst):
-            pool_pos[int(g)] = s * H + p
+    round_lists = {}           # r -> [send list per sender s]
+    pool_pos = {}              # (dest t, global g) -> position within round
+    for t in range(n_shards):
+        sel = (o_l == t) | (o_r == t)
+        refs = np.unique(np.concatenate([
+            gl[sel & (o_l != t)], gr[sel & (o_r != t)]]))
+        for s in np.unique(owner[refs]) if len(refs) else []:
+            r = int((t - s) % n_shards)
+            lst = refs[owner[refs] == s]
+            round_lists.setdefault(r, [np.zeros(0, np.int64)] * n_shards)
+            round_lists[r][s] = lst
+            for p, g in enumerate(lst):
+                pool_pos[(t, int(g))] = (r, p)
+
+    halo_rounds = tuple(sorted(round_lists))
+    H_r = {r: bucket_capacity(max(max(len(x) for x in round_lists[r]), 1),
+                              base=16)
+           for r in halo_rounds}
+    round_offset = {}
+    off = 0
+    for r in halo_rounds:
+        round_offset[r] = off
+        off += H_r[r]
+    H = off                    # total received pool rows per shard
+    send_rounds = []
+    for r in halo_rounds:
+        arr = np.zeros((n_shards, H_r[r]), np.int32)
+        for s, lst in enumerate(round_lists[r]):
+            arr[s, : len(lst)] = lst - starts[s]           # local indices
+        send_rounds.append(jnp.asarray(arr))
 
     # --- per-shard face lists with extended indices ------------------------
     def ext_index(g: np.ndarray, s: int) -> np.ndarray:
@@ -124,7 +148,8 @@ def build_sharded_connectivity(
         out = np.where(local, g - starts[s], 0).astype(np.int64)
         remote = np.flatnonzero(~local)
         for i in remote:
-            out[i] = CL + pool_pos[int(g[i])]
+            r, p = pool_pos[(s, int(g[i]))]
+            out[i] = CL + round_offset[r] + p
         return out
 
     per_shard = []
@@ -211,7 +236,7 @@ def build_sharded_connectivity(
         b_elem=jnp.asarray(b_elems), b_normal=jnp.asarray(b_normals),
         b_area=jnp.asarray(b_areas),
         inc_slot=jnp.asarray(inc_slot), inc_sign=jnp.asarray(inc_sign),
-        send_idx=jnp.asarray(send_idx),
+        send_rounds=tuple(send_rounds), halo_rounds=halo_rounds,
         n_shards=n_shards, local_capacity=CL, halo_size=H)
     return conn, bounds
 

@@ -4,16 +4,25 @@ The distributed counterpart of models/compressible_euler.py, covering the
 reference's MPI multi-rank operation (`examples/compressible_euler` run
 under `mpirun -n N` with CUDA MPS, README.md:46-58).  Elements are
 SFC-partitioned across a 1D `Mesh(devices, ("sfc",))`; each RK3 stage
-performs one halo all_gather over ICI (parallel/halo.py) and all flux and
+performs one halo exchange over ICI (parallel/halo.py) and all flux and
 stage arithmetic stays shard-local.  The CFL wave speed is a `pmax`, the
 conservation integral a `psum` (ref MPI_Allreduce, solver.cu:206-222).
 
-Dynamic AMR on the sharded state follows the reference cycle adapt ->
-partition -> reconnect (`solver.inl:327-345`): criteria are computed
-shard-local, the forest adapt + repartition happen on the host (the single
-JAX controller), and the remapped state is resharded — the analogue of
-`t8_forest_partition_data` + the `partition_data` IPC gather kernel
-(`mesh_manager.inl:645-723`).
+State layout: ONE global jax.Array `u` of shape [5, S*CL] with
+NamedSharding P(None, "sfc") — each device holds its padded SFC chunk
+[5, CL].  This (rather than a stacked [S, 5, CL] host layout) lets the
+AMR remap run as a global device gather with explicit output shardings:
+XLA/GSPMD inserts the cross-chip collectives over ICI, replacing the
+reference's `t8_forest_partition_data` + IPC partition_data kernel
+(`mesh_manager.inl:625-723`) with NO O(global-state) host copy.  Only the
+O(N)-scalar criteria array crosses to the host, exactly like the
+reference's criteria round-trip (solver.cu:267).
+
+Compiled-program reuse across adapts: the jitted step/criteria/speed
+closures are built ONCE per solver (not per adapt) and keyed by step
+batch size, so a steady capacity bucket re-runs cached executables; only
+a bucket change triggers a recompile (the XLA analogue of the reference's
+realloc, shared_device_vector.inl:85).
 """
 
 from __future__ import annotations
@@ -28,11 +37,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from t8gpu_tpu.mesh.forest import Forest
 from t8gpu_tpu.ops import rk
-from t8gpu_tpu.ops.amr import apply_remap, pad_remap
 from t8gpu_tpu.parallel import halo
 from t8gpu_tpu.parallel.partition import (ShardedConnectivity,
                                           build_sharded_connectivity,
-                                          shard_array, unshard_array)
+                                          shard_array)
 from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
 
@@ -50,129 +58,154 @@ class ShardedEulerSolver:
         self.n_shards = len(devices)
         self._max_speed = None
         self.forest = forest
+        self._steps = {}        # n_steps -> compiled step fn (reused across adapts)
+        self._criteria = self._build_criteria(forest.dim)
+        self._speed = self._build_speed()
         self._install(forest, ic=ic)
 
     # -- installation ---------------------------------------------------------
 
-    def _install(self, forest: Forest, ic=None, u_stacked=None):
+    def _sharding(self, element_axis_only: bool = False) -> NamedSharding:
+        spec = P(halo.AXIS) if element_axis_only else P(None, halo.AXIS)
+        return NamedSharding(self.mesh_dev, spec)
+
+    def _install(self, forest: Forest, ic=None, u_flat=None):
         """Partition the forest, build the sharded connectivity and place
-        the state; exactly one of ic / u_stacked supplies the state."""
+        the state; exactly one of ic / u_flat supplies the state
+        (u_flat: device or host [5, S*CL] already in padded-global order)."""
         self.forest = forest
         conn, bounds = build_sharded_connectivity(
             forest.build_faces(), forest.n_elements, self.n_shards)
         self.bounds = bounds
         CL = conn.local_capacity
+        self.local_capacity = CL
 
         volumes = forest.volumes().astype(np.float32)
-        inv = shard_array(1.0 / volumes, bounds, CL)
-        vol = shard_array(volumes, bounds, CL)
-        if u_stacked is None:
+        inv = shard_array(1.0 / volumes, bounds, CL).reshape(-1)
+        vol = shard_array(volumes, bounds, CL).reshape(-1)
+        if u_flat is None:
             u_global = np.asarray(ic(forest.centers()), np.float32)
             u_stacked = shard_array(u_global, bounds, CL)
+            _guard_padding(u_stacked, bounds)
+            u_flat = np.moveaxis(u_stacked, 0, 1).reshape(5, -1)
 
-        shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
-        self.conn: ShardedConnectivity = jax.device_put(conn, shard)
-        self.u = jax.device_put(jnp.asarray(u_stacked), shard)
-        self.inv_volume = jax.device_put(jnp.asarray(inv), shard)
-        self.volume = jax.device_put(jnp.asarray(vol), shard)
-        self._step = self._build_step()
-        self._multi = {}
-        self._criteria = self._build_criteria()
+        conn_shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
+        self.conn: ShardedConnectivity = jax.device_put(conn, conn_shard)
+        self.u = jax.device_put(jnp.asarray(u_flat), self._sharding())
+        self.inv_volume = jax.device_put(jnp.asarray(inv), self._sharding(True))
+        self.volume = jax.device_put(jnp.asarray(vol), self._sharding(True))
 
     def _build_step(self, n_steps: int = 1):
         mesh_dev = self.mesh_dev
         gamma, flux = self.config.gamma, self.config.flux
-        spec = P(halo.AXIS)
 
         @functools.partial(
             jax.shard_map, mesh=mesh_dev,
-            in_specs=(spec, spec, spec, P()),
-            out_specs=(spec, P()))
+            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS), P()),
+            out_specs=(P(None, halo.AXIS), P()))
         def step(u, conn, inv_vol, dt):
-            u, conn, inv_vol = jax.tree.map(
-                lambda x: x[0], (u, conn, inv_vol))
+            # only conn keeps a leading stacked shard axis; u/inv_vol are
+            # sliced along their element axis by the in_specs
+            conn = jax.tree.map(lambda x: x[0], conn)
             flux_fn = lambda v: halo.sharded_flux_divergence(v, conn, gamma, flux)
 
             def body(_i, carry):
                 v, _ = carry
                 return rk.ssp_rk3(v, flux_fn, dt, inv_vol)
 
-            u_next, speed = jax.lax.fori_loop(
+            return jax.lax.fori_loop(
                 0, n_steps, body, (u, jnp.zeros((), u.dtype)))
-            return u_next[None], speed
 
         return jax.jit(step, donate_argnums=(0,))
 
-    def _build_criteria(self):
-        spec = P(halo.AXIS)
-        dim = self.forest.dim
+    def _get_step(self, n_steps: int):
+        fn = self._steps.get(n_steps)
+        if fn is None:
+            fn = self._steps[n_steps] = self._build_step(n_steps)
+        return fn
+
+    def _build_criteria(self, dim: int):
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh_dev,
+            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS)),
+            out_specs=P(halo.AXIS))
+        def criteria(u, conn, volume):
+            conn = jax.tree.map(lambda x: x[0], conn)
+            return _sharded_criteria(u, conn, volume, dim)
+
+        return jax.jit(criteria)
+
+    def _build_speed(self):
+        gamma, flux = self.config.gamma, self.config.flux
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
-            in_specs=(spec, spec, spec), out_specs=spec)
-        def criteria(u, conn, volume):
-            u, conn, volume = jax.tree.map(lambda x: x[0], (u, conn, volume))
-            return _sharded_criteria(u, conn, volume, dim)[None]
+            in_specs=(P(None, halo.AXIS), P(halo.AXIS)), out_specs=P())
+        def speed(u, conn):
+            conn = jax.tree.map(lambda x: x[0], conn)
+            _, sp = halo.sharded_flux_divergence(u, conn, gamma, flux)
+            return sp
 
-        return jax.jit(criteria)
+        return jax.jit(speed)
 
     # -- time stepping ----------------------------------------------------------
 
     def iterate(self, dt: float):
-        self.u, self._max_speed = self._step(
+        self.u, self._max_speed = self._get_step(1)(
             self.u, self.conn, self.inv_volume, jnp.float32(dt))
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program (one dispatch,
         halo collectives inside the loop)."""
-        fn = self._multi.get(n_steps)
-        if fn is None:
-            fn = self._multi[n_steps] = self._build_step(n_steps)
-        self.u, self._max_speed = fn(
+        self.u, self._max_speed = self._get_step(n_steps)(
             self.u, self.conn, self.inv_volume, jnp.float32(dt))
 
     # -- AMR + repartition (ref solver.inl:327-345, mesh_manager.inl:645-723) ---
 
     def adapt(self):
         """Full distributed AMR cycle: local criteria -> host forest adapt
-        (pre-balanced flags) -> state remap -> repartition + reshard."""
-        crit = self._criteria(self.u, self.conn, self.volume)
-        crit_global = unshard_array(np.asarray(crit), self.bounds)
+        (pre-balanced flags) -> DEVICE-side remap with output resharding ->
+        fresh connectivity.  Only the criteria (1 float/element) and the
+        remap index plan (host-built ints) cross the host boundary; the
+        state moves device-to-device through the jitted gather."""
+        crit = np.asarray(self._criteria(self.u, self.conn, self.volume))
+        crit_global = _unpad_flat(crit, self.bounds, self.local_capacity)
 
         flags = self.forest.flags_from_criteria(
             crit_global, b=self.amr.refine_threshold,
             min_level=self.amr.min_level, max_level=self.amr.max_level)
         flags = self.forest.balance_flags(flags)
-        new_forest, remap = self.forest.adapt(flags)
+        old_forest = self.forest
+        old_bounds, old_CL = self.bounds, self.local_capacity
+        new_forest, remap = old_forest.adapt(flags)
 
-        # remap on the host-gathered state (single-controller; the data
-        # volume is one halo-free copy — the reference likewise round-trips
-        # criteria and rebuilds connectivity on host every adapt,
-        # solver.cu:267, mesh_manager.inl:332-481)
-        u_global = unshard_array(np.asarray(self.u), self.bounds)
-        k = 1 << self.forest.dim
-        n_new = new_forest.n_elements
-        start, count = pad_remap(remap.src_start, remap.src_count, n_new)
-        u_new = np.asarray(apply_remap(jnp.asarray(u_global), start, count,
-                                       k=k, capacity=n_new))
-
-        # repartition: equal-count SFC split of the new forest + reshard
+        # host index plan: new padded-global slot -> k old padded-global
+        # slots + weights (volume-weighted restriction; see
+        # ops/amr.apply_remap_weighted)
         from t8gpu_tpu.memory.store import bucket_capacity
         from t8gpu_tpu.parallel.partition import partition_elements
+        k = 1 << old_forest.dim
+        n_new = new_forest.n_elements
         bounds = partition_elements(n_new, self.n_shards)
         CL = bucket_capacity(int((bounds[1:] - bounds[:-1]).max()))
-        u_stacked = shard_array(u_new, bounds, CL)
-        self._install(new_forest, u_stacked=u_stacked)
+
+        idx, w = _remap_plan(remap, old_forest.volumes(), old_bounds, old_CL,
+                             bounds, CL, self.n_shards, k)
+
+        u_old = self.u
+        self._install(new_forest,
+                      u_flat=_device_remap(u_old, jnp.asarray(idx),
+                                           jnp.asarray(w), self._sharding()))
         self._max_speed = None
 
     # -- diagnostics --------------------------------------------------------------
 
     def compute_integral(self) -> float:
-        return float((self.u[:, 0] * self.volume).sum())
+        return float((self.u[0] * self.volume).sum())
 
     def compute_timestep(self) -> float:
         if self._max_speed is None:
-            self.iterate(0.0)  # zero step: state unchanged, speed measured
+            self._max_speed = self._speed(self.u, self.conn)
         level = int(self.forest.level.max())
         return float(self.config.cfl * 0.5**level / float(self._max_speed))
 
@@ -182,13 +215,82 @@ class ShardedEulerSolver:
 
     def conserved_state(self) -> np.ndarray:
         """Global unpadded [5, N] state on host."""
-        return unshard_array(np.asarray(self.u), self.bounds)
+        return _unpad_flat(np.asarray(self.u), self.bounds,
+                           self.local_capacity)
+
+
+@functools.partial(jax.jit, static_argnums=(3,), donate_argnums=(0,))
+def _device_remap(u_old: jnp.ndarray, idx: jnp.ndarray, w: jnp.ndarray,
+                  out_sharding) -> jnp.ndarray:
+    """Global device-side adapt remap: u_old [5, S*CL_old] (sharded) ->
+    [5, S'*CL_new] gathered through the padded-global index plan.  The
+    operand is sharded over the mesh; XLA inserts the cross-shard data
+    movement (ICI), so no host copy of the state occurs.  Padded target
+    slots carry zero weight rows pointing at slot 0 plus the guard state
+    via the weight normalization (w sums to 1 on valid rows, and padded
+    rows get the guard injected by the caller through idx/w)."""
+    vals = u_old.T[idx]                        # [S*CL_new, k, 5]
+    out = (vals * w[..., None]).sum(axis=1).T  # [5, S*CL_new]
+    return jax.lax.with_sharding_constraint(out, out_sharding)
+
+
+def _remap_plan(remap, old_volumes: np.ndarray, old_bounds, old_CL: int,
+                new_bounds, new_CL: int, n_shards: int, k: int):
+    """Host-built gather plan: for each new padded-global slot, k old
+    padded-global slots + normalized volume weights (rows beyond the real
+    elements read slot 0 with weight sharing — their value is irrelevant
+    but finite; state padding slots are re-guarded on install)."""
+    n_new = len(remap.src_start)
+    # old global element id -> old padded-global position
+    old_owner = np.searchsorted(old_bounds, np.arange(len(old_volumes)),
+                                side="right") - 1
+    old_pos = (old_owner * old_CL
+               + (np.arange(len(old_volumes)) - old_bounds[old_owner]))
+
+    idx_el = remap.src_start[:, None] + np.arange(k)[None, :]   # [n_new, k]
+    idx_el = np.minimum(idx_el, len(old_volumes) - 1)
+    valid = np.arange(k)[None, :] < remap.src_count[:, None]
+    wv = old_volumes[idx_el] * valid
+    wv = wv / wv.sum(axis=1, keepdims=True)
+
+    new_owner = np.searchsorted(new_bounds, np.arange(n_new),
+                                side="right") - 1
+    new_pos = (new_owner * new_CL
+               + (np.arange(n_new) - new_bounds[new_owner]))
+
+    idx = np.zeros((n_shards * new_CL, k), np.int32)
+    w = np.zeros((n_shards * new_CL, k), np.float32)
+    idx[new_pos] = old_pos[idx_el]
+    w[new_pos] = wv.astype(np.float32)
+    # padded rows: read old slot 0 with weight 1 so the result is finite
+    pad = np.ones(n_shards * new_CL, bool)
+    pad[new_pos] = False
+    w[pad, 0] = 1.0
+    return idx, w
+
+
+def _guard_padding(u_stacked: np.ndarray, bounds: np.ndarray) -> None:
+    """Fill padded element slots with the quiescent guard state so the
+    per-cell fields (logs, 1/rho) stay finite (models/compressible_euler
+    GUARD_STATE rationale)."""
+    from t8gpu_tpu.models.compressible_euler import GUARD_STATE
+    for s in range(len(bounds) - 1):
+        u_stacked[s, :, bounds[s + 1] - bounds[s]:] = GUARD_STATE[:, None]
+
+
+def _unpad_flat(flat: np.ndarray, bounds: np.ndarray, CL: int) -> np.ndarray:
+    """[..., S*CL] padded-global -> [..., N] unpadded global."""
+    parts = []
+    for s in range(len(bounds) - 1):
+        lo = s * CL
+        parts.append(flat[..., lo: lo + bounds[s + 1] - bounds[s]])
+    return np.concatenate(parts, axis=-1)
 
 
 def _sharded_criteria(u, conn, volume, dim):
     """Per-shard gradient criteria (ref kernels.cu:471-501): |d rho| over
     incident faces / V^(1/dim), evaluated on the extended element axis."""
-    u_ext = halo.halo_exchange(u, conn.send_idx)
+    u_ext = halo.halo_exchange(u, conn)
     rho = u_ext[0]
     jump = jnp.abs(rho[conn.left] - rho[conn.right]) * (conn.area > 0)
     nb = conn.b_elem.shape[-1]

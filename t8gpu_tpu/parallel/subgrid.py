@@ -2,11 +2,11 @@
 
 The distributed counterpart of models/subgrid_euler.py (the reference's
 `SubgridCompressibleEulerSolver` under `mpirun -n N`): elements (whole
-subgrid blocks) are SFC-partitioned; each flux evaluation all_gathers
-the halo blocks published by every shard, inner fluxes stay purely
-local (dense VPU work), and outer fluxes run the same slab-exchange
-scheme as the single-device path with neighbor ids indexing the
-extended [local | halo-pool] element axis.  Every shard computes only
+subgrid blocks) are SFC-partitioned; each flux evaluation ships the
+halo blocks with neighbor-scoped ppermute rounds (parallel/partition.py),
+inner fluxes stay purely local (dense VPU work), and outer fluxes run
+the same slab-exchange scheme as the single-device path with neighbor
+ids indexing the extended [local | received-rounds] element axis.  Every shard computes only
 its own side of each face, so nothing is ever written remotely —
 replacing the reference's remote atomicAdd over CUDA IPC
 (`examples/subgrid/kernels.inl:789-801`).
@@ -30,8 +30,7 @@ from t8gpu_tpu.mesh.subgrid import _flat_cells, _tangent_grid
 from t8gpu_tpu.ops import rk
 from t8gpu_tpu.ops import subgrid as sg
 from t8gpu_tpu.parallel import halo
-from t8gpu_tpu.parallel.partition import (partition_elements, shard_array,
-                                          unshard_array)
+from t8gpu_tpu.parallel.partition import partition_elements, shard_array
 from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
 
@@ -42,9 +41,10 @@ class ShardedSubgridConnectivity:
 
     Same slab-exchange scheme as the single-device SubgridConnectivity,
     but neighbor ids index the EXTENDED element axis
-    [0, CL) local | [CL, CL + n_shards*H) halo pool, and each shard's
-    tables cover only its local elements — every shard computes its own
-    side of each face, so nothing is ever written remotely."""
+    [0, CL) local | [CL, CL + halo_size) received ppermute-round blocks,
+    and each shard's tables cover only its local elements — every shard
+    computes its own side of each face, so nothing is ever written
+    remotely."""
 
     nbr: Tuple[jnp.ndarray, ...]      # per side [S, CL, M] i32 (extended)
     rel: Tuple[jnp.ndarray, ...]      # per side [S, CL] i8
@@ -53,14 +53,20 @@ class ShardedSubgridConnectivity:
     b_cell: Tuple[jnp.ndarray, ...]   # per boundary group [S, Kb]
     b_area: Tuple[jnp.ndarray, ...]
     b_recv: Tuple[jnp.ndarray, ...]   # per boundary group [S, CL*T] i32
-    send_idx: jnp.ndarray             # i32 [S, H] local element ids
+    # neighbor-wise halo plan (see parallel/partition.py): one send list
+    # per active shard-offset round
+    send_rounds: Tuple[jnp.ndarray, ...]   # i32 [S, H_r] local element ids
 
+    halo_rounds: Tuple[int, ...] = dataclasses.field(
+        metadata=dict(static=True))
     b_groups: Tuple[Tuple[int, int], ...] = dataclasses.field(
         metadata=dict(static=True))
     has_fine: Tuple[bool, ...] = dataclasses.field(metadata=dict(static=True))
+    has_coarse: Tuple[bool, ...] = dataclasses.field(
+        metadata=dict(static=True))
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     local_capacity: int = dataclasses.field(metadata=dict(static=True))
-    halo_size: int = dataclasses.field(metadata=dict(static=True))
+    halo_size: int = dataclasses.field(metadata=dict(static=True))  # sum H_r
 
 
 def build_sharded_subgrid_connectivity(
@@ -86,24 +92,49 @@ def build_sharded_subgrid_connectivity(
     T = ext ** (dim - 1)
     g_nbr, g_rel, g_bits, g_mask = build_side_tables(forest, spec, n)
 
-    # halo send lists: elements referenced by another shard's side tables
-    send_lists = [[] for _ in range(n_shards)]
-    for k in range(2 * dim):
-        ids = g_nbr[k][:n].astype(np.int64)              # [n, M]
-        own_rows = np.repeat(owner, M).reshape(n, M)
-        own_ids = owner[ids]
-        remote = own_ids != own_rows
-        for r in range(n_shards):
-            send_lists[r].append(ids[remote & (own_ids == r)])
-    send_lists = [np.unique(np.concatenate(lst)) if lst else np.zeros(0, np.int64)
-                  for lst in send_lists]
-    H = bucket_capacity(max(max((len(x) for x in send_lists), default=1), 1),
-                        base=64)
-    send_idx = np.zeros((n_shards, H), np.int32)
-    pool_of = np.full(n, -1, np.int64)                   # global id -> pool slot
-    for r, lst in enumerate(send_lists):
-        send_idx[r, : len(lst)] = lst - starts[r]
-        pool_of[lst] = r * H + np.arange(len(lst))
+    # neighbor-wise halo plan (ghost scoping): per destination shard, the
+    # remote block ids its side tables reference, grouped by owner; each
+    # (owner -> dest) pair is one ppermute round r = (dest - owner) mod S
+    round_lists = {}
+    dest_map = []                # per dest: global id -> extended index
+    for t in range(n_shards):
+        lo, hi = bounds[t], bounds[t + 1]
+        refs = np.unique(np.concatenate(
+            [g_nbr[k][lo:hi].ravel() for k in range(2 * dim)]).astype(np.int64))
+        refs = refs[owner[refs] != t]
+        groups = []
+        for s in np.unique(owner[refs]) if len(refs) else []:
+            r = int((t - s) % n_shards)
+            lst = refs[owner[refs] == s]
+            round_lists.setdefault(r, [np.zeros(0, np.int64)] * n_shards)
+            round_lists[r][s] = lst
+            groups.append((r, lst))
+        dest_map.append(groups)
+
+    halo_rounds = tuple(sorted(round_lists))
+    H_r = {r: bucket_capacity(max(max(len(x) for x in round_lists[r]), 1),
+                              base=16)
+           for r in halo_rounds}
+    round_offset = {}
+    off = 0
+    for r in halo_rounds:
+        round_offset[r] = off
+        off += H_r[r]
+    H = off
+    send_rounds = []
+    for r in halo_rounds:
+        arr = np.zeros((n_shards, H_r[r]), np.int32)
+        for s, lst in enumerate(round_lists[r]):
+            arr[s, : len(lst)] = lst - starts[s]
+        send_rounds.append(jnp.asarray(arr))
+
+    # per-dest extended-index translation table over global element ids
+    ext_of = np.zeros((n_shards, n), np.int64)
+    for t in range(n_shards):
+        ext_of[t, bounds[t]: bounds[t + 1]] = np.arange(
+            bounds[t + 1] - bounds[t])
+        for r, lst in dest_map[t]:
+            ext_of[t, lst] = CL + round_offset[r] + np.arange(len(lst))
 
     nbrs, rels, bitss, masks = [], [], [], []
     for k in range(2 * dim):
@@ -114,9 +145,7 @@ def build_sharded_subgrid_connectivity(
         for s in range(n_shards):
             lo, hi = bounds[s], bounds[s + 1]
             ids = g_nbr[k][lo:hi].astype(np.int64)
-            local = owner[ids] == s
-            ext_ids = np.where(local, ids - starts[s], CL + pool_of[ids])
-            nbr_s[s, : hi - lo] = ext_ids
+            nbr_s[s, : hi - lo] = ext_of[s, ids]
             rel_s[s, : hi - lo] = g_rel[k][lo:hi]
             bit_s[s, : hi - lo] = g_bits[k][lo:hi]
             msk_s[s, : hi - lo] = g_mask[k][lo:hi]
@@ -152,7 +181,7 @@ def build_sharded_subgrid_connectivity(
                         elem = np.broadcast_to((be - starts[s])[:, None], (K, S_sub))
                         bc = _flat_cells(spec, elem.ravel(),
                                          [c.ravel() for c in coord],
-                                         CL + n_shards * H)
+                                         CL + H)
                         ar = np.broadcast_to(
                             ((sizes[be] * h / ext) ** (dim - 1)
                              ).astype(np.float32)[:, None], (K, S_sub)).ravel()
@@ -170,7 +199,7 @@ def build_sharded_subgrid_connectivity(
                     ars[s, : len(ar)] = ar
                     brs[s] = build_recv_map(
                         bc, CL, spec, axis, 1, sentinel=Kb,
-                        n_elems_decode=CL + n_shards * H)[:, 0]
+                        n_elems_decode=CL + H)[:, 0]
                 b_cells.append(jnp.asarray(bs))
                 b_areas.append(jnp.asarray(ars))
                 b_recvs.append(jnp.asarray(brs))
@@ -181,8 +210,10 @@ def build_sharded_subgrid_connectivity(
         mask=tuple(masks),
         b_cell=tuple(b_cells), b_area=tuple(b_areas),
         b_recv=tuple(b_recvs),
-        send_idx=jnp.asarray(send_idx), b_groups=tuple(b_groups),
+        send_rounds=tuple(send_rounds), halo_rounds=halo_rounds,
+        b_groups=tuple(b_groups),
         has_fine=tuple(bool((r[:n] == 1).any()) for r in g_rel),
+        has_coarse=tuple(bool((r[:n] == -1).any()) for r in g_rel),
         n_shards=n_shards, local_capacity=CL, halo_size=H)
     return conn, bounds
 
@@ -190,15 +221,28 @@ def build_sharded_subgrid_connectivity(
 def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
                                     gamma: float, flux: str):
     """Per-shard flux divergence [5, *ext, CL] + GLOBAL max wave speed.
-    Runs inside shard_map; one block halo all_gather per call.
-    Element-minor layout throughout (see ops/subgrid.py)."""
-    D, sp_i = sg.inner_divergence(u, volumes, spec, gamma, flux)
+    Runs inside shard_map; one set of halo ppermute rounds per call.
+    Element-minor layout throughout (see ops/subgrid.py).
 
-    send = u[..., conn.send_idx]                         # [5, *ext, H]
-    pool = jax.lax.all_gather(send, halo.AXIS)           # [S, 5, *ext, H]
-    pool = jnp.moveaxis(pool, 0, -2)                     # [5, *ext, S, H]
-    pool = pool.reshape(pool.shape[: spec.dim + 1] + (-1,))
-    u_ext = jnp.concatenate([u, pool], axis=-1)          # [5, *ext, CL+S*H]
+    The halo exchange ships raw 5-row states over ICI; per-cell fields
+    (ops/euler.cell_fields) are then computed once on the extended element
+    axis and shared by the inner stencil, the slab-exchange outer pass and
+    the wall fluxes."""
+    S = conn.n_shards
+    parts = [u]
+    for r, idx in zip(conn.halo_rounds, conn.send_rounds):
+        send = u[..., idx]                               # [5, *ext, H_r]
+        perm = [(s, (s + r) % S) for s in range(S)]
+        parts.append(jax.lax.ppermute(send, halo.AXIS, perm))
+    u_ext = jnp.concatenate(parts, axis=-1)              # [5, *ext, CL+H]
+
+    CL = u.shape[-1]
+    from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+    q_ext = maybe_barrier(
+        cell_fields_tuple(u_ext, gamma, flux))
+    q_loc = tuple(r[..., :CL] for r in q_ext)
+
+    D, sp_i = sg.inner_divergence_fields(q_loc, volumes, spec, gamma, flux)
     speed = sp_i
 
     # slab-exchange outer fluxes, same scheme as ops/subgrid.outer_apply but
@@ -211,25 +255,29 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
     area_t = (h_e / ext) ** n_t
     area_v = area_t / (2 ** n_t)
     for a in range(dim):
+        q_rot = sg.fields_axis_rotate(q_ext, a)          # tuple: free
         for s_i, sign in ((0, 1), (1, -1)):
             k = 2 * a + s_i
             nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
                                     conn.bits[k], conn.mask[k])
             hi = sign > 0
-            my_layer = jax.lax.index_in_dim(
-                u, ext - 1 if hi else 0, axis=1 + a, keepdims=False)
-            opp_layer = jax.lax.index_in_dim(
-                u_ext, 0 if hi else ext - 1, axis=1 + a, keepdims=False)
-            nb = sg._gather_layers(opp_layer, nbr)
+            my_layer = jnp.stack([
+                jax.lax.index_in_dim(r[..., :CL], ext - 1 if hi else 0,
+                                     axis=a, keepdims=False)
+                for r in q_rot])
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in q_rot])
+            nb = sg._gather_layers(
+                opp_layer, nbr if conn.has_fine[k] else nbr[:, :1])
             base = nb[..., 0]
 
             r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
-            other = jnp.where(r < 0, sg._coarse_window(base, bits, spec),
-                              base)
-            u_l, u_r = (my_layer, other) if hi else (other, my_layer)
-            f, sp = sg.numerical_flux(sg.axis_rotate(u_l, a),
-                                      sg.axis_rotate(u_r, a),
-                                      gamma=gamma, flux=flux)
+            other = (jnp.where(r < 0,
+                               sg._coarse_window(base, bits, spec), base)
+                     if conn.has_coarse[k] else base)
+            q_l, q_r = (my_layer, other) if hi else (other, my_layer)
+            f, sp = sg.fields_flux(q_l, q_r, gamma=gamma, flux=flux)
             w1 = mask * area_t * (rel <= 0)
             f = (sg.axis_unrotate(f, a)
                  * w1.reshape((1,) * (f.ndim - 1) + (-1,)))
@@ -240,10 +288,8 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
             if conn.has_fine[k]:
                 fine = sg._fine_interleave(nb, spec)
                 mine = sg._upsample2(my_layer, t_axes)
-                u_l, u_r = (mine, fine) if hi else (fine, mine)
-                f2, sp2 = sg.numerical_flux(sg.axis_rotate(u_l, a),
-                                            sg.axis_rotate(u_r, a),
-                                            gamma=gamma, flux=flux)
+                q_l, q_r = (mine, fine) if hi else (fine, mine)
+                f2, sp2 = sg.fields_flux(q_l, q_r, gamma=gamma, flux=flux)
                 w2 = mask * area_v * (rel > 0)
                 f2 = (sg.axis_unrotate(f2, a)
                       * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
@@ -255,15 +301,17 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
             D = sg._slab_add(D, contrib.reshape(contrib.shape[0], -1), a,
                              layer_hi=hi, spec=spec)
 
-    u_ext_flat = u_ext.reshape(u.shape[0], -1)
+    q_ext_flat = tuple(r.reshape(-1) for r in q_ext)
     for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
                                         conn.b_area, conn.b_recv):
-        u_own = sg.axis_rotate(u_ext_flat[:, bc], axis)
-        u_ghost = u_own.at[1].multiply(-1.0)
+        from t8gpu_tpu.ops.euler import fields_mirror
+        q_own = sg.fields_axis_rotate(tuple(r[bc] for r in q_ext_flat),
+                                      axis)
+        q_ghost = fields_mirror(q_own)
         if sign > 0:
-            f, sp = sg.numerical_flux(u_own, u_ghost, gamma=gamma, flux=flux)
+            f, sp = sg.fields_flux(q_own, q_ghost, gamma=gamma, flux=flux)
         else:
-            f, sp = sg.numerical_flux(u_ghost, u_own, gamma=gamma, flux=flux)
+            f, sp = sg.fields_flux(q_ghost, q_own, gamma=gamma, flux=flux)
         f = sg.axis_unrotate(f, axis) * ar
         f_pad = jnp.concatenate([f, jnp.zeros((5, 1), f.dtype)], axis=1)
         c = f_pad[:, br]
@@ -275,7 +323,13 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
 
 
 class ShardedSubgridEulerSolver:
-    """Subgrid Euler solver distributed over a 1D device mesh."""
+    """Subgrid Euler solver distributed over a 1D device mesh.
+
+    State layout: ONE global jax.Array [5, *ext, S*CL] sharded on the
+    minor element axis (P(None, ..., "sfc")); see parallel/solver.py for
+    the rationale — the AMR remap runs as a global device gather with an
+    output sharding constraint, and compiled step programs persist across
+    adapts at equal capacity buckets."""
 
     def __init__(self, forest: Forest, spec: SubgridSpec,
                  ic: Callable[[np.ndarray], np.ndarray],
@@ -289,54 +343,62 @@ class ShardedSubgridEulerSolver:
         self.mesh_dev = Mesh(np.asarray(devices), axis_names=(halo.AXIS,))
         self.n_shards = len(devices)
         self._max_speed = None
+        self._steps = {}
+        self._speed_fn = None
         from t8gpu_tpu.mesh.subgrid import cell_centers
         u0 = np.asarray(ic(cell_centers(forest, spec)), np.float32)
         u0 = u0.reshape((u0.shape[0], forest.n_elements) + spec.extents)
         # internal layout is element-minor: [5, *ext, N]
-        self._install(forest, np.moveaxis(u0, 1, -1))
+        self._install(forest, u_host=np.moveaxis(u0, 1, -1))
 
-    def _install(self, forest: Forest, u_global: np.ndarray):
+    def _u_spec(self) -> P:
+        return P(*((None,) * (self.spec.dim + 1)), halo.AXIS)
+
+    def _install(self, forest: Forest, u_host=None, u_dev=None):
         self.forest = forest
         conn, bounds = build_sharded_subgrid_connectivity(
             forest, self.spec, self.n_shards)
         self.bounds = bounds
         CL = conn.local_capacity
+        self.local_capacity = CL
         dim = self.spec.dim
         B = self.spec.size
 
         volumes = forest.volumes().astype(np.float32)
-        vol = shard_array(volumes, bounds, CL)
-        inv = shard_array((B / volumes).astype(np.float32), bounds, CL)
-        # pad state element slots with the guard state (element-minor:
-        # u_global is [5, *ext, N], shards slice/pad the minor axis)
-        from t8gpu_tpu.models.subgrid_euler import GUARD_STATE
-        u_stacked = np.empty((self.n_shards, 5) + self.spec.extents + (CL,),
-                             np.float32)
-        u_stacked[:] = GUARD_STATE.reshape((1, 5) + (1,) * (dim + 1))
-        for s in range(self.n_shards):
-            lo, hi = bounds[s], bounds[s + 1]
-            u_stacked[s, ..., : hi - lo] = u_global[..., lo:hi]
+        vol = shard_array(volumes, bounds, CL).reshape(-1)
+        inv = shard_array((B / volumes).astype(np.float32),
+                          bounds, CL).reshape(-1)
+        if u_dev is None:
+            # pad state element slots with the guard state (element-minor:
+            # u_host is [5, *ext, N], shards slice/pad the minor axis)
+            from t8gpu_tpu.models.subgrid_euler import GUARD_STATE
+            u_flat = np.empty((5,) + self.spec.extents + (self.n_shards * CL,),
+                              np.float32)
+            u_flat[:] = GUARD_STATE.reshape((5,) + (1,) * (dim + 1))
+            for s in range(self.n_shards):
+                lo, hi = bounds[s], bounds[s + 1]
+                u_flat[..., s * CL: s * CL + hi - lo] = u_host[..., lo:hi]
+            u_dev = jnp.asarray(u_flat)
 
-        shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
-        self.conn = jax.device_put(conn, shard)
-        self.u = jax.device_put(jnp.asarray(u_stacked), shard)
-        self.volumes = jax.device_put(jnp.asarray(vol), shard)
-        self.inv_cell_volume = jax.device_put(jnp.asarray(inv), shard)
-        self._step = self._build_step()
-        self._multi = {}
+        conn_shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
+        e_shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
+        self.conn = jax.device_put(conn, conn_shard)
+        self.u = jax.device_put(
+            u_dev, NamedSharding(self.mesh_dev, self._u_spec()))
+        self.volumes = jax.device_put(jnp.asarray(vol), e_shard)
+        self.inv_cell_volume = jax.device_put(jnp.asarray(inv), e_shard)
 
     def _build_step(self, n_steps: int = 1):
         gamma, flux = self.config.gamma, self.config.flux
-        spec_p = P(halo.AXIS)
         sgspec = self.spec
+        u_spec = self._u_spec()
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
-            in_specs=(spec_p, spec_p, spec_p, spec_p, P()),
-            out_specs=(spec_p, P()))
+            in_specs=(u_spec, P(halo.AXIS), P(halo.AXIS), P(halo.AXIS), P()),
+            out_specs=(u_spec, P()))
         def step(u, conn, volumes, inv_cv, dt):
-            u, conn, volumes, inv_cv = jax.tree.map(
-                lambda x: x[0], (u, conn, volumes, inv_cv))
+            conn = jax.tree.map(lambda x: x[0], conn)
             flux_fn = lambda v: sharded_subgrid_flux_divergence(
                 v, volumes, conn, sgspec, gamma, flux)
 
@@ -344,72 +406,113 @@ class ShardedSubgridEulerSolver:
                 v, _ = carry
                 return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
 
-            u_next, speed = jax.lax.fori_loop(
+            return jax.lax.fori_loop(
                 0, n_steps, body, (u, jnp.zeros((), u.dtype)))
-            return u_next[None], speed
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def _get_step(self, n_steps: int):
+        fn = self._steps.get(n_steps)
+        if fn is None:
+            fn = self._steps[n_steps] = self._build_step(n_steps)
+        return fn
+
     def iterate(self, dt: float):
-        self.u, self._max_speed = self._step(
+        self.u, self._max_speed = self._get_step(1)(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt))
 
     def iterate_many(self, n_steps: int, dt: float):
         """n_steps fused RK3 steps in one dispatch (collectives inside)."""
-        fn = self._multi.get(n_steps)
-        if fn is None:
-            fn = self._multi[n_steps] = self._build_step(n_steps)
-        self.u, self._max_speed = fn(
+        self.u, self._max_speed = self._get_step(n_steps)(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt))
 
+    def _build_speed(self):
+        gamma, flux = self.config.gamma, self.config.flux
+        sgspec = self.spec
+
+        @functools.partial(
+            jax.shard_map, mesh=self.mesh_dev,
+            in_specs=(self._u_spec(), P(halo.AXIS), P(halo.AXIS)),
+            out_specs=P())
+        def speed(u, conn, volumes):
+            conn = jax.tree.map(lambda x: x[0], conn)
+            _, sp = sharded_subgrid_flux_divergence(
+                u, volumes, conn, sgspec, gamma, flux)
+            return sp
+
+        return jax.jit(speed)
+
     def adapt(self):
-        """Distributed AMR: local H1 criteria -> host adapt -> subgrid remap
-        -> SFC repartition + reshard (ref solver.inl:327-345)."""
-        crit_stacked = np.asarray(jax.jit(
-            jax.vmap(sg.h1_criteria, in_axes=(0, 0, None)),
-            static_argnums=(2,))(self.u, self.volumes, self.spec))
-        crit = unshard_array(crit_stacked, self.bounds)
+        """Distributed AMR: local H1 criteria -> host adapt -> DEVICE-side
+        subgrid remap (global gather with output resharding, see
+        parallel/solver.adapt) -> fresh connectivity
+        (ref solver.inl:327-345, mesh_manager.inl:625-723).  Only the
+        criteria and the integer index plan cross the host boundary."""
+        crit_fn = jax.jit(sg.h1_criteria, static_argnums=(2,))
+        crit_flat = np.asarray(crit_fn(self.u, self.volumes, self.spec))
+        crit = _unpad_flat(crit_flat, self.bounds, self.local_capacity)
 
         flags = self.forest.flags_from_criteria(
             crit, b=self.amr.refine_threshold,
             min_level=self.amr.min_level, max_level=self.amr.max_level)
         flags = self.forest.balance_flags(flags)
-        new_forest, remap = self.forest.adapt(flags)
+        old_forest, old_bounds, old_CL = (self.forest, self.bounds,
+                                          self.local_capacity)
+        new_forest, remap = old_forest.adapt(flags)
 
-        u_global = jnp.asarray(self._gather_state())
+        # host index plan in padded-global coordinates
+        from t8gpu_tpu.memory.store import bucket_capacity
+        k = 1 << old_forest.dim
+        n_old = old_forest.n_elements
         n_new = new_forest.n_elements
-        src = np.zeros(n_new, np.int32)
-        refined = np.zeros(n_new, bool)
-        child = np.zeros(n_new, np.int32)
-        coarsened = np.zeros(n_new, bool)
-        src[:] = remap.src_start
-        refined[:] = remap.level_change > 0
-        child[:] = remap.child_id
-        coarsened[:] = remap.src_count > 1
-        u_new = np.asarray(sg.apply_subgrid_remap(
-            u_global, jnp.asarray(src), jnp.asarray(refined),
-            jnp.asarray(child), jnp.asarray(coarsened),
-            spec=self.spec, capacity=n_new))
-        self._install(new_forest, u_new)
-        self._max_speed = None
+        bounds = partition_elements(n_new, self.n_shards)
+        CL = bucket_capacity(int((bounds[1:] - bounds[:-1]).max()))
 
-    def _gather_state(self) -> np.ndarray:
-        """Internal element-minor global state [5, *ext, N]."""
-        stacked = np.asarray(self.u)
-        parts = [stacked[s][..., : self.bounds[s + 1] - self.bounds[s]]
-                 for s in range(self.n_shards)]
-        return np.concatenate(parts, axis=-1)
+        old_owner = np.searchsorted(old_bounds, np.arange(n_old),
+                                    side="right") - 1
+        old_pos = (old_owner * old_CL
+                   + (np.arange(n_old) - old_bounds[old_owner])).astype(np.int32)
+        new_owner = np.searchsorted(bounds, np.arange(n_new),
+                                    side="right") - 1
+        new_pos = (new_owner * CL
+                   + (np.arange(n_new) - bounds[new_owner]))
+
+        cap = self.n_shards * CL
+        src = np.zeros(cap, np.int32)
+        refined = np.zeros(cap, bool)
+        child = np.zeros(cap, np.int32)
+        coarsened = np.zeros(cap, bool)
+        fam = np.zeros((cap, k), np.int32)
+        src[new_pos] = old_pos[remap.src_start]
+        refined[new_pos] = remap.level_change > 0
+        child[new_pos] = remap.child_id
+        coarsened[new_pos] = remap.src_count > 1
+        fam_el = np.minimum(remap.src_start[:, None] + np.arange(k)[None, :],
+                            n_old - 1)
+        fam[new_pos] = old_pos[fam_el]
+
+        out_sh = NamedSharding(self.mesh_dev, self._u_spec())
+        u_new = sg.apply_subgrid_remap_gathered(
+            self.u, jnp.asarray(src), jnp.asarray(refined),
+            jnp.asarray(child), jnp.asarray(coarsened), jnp.asarray(fam),
+            spec=self.spec, capacity=cap)
+        u_new = jax.jit(
+            lambda x: jax.lax.with_sharding_constraint(x, out_sh))(u_new)
+        self._install(new_forest, u_dev=u_new)
+        self._max_speed = None
+        self._speed_fn = None   # capacity may have changed shape signature
 
     def compute_integral(self) -> float:
-        cv = self.volumes / self.spec.size            # [S, CL]
-        cv = cv.reshape((self.n_shards,) + (1,) * self.spec.dim + (-1,))
-        return float((self.u[:, 0] * cv).sum())
+        cv = self.volumes / self.spec.size            # [S*CL]
+        return float((self.u[0] * cv).sum())
 
     def compute_timestep(self) -> float:
         if self._max_speed is None:
-            self.iterate(0.0)
+            if self._speed_fn is None:
+                self._speed_fn = self._build_speed()
+            self._max_speed = self._speed_fn(self.u, self.conn, self.volumes)
         h_min = 0.5 ** int(self.forest.level.max()) / self.spec.extent
         return float(self.config.cfl * h_min / float(self._max_speed))
 
@@ -419,4 +522,15 @@ class ShardedSubgridEulerSolver:
 
     def conserved_state(self) -> np.ndarray:
         """Global unpadded [5, N, *ext] (element-major external order)."""
-        return np.moveaxis(self._gather_state(), -1, 1)
+        flat = _unpad_flat(np.asarray(self.u), self.bounds,
+                           self.local_capacity)
+        return np.moveaxis(flat, -1, 1)
+
+
+def _unpad_flat(flat: np.ndarray, bounds: np.ndarray, CL: int) -> np.ndarray:
+    """[..., S*CL] padded-global -> [..., N] unpadded global."""
+    parts = []
+    for s in range(len(bounds) - 1):
+        lo = s * CL
+        parts.append(flat[..., lo: lo + bounds[s + 1] - bounds[s]])
+    return np.concatenate(parts, axis=-1)

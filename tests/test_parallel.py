@@ -90,34 +90,51 @@ def test_sharded_amr_cycle():
 
 
 def test_halo_exchange_collective_layout():
-    """The sharded connectivity references every remote element through the
-    halo pool; pool slots resolve to the correct global elements."""
+    """Neighbor-scoped halo plan: every remote reference resolves to a
+    valid received-round slot, and extended indices stay inside
+    CL + halo_size (the received pool, NOT an all-gather of every shard)."""
     forest = Forest.uniform(3, dim=2)
     conn, bounds = build_sharded_connectivity(
         forest.build_faces(), forest.n_elements, 8)
     CL, H = conn.local_capacity, conn.halo_size
-    send = np.asarray(conn.send_idx)
-    starts = bounds[:-1]
-    # reconstruct: extended index CL + s*H + p  ->  global element
     left = np.asarray(conn.left)
+    right = np.asarray(conn.right)
     area = np.asarray(conn.area)
-    f = forest.build_faces()
-    global_faces = set()
-    for i in range(len(f["left"])):
-        a = int(np.argmax(np.abs(f["normal"][:, i])))
-        global_faces.add((int(f["left"][i]), int(f["right"][i]), a,
-                          int(np.sign(f["normal"][a, i]))))
     for s in range(8):
-        for j in range(left.shape[1]):
-            if area[s, j] == 0:
-                continue
-            li = left[s, j]
-            if li < CL:
-                g = starts[s] + li
-            else:
-                r, p = divmod(li - CL, H)
-                g = starts[r] + send[r, p]
-            assert 0 <= g < forest.n_elements
+        live = area[s] > 0
+        assert left[s, live].max(initial=0) < CL + H
+        assert right[s, live].max(initial=0) < CL + H
+    # with a 1-D SFC split of a periodic 2D mesh, only a handful of shard
+    # offsets carry traffic (adjacent shards + SFC jumps) — neighbor
+    # scoping, ref ghost layer mesh_manager.h:189-229
+    assert 1 <= len(conn.halo_rounds) <= 6
+
+
+def test_halo_pool_stays_local_as_shards_grow():
+    """The received halo pool is O(local boundary), not O(S * boundary):
+    it stays within a small factor of the actual per-shard remote need
+    (bucket rounding) and far below the round-1 all-gather pool."""
+    from t8gpu_tpu.memory.store import bucket_capacity
+
+    forest = Forest.uniform(5, dim=2)
+    faces = forest.build_faces()
+    for S in (4, 8):
+        conn, bounds = build_sharded_connectivity(
+            faces, forest.n_elements, S)
+        owner = np.searchsorted(bounds, np.arange(forest.n_elements),
+                                side="right") - 1
+        gl, gr = faces["left"], faces["right"]
+        ol, orr = owner[gl], owner[gr]
+        need = 0
+        for t in range(S):
+            sel = (ol == t) | (orr == t)
+            refs = np.unique(np.concatenate(
+                [gl[sel & (ol != t)], gr[sel & (orr != t)]]))
+            need = max(need, len(refs))
+        # pool within bucket-rounding of the actual need...
+        assert conn.halo_size <= 4 * bucket_capacity(need, base=16)
+        # ...and far below the all-gather pool S * bucket(need)
+        assert conn.halo_size < S * bucket_capacity(need, base=64)
 
 
 def test_sharded_iterate_many_matches_loop():
