@@ -1,8 +1,13 @@
 """Flagship benchmark: DOF-updates/sec/chip on 3D Euler Kelvin-Helmholtz,
 subgrid elements (the BASELINE.json north-star metric).
 
-Prints ONE JSON line:
+Default invocation prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+`--config amr` / `--config sphere` / `--config all` additionally measure
+the dynamic-AMR cycle (BASELINE config 2/3+AMR: steps with adapt-every-50
+included, so host forest work + recompile churn show up) and the
+spherical-shell flagship (BASELINE config 4), one JSON line each.
 
 The reference publishes no numbers (BASELINE.md): `vs_baseline` is measured
 against a fixed nominal target of 1e9 cell-updates/s/chip — a rough
@@ -11,6 +16,7 @@ engineering estimate of the CUDA reference's subgrid throughput on an A100
 faster than that nominal A100 figure.
 """
 
+import argparse
 import json
 import time
 
@@ -19,9 +25,7 @@ import numpy as np
 NOMINAL_A100_DOF_RATE = 1.0e9  # cell-updates/s, see module docstring
 
 
-def main():
-    from t8gpu_tpu.utils.cache import enable_persistent_cache
-    enable_persistent_cache()
+def bench_flagship():
     from t8gpu_tpu.memory.subgrid import SubgridSpec
     from t8gpu_tpu.mesh.forest import Forest
     from t8gpu_tpu.mesh.subgrid import SubgridMesh
@@ -30,7 +34,7 @@ def main():
 
     # 4096 elements x 8^3 cells = 2.1M DOF on the uniform 128^3 grid.
     # Subgrid<8,8,8> computes the IDENTICAL discretization as level-5
-    # Subgrid<4,4,4> (cell-exact equivalence is tested) but 1.5x faster —
+    # Subgrid<4,4,4> (cell-exact equivalence is tested) but faster —
     # larger blocks amortize the outer-face work (BENCHMARKS.md).
     level, dim = 3, 3
     mesh = SubgridMesh.from_forest(Forest.uniform(level + 1, dim=dim),
@@ -63,6 +67,98 @@ def main():
         "unit": "cell-updates/s",
         "vs_baseline": value / NOMINAL_A100_DOF_RATE,
     }))
+
+
+def bench_amr():
+    """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
+    with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
+    host forest work, remaps and any recompiles."""
+    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4x4
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.models.subgrid_euler import (SubgridCompressibleEulerSolver,
+                                                subgrid_manager)
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=0.02)
+    mgr = subgrid_manager(Forest.uniform(4, dim=3), SUBGRID_4x4x4, amr)
+    solver = SubgridCompressibleEulerSolver(mgr, lambda c: kh_planar(c, dim=3))
+    dt = solver.compute_timestep()
+
+    # warm the initial bucket
+    solver.iterate_many(50, dt)
+    solver.u.block_until_ready()
+
+    steps, adapt_every = 300, 50
+    cells_advanced = 0
+    t0 = time.perf_counter()
+    for _ in range(steps // adapt_every):
+        solver.iterate_many(adapt_every, dt)
+        cells_advanced += (solver.n_elements * solver.spec.size) * adapt_every
+        solver.adapt()
+    solver.u.block_until_ready()
+    wall = time.perf_counter() - t0
+    assert np.isfinite(solver.conserved_state()).all()
+    print(json.dumps({
+        "metric": "AMR-cycle throughput (3D KH subgrid, adapt every 50, "
+                  f"{solver.n_elements} elems final)",
+        "value": cells_advanced / wall,
+        "unit": "cell-updates/s (incl. adapt cycles)",
+        "vs_baseline": cells_advanced / wall / NOMINAL_A100_DOF_RATE,
+    }))
+
+
+def bench_sphere():
+    """Spherical-shell flagship (BASELINE config 4): plain elements on the
+    prismed icosahedral shell with dynamic AMR every 100 steps
+    (ref main.cu:23-38)."""
+    from t8gpu_tpu.mesh.shell_forest import shell_manager
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    mgr = shell_manager(subdiv=2, level=1,
+                        amr=AMRConfig(min_level=0, max_level=2,
+                                      refine_threshold=10.0))
+    solver = CompressibleEulerSolver(mgr, kh_sphere)
+    dt = 5e-4                      # ref main.cu:30
+    solver.iterate_many(100, dt)
+    solver.u.block_until_ready()
+
+    steps, adapt_every = 300, 100
+    elems_advanced = 0
+    t0 = time.perf_counter()
+    for _ in range(steps // adapt_every):
+        solver.iterate_many(adapt_every, dt)
+        elems_advanced += solver.n_elements * adapt_every
+        solver.adapt()
+    solver.u.block_until_ready()
+    wall = time.perf_counter() - t0
+    assert np.isfinite(solver.conserved_state()).all()
+    print(json.dumps({
+        "metric": "shell flagship (prismed icosahedral shell, AMR every "
+                  f"100, {solver.n_elements} prisms final)",
+        "value": elems_advanced / wall,
+        "unit": "elem-updates/s (incl. adapt cycles)",
+        "vs_baseline": elems_advanced / wall / NOMINAL_A100_DOF_RATE,
+    }))
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="flagship",
+                   choices=("flagship", "amr", "sphere", "all"))
+    args = p.parse_args()
+
+    from t8gpu_tpu.utils.cache import enable_persistent_cache
+    enable_persistent_cache()
+
+    if args.config in ("flagship", "all"):
+        bench_flagship()
+    if args.config in ("amr", "all"):
+        bench_amr()
+    if args.config in ("sphere", "all"):
+        bench_sphere()
 
 
 if __name__ == "__main__":

@@ -1,25 +1,32 @@
 """Pallas TPU kernels for the hot compute paths.
 
-`inner_divergence_pallas` fuses the whole per-element interior-flux
-stencil (3 axis sweeps x KEPES/HLL + divergence accumulation,
-ref compute_inner_fluxes examples/subgrid/kernels.inl:335-662) into one
-kernel over element tiles: the state tile is loaded into VMEM once,
-every interface flux and the divergence are computed in registers, and
-only D (+ a per-element speed bound) is written back — removing the
-intermediate materializations XLA's fusion sometimes spills between the
-slice / flux / pad stages.
+`fused_flux_pallas` evaluates the WHOLE per-element surface-flux
+divergence of the subgrid scheme (interior stencil + equal/coarser mesh
+faces) in ONE kernel pass per element tile — the restructured kernel the
+round-1 notes called for (kernels over 2-D [row, lane] tiles):
 
-Element-minor layout [5, *ext, E] as everywhere; the grid runs over
-element tiles of TILE lanes.
+  * the state tile lives in VMEM as [C, 8(x), 8(y), 8(z), TE] blocks —
+    x, y are loop dims, (z=8 sublanes, TE lanes) is exactly one float32
+    tile, so every shift is either a loop reindex (x, y) or a sublane
+    roll (z) and no Mosaic relayouts occur (the failure mode of the
+    round-1 [5, 4, 4, 4, T] kernel);
+  * per axis, ONE flux evaluation covers all 8 interfaces per cell row:
+    the "next" state is the rolled tile with the LAST slot substituted by
+    the (pre-resolved) neighbor layer, so interior and mesh-face fluxes
+    share the same vector code; a small extra pass adds the low-side
+    mesh-face interface;
+  * only D (+ a per-element speed bound) is written back: none of the
+    [5, 7, 8, 8, E]-sized interface intermediates that the XLA stencil
+    materializes in HBM ever leave VMEM.
 
-STATUS (round 1, measured on v5e): bit-exact vs the XLA stencil, but
-currently ~1000x SLOWER (3.9 s vs 3.4 ms per eval at 2.1 M cells) — the
-small leading block axes ([5, 4, 4, 4, T]) force Mosaic relayouts/scalar
-loops around every slice.  A fast version needs the kernel restructured
-over 2-D [row, lane] tiles with explicit row arithmetic for the stencil
-offsets.  Kept as an opt-in (flux_divergence(use_pallas=True)) and a
-correctness-tested starting point; XLA's fusion of the same stencil is
-the production path.
+The reference counterpart is compute_inner_fluxes + compute_outer_fluxes
+(examples/subgrid/kernels.inl:335-911, one CUDA block per element with
+__shared__ staging + per-face atomicAdd); virtual-fine (hanging 2:1)
+contributions and reflective walls remain XLA-side additive passes, so
+AMR meshes work unchanged (ops/subgrid.flux_divergence dispatches).
+
+`inner_divergence_pallas` (the round-1 inner-only kernel) is kept for
+comparison and correctness history.
 """
 
 from __future__ import annotations
@@ -29,12 +36,136 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from t8gpu_tpu.memory.subgrid import SubgridSpec
+from t8gpu_tpu.ops.euler import AXIS_ROTATE, N_FIELDS, fields_flux
 from t8gpu_tpu.ops.euler import numerical_flux
 from t8gpu_tpu.ops.subgrid import axis_rotate, axis_unrotate
 
 DEFAULT_TILE = 1024
+
+
+def _rows_rotate(rows, axis):
+    """Tuple-of-rows face-frame rotation (free row reordering)."""
+    if axis == 0:
+        return rows
+    p = AXIS_ROTATE[axis]
+    return (rows[0], rows[p[1]], rows[p[2]], rows[p[3]]) + tuple(rows[4:])
+
+
+def _flux_unrotate_rows(f, axis):
+    """Rotate a stacked 5-row flux back from the +axis frame."""
+    if axis == 0:
+        return f
+    inv = {0: (0, 1, 2, 3, 4), 1: (0, 2, 1, 3, 4), 2: (0, 2, 3, 1, 4)}[axis]
+    return jnp.stack([f[i] for i in inv])
+
+
+def _fused_kernel(q_ref, w_ref, o0, o1, o2, o3, o4, o5, d_ref, sp_ref, *,
+                  gamma: float, flux: str):
+    """One element tile: q [C, 8, 8, 8, TE]; w [8, TE] (row 0 = interior
+    cell-face surface, rows 1..6 = the six sides' mesh-face weights
+    mask*area*(rel<=0), in side order k = 2*axis + (0 hi, 1 lo));
+    o<k> [C, 8, 8, TE] = the pre-resolved neighbor facing layer of side k.
+    Outputs: d [5, 8, 8, 8, TE] divergence, sp [8, TE] (row-replicated
+    per-element max wave speed)."""
+    C = q_ref.shape[0]
+    TE = q_ref.shape[-1]
+    q = tuple(q_ref[i] for i in range(C))             # rows [8, 8, 8, TE]
+    surface = w_ref[0]                                # [TE]
+    others = (o0, o1, o2, o3, o4, o5)
+
+    D = jnp.zeros((5, 8, 8, 8, TE), q[0].dtype)
+    speed = jnp.zeros((8, 8, 8, TE), q[0].dtype)
+    interior_ok = (surface > 0).astype(q[0].dtype)
+
+    for a in range(3):
+        qa = _rows_rotate(q, a)
+        hi = _rows_rotate(tuple(others[2 * a][i] for i in range(C)), a)
+        lo = _rows_rotate(tuple(others[2 * a + 1][i] for i in range(C)), a)
+        w_hi = w_ref[1 + 2 * a]                       # [TE]
+        w_lo = w_ref[2 + 2 * a]
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 8, TE), a)
+        at_end = idx == 7
+
+        # next state: shift -1 along axis a, last slot <- hi neighbor layer
+        def shift_next(r, h):
+            rolled = jnp.roll(r, -1, axis=a)
+            return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+
+        nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
+        f, sp = fields_flux(qa, nxt, gamma=gamma, flux=flux)
+        # interface weight: interior surface everywhere, side weight at end
+        wgt = jnp.where(at_end, w_hi, surface)
+        f = _flux_unrotate_rows(f, a) * wgt
+        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype),
+                          interior_ok)
+        speed = jnp.maximum(speed, sp * sp_ok)
+
+        # low-side mesh-face interface on the first slot
+        q0 = tuple(jax.lax.index_in_dim(r, 0, axis=a, keepdims=True)
+                   for r in qa)
+        lo_e = tuple(jnp.expand_dims(h, a) for h in lo)
+        f_lo, sp_lo = fields_flux(lo_e, q0, gamma=gamma, flux=flux)
+        f_lo = _flux_unrotate_rows(f_lo, a) * w_lo
+        speed = jnp.maximum(
+            speed,
+            jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
+
+        # divergence: D[c] += f[c-1] - f[c]; f[-1] is the low-side flux
+        prev = jnp.roll(f, 1, axis=1 + a)
+        prev = jnp.where(idx == 0, f_lo, prev)
+        D = D + prev - f
+
+    d_ref[...] = D
+    smax = speed.max(axis=(0, 1, 2))                  # [TE]
+    sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "tile", "interpret"))
+def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
+                      gamma: float, flux: str, tile: int = 256,
+                      interpret: bool = False):
+    """Fused interior + equal/coarse mesh-face flux divergence.
+
+    q: [C, 8, 8, 8, E] stacked cell fields; weights: [8, E]; others: 6
+    arrays [C, 8, 8, E].  Returns (D [5, 8, 8, 8, E], speed [E])."""
+    C = q.shape[0]
+    E = q.shape[-1]
+    while E % tile:
+        tile //= 2
+    grid = (E // tile,)
+
+    def idx5(i):
+        return (0, 0, 0, 0, i)
+
+    def idx4(i):
+        return (0, 0, 0, i)
+
+    def idx2(i):
+        return (0, i)
+
+    D, sp = pl.pallas_call(
+        functools.partial(_fused_kernel, gamma=gamma, flux=flux),
+        grid=grid,
+        in_specs=[pl.BlockSpec((C, 8, 8, 8, tile), idx5),
+                  pl.BlockSpec((8, tile), idx2)]
+                 + [pl.BlockSpec((C, 8, 8, tile), idx4)] * 6,
+        out_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+                   pl.BlockSpec((8, tile), idx2)],
+        out_shape=[jax.ShapeDtypeStruct((5, 8, 8, 8, E), q.dtype),
+                   jax.ShapeDtypeStruct((8, E), q.dtype)],
+        interpret=interpret,
+    )(q, weights, *others)
+    return D, sp[0]
+
+
+# ---------------------------------------------------------------------------
+# Round-1 inner-only kernel (kept for comparison; see module docstring).
+# ---------------------------------------------------------------------------
 
 
 def _kernel(u_ref, vol_ref, d_ref, sp_ref, *, spec: SubgridSpec,
@@ -72,8 +203,8 @@ def inner_divergence_pallas(u: jnp.ndarray, volumes: jnp.ndarray,
                             spec: SubgridSpec, gamma: float, flux: str,
                             tile: int = DEFAULT_TILE,
                             interpret: bool = False):
-    """Drop-in replacement for ops.subgrid.inner_divergence
-    ([5, *ext, Ecap] -> (D, max_speed)); requires Ecap % tile == 0."""
+    """Round-1 inner-flux-only kernel ([5, *ext, Ecap] -> (D, max_speed));
+    requires Ecap % tile == 0.  Superseded by fused_flux_pallas."""
     E = u.shape[-1]
     if E % tile:
         tile = max(t for t in (512, 256, 128) if E % t == 0) if any(

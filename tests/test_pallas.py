@@ -25,3 +25,40 @@ def test_pallas_inner_matches_xla(dim, spec, flux):
     np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_allclose(float(sp1), float(sp0), rtol=1e-6)
+
+
+def _fused_vs_xla(forest, flux):
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+
+    spec = SubgridSpec((8, 8, 8))
+    mesh = SubgridMesh.from_forest(forest, spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=3))
+    D0, sp0 = sg.flux_divergence(s.u, s.volumes, s.conn, spec, 1.4, flux)
+
+    from t8gpu_tpu.ops.euler import cell_fields_tuple
+    from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
+
+    q = cell_fields_tuple(s.u, 1.4, flux)
+    others, weights = sg.pallas_side_inputs(q, s.conn, spec, s.volumes)
+    D1, sp_e = fused_flux_pallas(jnp.stack(q), weights, others,
+                                 gamma=1.4, flux=flux, interpret=True)
+    D1, sp_f = sg.outer_fine_apply(D1, q, s.conn, spec, s.volumes, 1.4, flux)
+    sp1 = jnp.maximum(sp_e.max(), sp_f)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp1), float(sp0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("flux", ["kepes", "hll"])
+def test_fused_flux_pallas_uniform(flux):
+    """Fused kernel == XLA path (inner + outer) on a uniform 3D mesh."""
+    _fused_vs_xla(Forest.uniform(1, dim=3), flux)
+
+
+def test_fused_flux_pallas_hanging():
+    """Fused kernel + XLA fine pass == XLA path on a 2:1 hanging mesh."""
+    forest = Forest.uniform(1, dim=3)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    _fused_vs_xla(forest, "kepes")
