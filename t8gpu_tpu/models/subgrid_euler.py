@@ -42,10 +42,17 @@ from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
 
 
+def _use_fused_rk(conn, spec) -> bool:
+    return sg.can_fuse_rk(conn, spec) and jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               *, spec: SubgridSpec, gamma: float, flux: str):
+    if _use_fused_rk(conn, spec):
+        return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
+                                dt, inv_cell_volume)
     flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma, flux)
     return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
 
@@ -62,11 +69,18 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     step requires host-driven kernel launches + MPI barriers,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
-    flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma, flux)
+    if _use_fused_rk(conn, spec):
+        def body(_i, carry):
+            v, _ = carry
+            return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
+                                    dt, inv_cell_volume)
+    else:
+        flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
+                                               gamma, flux)
 
-    def body(_i, carry):
-        v, _ = carry
-        return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
+        def body(_i, carry):
+            v, _ = carry
+            return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
 
     return jax.lax.fori_loop(0, n_steps, body,
                              (u, jnp.zeros((), u.dtype)))

@@ -52,13 +52,24 @@ def interior_face_fluxes(u: jnp.ndarray, conn: FaceConnectivity,
         euler.cell_fields(u, gamma, flux), conn, gamma, flux)
 
 
+def _fields_of(g: jnp.ndarray, gamma: float, flux: str,
+               derive: bool) -> jnp.ndarray:
+    """Identity when g already holds field rows; derives the fields from
+    gathered 5-row states when `derive` (GATHER_MODE == 'state')."""
+    if not derive:
+        return g
+    return euler.cell_fields(g, gamma, flux)
+
+
 def interior_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
-                                gamma: float = 1.4, flux: str = "kepes"):
+                                gamma: float = 1.4, flux: str = "kepes",
+                                derive: bool = False):
     """interior_face_fluxes from a precomputed cell-fields array
     [C, capacity] (ops/euler.cell_fields) — the hot-path entry shared with
-    the boundary stage through flux_divergence."""
-    q_l = gather_cols(q, conn.left)
-    q_r = gather_cols(q, conn.right)
+    the boundary stage through flux_divergence.  derive=True instead takes
+    the raw state and derives fields per gathered face side."""
+    q_l = _fields_of(gather_cols(q, conn.left), gamma, flux, derive)
+    q_r = _fields_of(gather_cols(q, conn.right), gamma, flux, derive)
     if conn.axis_ranges is not None:
         fs, sps = [], []
         for a, s0, s1 in conn.axis_ranges:
@@ -89,11 +100,12 @@ def boundary_face_fluxes(u: jnp.ndarray, conn: FaceConnectivity,
 
 
 def boundary_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
-                                gamma: float = 1.4, flux: str = "kepes"):
+                                gamma: float = 1.4, flux: str = "kepes",
+                                derive: bool = False):
     """boundary_face_fluxes from a precomputed cell-fields array."""
     if conn.boundary_capacity == 0:
         return jnp.zeros((5, 0), q.dtype), jnp.zeros((0,), q.dtype)
-    q_in = gather_cols(q, conn.b_elem)
+    q_in = _fields_of(gather_cols(q, conn.b_elem), gamma, flux, derive)
     if conn.b_axis_ranges is not None:
         fs, sps = [], []
         for a, sgn, s0, s1 in conn.b_axis_ranges:
@@ -143,6 +155,14 @@ def accumulate(face_flux: jnp.ndarray, boundary_flux: jnp.ndarray,
     raise ValueError(f"unknown accumulation mode: {mode}")
 
 
+# What the per-face gathers fetch: "fields" gathers the precomputed
+# C-row cell fields per face side (no per-face transcendentals, 2x gather
+# traffic); "state" gathers the 5-row conservative state and derives the
+# fields per gathered side (per-face-side logs, half the gather traffic).
+# Process-level switch, read at trace time.
+GATHER_MODE = "fields"
+
+
 def flux_divergence(u: jnp.ndarray, conn: FaceConnectivity,
                     gamma: float = 1.4, flux: str = "kepes",
                     mode: str = "gather"):
@@ -151,9 +171,11 @@ def flux_divergence(u: jnp.ndarray, conn: FaceConnectivity,
 
     Returns (accum [5, capacity], max_speed scalar).
     """
-    q = euler.maybe_barrier(euler.cell_fields(u, gamma, flux))
-    f, speed = interior_face_fluxes_fields(q, conn, gamma, flux)
-    fb, speed_b = boundary_face_fluxes_fields(q, conn, gamma, flux)
+    derive = GATHER_MODE == "state"
+    q = (u if derive
+         else euler.maybe_barrier(euler.cell_fields(u, gamma, flux)))
+    f, speed = interior_face_fluxes_fields(q, conn, gamma, flux, derive)
+    fb, speed_b = boundary_face_fluxes_fields(q, conn, gamma, flux, derive)
     acc = accumulate(f, fb, conn, mode)
     max_speed = jnp.maximum(
         speed.max() if speed.size else 0.0,

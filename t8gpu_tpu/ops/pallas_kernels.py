@@ -127,17 +127,26 @@ def _fused_kernel(q_ref, w_ref, o0, o1, o2, o3, o4, o5, d_ref, sp_ref, *,
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "tile", "interpret"))
 def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
-                      gamma: float, flux: str, tile: int = 256,
+                      gamma: float, flux: str, tile: int = 128,
                       interpret: bool = False):
     """Fused interior + equal/coarse mesh-face flux divergence.
 
     q: [C, 8, 8, 8, E] stacked cell fields; weights: [8, E]; others: 6
-    arrays [C, 8, 8, E].  Returns (D [5, 8, 8, 8, E], speed [E])."""
+    arrays [C, 8, 8, E].  Returns (D [5, 8, 8, 8, E], speed [E]).
+
+    Element capacities are geometric buckets (not lane-multiples), so the
+    element axis is edge-padded to the tile size (padded slots carry
+    finite states and zero weights; D is sliced back)."""
     C = q.shape[0]
     E = q.shape[-1]
-    while E % tile:
-        tile //= 2
-    grid = (E // tile,)
+    E_pad = -(-E // tile) * tile
+    if E_pad != E:
+        pad = [(0, 0)] * q.ndim
+        pad[-1] = (0, E_pad - E)
+        q = jnp.pad(q, pad, mode="edge")
+        others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])  # zero weights
+    grid = (E_pad // tile,)
 
     def idx5(i):
         return (0, 0, 0, 0, i)
@@ -156,11 +165,134 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
                  + [pl.BlockSpec((C, 8, 8, tile), idx4)] * 6,
         out_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
                    pl.BlockSpec((8, tile), idx2)],
-        out_shape=[jax.ShapeDtypeStruct((5, 8, 8, 8, E), q.dtype),
-                   jax.ShapeDtypeStruct((8, E), q.dtype)],
+        out_shape=[jax.ShapeDtypeStruct((5, 8, 8, 8, E_pad), q.dtype),
+                   jax.ShapeDtypeStruct((8, E_pad), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q, weights, *others)
-    return D, sp[0]
+    return D[..., :E], sp[0, :E]
+
+
+# ---------------------------------------------------------------------------
+# RK-fused variant: one kernel per RK stage computes the per-cell fields
+# IN VMEM from the 5-row state, evaluates the full flux divergence, and
+# applies the SSP-RK stage update — u_next is the only tensor written.
+# Usable when the mesh needs no XLA-side D additions (no hanging-fine
+# sides, no walls): the uniform periodic flagship.  Neighbor layer slabs
+# are 5-row STATES (their fields are derived in-kernel too), regathered
+# between stages by XLA (cheap [5, 64, E] gathers).
+# ---------------------------------------------------------------------------
+
+
+def _fused_rk_kernel(u_ref, up_ref, w_ref, o0, o1, o2, o3, o4, o5,
+                     out_ref, sp_ref, *, gamma: float, flux: str, coeffs):
+    """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*D(u_stage).
+    u/up [5, 8, 8, 8, TE] states; w [8, TE] rows 0..6 as in _fused_kernel,
+    row 7 = dt * inv_cell_volume; o<k> [5, 8, 8, TE] neighbor state layers."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple
+
+    a_c, b_c, c_c = coeffs
+    TE = u_ref.shape[-1]
+    u_rows = tuple(u_ref[i] for i in range(5))
+    q = cell_fields_tuple(u_rows, gamma, flux)
+    surface = w_ref[0]
+    dt_inv = w_ref[7]
+    others = (o0, o1, o2, o3, o4, o5)
+
+    D = jnp.zeros((5, 8, 8, 8, TE), u_rows[0].dtype)
+    speed = jnp.zeros((8, 8, 8, TE), u_rows[0].dtype)
+    interior_ok = (surface > 0).astype(u_rows[0].dtype)
+
+    for a in range(3):
+        qa = _rows_rotate(q, a)
+        hi = _rows_rotate(cell_fields_tuple(
+            tuple(others[2 * a][i] for i in range(5)), gamma, flux), a)
+        lo = _rows_rotate(cell_fields_tuple(
+            tuple(others[2 * a + 1][i] for i in range(5)), gamma, flux), a)
+        w_hi = w_ref[1 + 2 * a]
+        w_lo = w_ref[2 + 2 * a]
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 8, TE), a)
+        at_end = idx == 7
+
+        def shift_next(r, h):
+            rolled = jnp.roll(r, -1, axis=a)
+            return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+
+        nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
+        f, sp = fields_flux(qa, nxt, gamma=gamma, flux=flux)
+        wgt = jnp.where(at_end, w_hi, surface)
+        f = _flux_unrotate_rows(f, a) * wgt
+        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
+        speed = jnp.maximum(speed, sp * sp_ok)
+
+        q0 = tuple(jax.lax.index_in_dim(r, 0, axis=a, keepdims=True)
+                   for r in qa)
+        lo_e = tuple(jnp.expand_dims(h, a) for h in lo)
+        f_lo, sp_lo = fields_flux(lo_e, q0, gamma=gamma, flux=flux)
+        f_lo = _flux_unrotate_rows(f_lo, a) * w_lo
+        speed = jnp.maximum(
+            speed,
+            jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
+
+        prev = jnp.roll(f, 1, axis=1 + a)
+        prev = jnp.where(idx == 0, f_lo, prev)
+        D = D + prev - f
+
+    out_ref[...] = (a_c * up_ref[...] + b_c * u_ref[...]
+                    + c_c * dt_inv * D)
+    smax = speed.max(axis=(0, 1, 2))
+    sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "coeffs", "tile",
+                                    "interpret"))
+def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
+                          weights: jnp.ndarray, others,
+                          gamma: float, flux: str, coeffs,
+                          tile: int = 128, interpret: bool = False):
+    """One SSP-RK stage fully in-kernel (see _fused_rk_kernel).
+    u_stage/u_prev: [5, 8, 8, 8, E]; weights: [8, E]; others: 6 arrays
+    [5, 8, 8, E].  Returns (u_next [5, 8, 8, 8, E], speed [E])."""
+    E = u_stage.shape[-1]
+    E_pad = -(-E // tile) * tile
+    if E_pad != E:
+        pad = [(0, 0)] * u_stage.ndim
+        pad[-1] = (0, E_pad - E)
+        u_stage = jnp.pad(u_stage, pad, mode="edge")
+        u_prev = jnp.pad(u_prev, pad, mode="edge")
+        others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
+    grid = (E_pad // tile,)
+
+    def idx5(i):
+        return (0, 0, 0, 0, i)
+
+    def idx4(i):
+        return (0, 0, 0, i)
+
+    def idx2(i):
+        return (0, i)
+
+    u_next, sp = pl.pallas_call(
+        functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
+                          coeffs=coeffs),
+        grid=grid,
+        in_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+                  pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+                  pl.BlockSpec((8, tile), idx2)]
+                 + [pl.BlockSpec((5, 8, 8, tile), idx4)] * 6,
+        out_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+                   pl.BlockSpec((8, tile), idx2)],
+        out_shape=[jax.ShapeDtypeStruct((5, 8, 8, 8, E_pad), u_stage.dtype),
+                   jax.ShapeDtypeStruct((8, E_pad), u_stage.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u_stage, u_prev, weights, *others)
+    return u_next[..., :E], sp[0, :E]
 
 
 # ---------------------------------------------------------------------------

@@ -62,3 +62,38 @@ def test_fused_flux_pallas_hanging():
     flags[0] = 1
     forest, _ = forest.adapt(forest.balance_flags(flags))
     _fused_vs_xla(forest, "kepes")
+
+
+def test_fused_rk_stage_matches_xla_step():
+    """The RK-fused kernel (flux + divergence + stage update in VMEM) ==
+    rk.ssp_rk3 over the XLA flux on a uniform periodic 3D ext-8 mesh."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas
+    from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3, ssp_rk3
+
+    spec = SubgridSpec((8, 8, 8))
+    mesh = SubgridMesh.from_forest(Forest.uniform(1, dim=3), spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=3))
+    assert sg.can_fuse_rk(s.conn, spec)
+    dt = jnp.float32(1e-3)
+
+    flux_fn = lambda v: sg.flux_divergence(v, s.volumes, s.conn, spec,
+                                           1.4, "kepes", use_pallas=False)
+    u_ref, sp_ref = ssp_rk3(s.u, flux_fn, dt, s.inv_cell_volume)
+
+    w = sg.rk_weights(s.conn, spec, s.volumes, dt, s.inv_cell_volume)
+
+    def stage(u_stage, u_prev, coeffs):
+        others = sg._state_side_layers(u_stage, s.conn, spec)
+        return fused_rk_stage_pallas(u_stage, u_prev, w, others,
+                                     gamma=1.4, flux="kepes", coeffs=coeffs,
+                                     interpret=True)
+
+    u1, sp = stage(s.u, s.u, (1.0, 0.0, 1.0))
+    u2, _ = stage(u1, s.u, STAGE_2)
+    u3, _ = stage(u2, s.u, STAGE_3)
+    n = s.n_elements
+    np.testing.assert_allclose(np.asarray(u3[..., :n]),
+                               np.asarray(u_ref[..., :n]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp.max()), float(sp_ref), rtol=1e-5)
