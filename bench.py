@@ -73,15 +73,19 @@ def bench_amr():
     """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
     with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
     host forest work, remaps and any recompiles."""
-    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4x4
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
     from t8gpu_tpu.mesh.forest import Forest
     from t8gpu_tpu.models.initial_conditions import kh_planar
     from t8gpu_tpu.models.subgrid_euler import (SubgridCompressibleEulerSolver,
                                                 subgrid_manager)
     from t8gpu_tpu.utils.config import AMRConfig
 
-    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=0.02)
-    mgr = subgrid_manager(Forest.uniform(4, dim=3), SUBGRID_4x4x4, amr)
+    # Subgrid<8,8,8> at one level coarser == the reference's 4^3 config
+    # cell-for-cell (equivalence tested); exercises the fused D-kernel +
+    # XLA hanging-fine pass across adapts.
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=0.02)
+    mgr = subgrid_manager(Forest.uniform(3, dim=3), SubgridSpec((8, 8, 8)),
+                          amr)
     solver = SubgridCompressibleEulerSolver(mgr, lambda c: kh_planar(c, dim=3))
     dt = solver.compute_timestep()
 
@@ -96,6 +100,7 @@ def bench_amr():
         solver.iterate_many(adapt_every, dt)
         cells_advanced += (solver.n_elements * solver.spec.size) * adapt_every
         solver.adapt()
+        dt = solver.compute_timestep()   # the mesh may have refined
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
     assert np.isfinite(solver.conserved_state()).all()

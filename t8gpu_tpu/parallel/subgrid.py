@@ -242,6 +242,13 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
         cell_fields_tuple(u_ext, gamma, flux))
     q_loc = tuple(r[..., :CL] for r in q_ext)
 
+    if spec.dim == 3 and spec.extent == 8 and jax.default_backend() == "tpu":
+        # the fused Pallas kernel per shard: resolved neighbor layers come
+        # from the extended element axis, everything else is the
+        # single-device path (ops/pallas_kernels.fused_flux_pallas)
+        return _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
+                                   spec, gamma, flux)
+
     D, sp_i = sg.inner_divergence_fields(q_loc, volumes, spec, gamma, flux)
     speed = sp_i
 
@@ -305,6 +312,101 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
     for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
                                         conn.b_area, conn.b_recv):
         from t8gpu_tpu.ops.euler import fields_mirror
+        q_own = sg.fields_axis_rotate(tuple(r[bc] for r in q_ext_flat),
+                                      axis)
+        q_ghost = fields_mirror(q_own)
+        if sign > 0:
+            f, sp = sg.fields_flux(q_own, q_ghost, gamma=gamma, flux=flux)
+        else:
+            f, sp = sg.fields_flux(q_ghost, q_own, gamma=gamma, flux=flux)
+        f = sg.axis_unrotate(f, axis) * ar
+        f_pad = jnp.concatenate([f, jnp.zeros((5, 1), f.dtype)], axis=1)
+        c = f_pad[:, br]
+        D = sg._slab_add(D, -c if sign > 0 else c, axis,
+                         layer_hi=sign > 0, spec=spec)
+        speed = jnp.maximum(speed, (sp * (ar > 0)).max())
+
+    return D, jax.lax.pmax(speed, halo.AXIS)
+
+
+def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
+                        spec: SubgridSpec, gamma: float, flux: str):
+    """Per-shard fused-Pallas flux path (3D ext-8 on TPU): the kernel
+    covers interior + equal/coarse mesh faces; hanging-fine and wall
+    contributions stay XLA-side, gathering from the extended axis."""
+    from t8gpu_tpu.ops.euler import fields_mirror
+    from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
+
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    t_axes = tuple(range(1, 1 + n_t))
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h_cell = h_e / ext
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)
+    area_t = (h_e / ext) ** n_t
+    area_v = area_t / (2 ** n_t)
+
+    others = []
+    w_rows = [surface]
+    for a in range(dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            hi = sign > 0
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in q_ext])
+            base = sg._gather_layers(opp_layer, conn.nbr[k][:, :1])[..., 0]
+            if conn.has_coarse[k]:
+                r_b = conn.rel[k].reshape((1,) * (base.ndim - 1) + (-1,))
+                base = jnp.where(
+                    r_b < 0, sg._coarse_window(base, conn.bits[k], spec),
+                    base)
+            others.append(base)
+            w_rows.append(conn.mask[k] * area_t * (conn.rel[k] <= 0))
+    w_rows.append(jnp.zeros_like(surface))
+    weights = jnp.stack(w_rows)
+
+    D, sp_e = fused_flux_pallas(jnp.stack(q_loc), weights, tuple(others),
+                                gamma=gamma, flux=flux)
+    speed = sp_e.max()
+
+    # hanging-fine pass (extended-axis gathers)
+    for a in range(dim):
+        q_rot = sg.fields_axis_rotate(q_ext, a)
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            if not conn.has_fine[k]:
+                continue
+            nbr, rel, mask = conn.nbr[k], conn.rel[k], conn.mask[k]
+            hi = sign > 0
+            CL = u.shape[-1]
+            my_layer = jnp.stack([
+                jax.lax.index_in_dim(r[..., :CL], ext - 1 if hi else 0,
+                                     axis=a, keepdims=False)
+                for r in q_rot])
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in q_rot])
+            nb = sg._gather_layers(opp_layer, nbr)
+            fine = sg._fine_interleave(nb, spec)
+            mine = sg._upsample2(my_layer, t_axes)
+            q_l, q_r = (mine, fine) if hi else (fine, mine)
+            f2, sp2 = sg.fields_flux(q_l, q_r, gamma=gamma, flux=flux)
+            w2 = mask * area_v * (rel > 0)
+            f2 = (sg.axis_unrotate(f2, a)
+                  * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
+            f2 = sg._pool2(f2, n_t)
+            contrib = -f2 if hi else f2
+            sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
+            speed = jnp.maximum(speed, (sp2 * sp_m2).max())
+            D = sg._slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+                             spec=spec)
+
+    # reflective walls (extended flat gathers)
+    q_ext_flat = tuple(r.reshape(-1) for r in q_ext)
+    for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
+                                        conn.b_area, conn.b_recv):
         q_own = sg.fields_axis_rotate(tuple(r[bc] for r in q_ext_flat),
                                       axis)
         q_ghost = fields_mirror(q_own)
