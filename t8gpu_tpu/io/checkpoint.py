@@ -23,32 +23,100 @@ import numpy as np
 
 from t8gpu_tpu.mesh.forest import Forest
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
-def save_checkpoint(path: str, forest: Forest, u: np.ndarray,
+def _forest_payload(forest) -> dict:
+    """Serialize any forest kind (Morton quad/hex, shell prism, planar
+    tri, tet) into npz-compatible arrays."""
+    from t8gpu_tpu.mesh.shell_forest import PrismForest
+    from t8gpu_tpu.mesh.tet import TetForest
+    from t8gpu_tpu.mesh.tri import TriForest
+
+    if isinstance(forest, Forest):
+        return dict(kind=np.int64(0), dim=np.int64(forest.dim),
+                    L=np.int64(forest.L),
+                    periodic=np.int64(forest.periodic),
+                    level=np.asarray(forest.level, np.int8),
+                    anchor=np.asarray(forest.anchor, np.int64))
+    if isinstance(forest, PrismForest):
+        return dict(kind=np.int64(1),
+                    r_verts=forest.roots.verts, r_tris=forest.roots.tris,
+                    r_radii=forest.roots.radii,
+                    root=forest.root, level=forest.level, fpath=forest.path)
+    if isinstance(forest, TriForest):
+        return dict(kind=np.int64(2),
+                    r_verts=forest.roots.verts, r_tris=forest.roots.tris,
+                    root=forest.root, level=forest.level, fpath=forest.path)
+    if isinstance(forest, TetForest):
+        return dict(kind=np.int64(3),
+                    r_verts=forest.roots.verts, r_tets=forest.roots.tets,
+                    root=forest.root, level=forest.level, fpath=forest.path,
+                    leaf_verts=forest.verts)
+    raise TypeError(f"unsupported forest type: {type(forest)!r}")
+
+
+def _forest_from_payload(z):
+    kind = int(z["kind"]) if "kind" in z else 0
+    if kind == 0:
+        return Forest(int(z["dim"]), z["level"], z["anchor"], int(z["L"]),
+                      periodic=bool(int(z["periodic"])))
+    if kind == 1:
+        from t8gpu_tpu.mesh.shell_forest import PrismForest, ShellRoots
+
+        tris = z["r_tris"]
+        edge_id = {}
+        for a, b, c in tris:
+            for u, w in ((a, b), (b, c), (c, a)):
+                key = (min(u, w), max(u, w))
+                if key not in edge_id:
+                    edge_id[key] = len(edge_id)
+        roots = ShellRoots(verts=z["r_verts"], tris=tris,
+                           radii=z["r_radii"], edge_id=edge_id)
+        return PrismForest(roots, z["root"], z["level"], z["fpath"])
+    if kind == 2:
+        from t8gpu_tpu.mesh.tri import TriForest, TriRoots
+
+        tris = z["r_tris"]
+        edge_id = {}
+        for a, b, c in tris:
+            for u, w in ((a, b), (b, c), (c, a)):
+                key = (min(u, w), max(u, w))
+                if key not in edge_id:
+                    edge_id[key] = len(edge_id)
+        roots = TriRoots(verts=z["r_verts"], tris=tris, edge_id=edge_id)
+        return TriForest(roots, z["root"], z["level"], z["fpath"])
+    if kind == 3:
+        from t8gpu_tpu.mesh.tet import TetForest, TetRoots, _root_tables
+
+        tets = z["r_tets"]
+        face_id, edge_id = _root_tables(z["r_verts"], tets)
+        roots = TetRoots(verts=z["r_verts"], tets=tets, face_id=face_id,
+                         edge_id=edge_id)
+        return TetForest(roots, z["root"], z["level"], z["fpath"],
+                         z["leaf_verts"])
+    raise ValueError(f"unknown forest kind {kind}")
+
+
+def save_checkpoint(path: str, forest, u: np.ndarray,
                     meta: dict | None = None) -> str:
     """u: unpadded state with element axis last-but-blocks
-    ([5, N] plain or [5, N, *ext] subgrid)."""
+    ([5, N] plain or [5, N, *ext] subgrid).  `forest` may be any forest
+    kind (Morton quad/hex, shell prism, planar tri, tet)."""
     np.savez_compressed(
         path,
         version=np.int64(FORMAT_VERSION),
-        dim=np.int64(forest.dim),
-        L=np.int64(forest.L),
-        periodic=np.int64(forest.periodic),
-        level=np.asarray(forest.level, np.int8),
-        anchor=np.asarray(forest.anchor, np.int64),
         u=np.asarray(u, np.float32),
         meta=np.frombuffer(json.dumps(meta or {}).encode(), np.uint8),
+        **_forest_payload(forest),
     )
     return path
 
 
-def load_checkpoint(path: str) -> Tuple[Forest, np.ndarray, dict]:
+def load_checkpoint(path: str):
     with np.load(path) as z:
         assert int(z["version"]) <= FORMAT_VERSION, "newer checkpoint format"
-        forest = Forest(int(z["dim"]), z["level"], z["anchor"], int(z["L"]),
-                        periodic=bool(int(z["periodic"])))
+        forest = _forest_from_payload(z)
         u = z["u"]
         meta = json.loads(bytes(z["meta"]).decode() or "{}")
     return forest, u, meta
@@ -93,6 +161,22 @@ def restore_solver(path: str):
             manager, lambda _c: u.reshape(u.shape[0], -1), config=config)
     else:
         from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
-        manager = MeshManager(forest, amr)
+        manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
         solver = CompressibleEulerSolver(manager, lambda _c: u, config=config)
     return solver, meta
+
+
+def _factory_for(forest):
+    """MeshManager mesh_factory matching the forest kind (None = the
+    default ForestMesh for Morton forests)."""
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, ShellForestMesh
+    from t8gpu_tpu.mesh.tet import TetForest, TetForestMesh
+    from t8gpu_tpu.mesh.tri import TriForest, TriForestMesh
+
+    if isinstance(forest, PrismForest):
+        return ShellForestMesh.from_forest
+    if isinstance(forest, TriForest):
+        return TriForestMesh.from_forest
+    if isinstance(forest, TetForest):
+        return TetForestMesh.from_forest
+    return None

@@ -213,16 +213,23 @@ def build_connectivity(
     inc_slot[elems, offsets] = slots
     inc_sign[elems, offsets] = signs
 
+    # ONE host->device transfer for the whole connectivity (per-array
+    # uploads are latency-bound through slow interconnects; see utils/xfer)
+    from t8gpu_tpu.utils.xfer import pack_put
+    (d_left, d_right, d_normal, d_area, d_b_elem, d_b_normal, d_b_area,
+     d_inc_slot, d_inc_sign) = pack_put(
+        [left_p, right_p, normal_p, area_p, b_elem_p, b_normal_p, b_area_p,
+         inc_slot, inc_sign])
     return FaceConnectivity(
-        left=jnp.asarray(left_p),
-        right=jnp.asarray(right_p),
-        normal=jnp.asarray(normal_p),
-        area=jnp.asarray(area_p),
-        b_elem=jnp.asarray(b_elem_p),
-        b_normal=jnp.asarray(b_normal_p),
-        b_area=jnp.asarray(b_area_p),
-        inc_slot=jnp.asarray(inc_slot),
-        inc_sign=jnp.asarray(inc_sign),
+        left=d_left,
+        right=d_right,
+        normal=d_normal,
+        area=d_area,
+        b_elem=d_b_elem,
+        b_normal=d_b_normal,
+        b_area=d_b_area,
+        inc_slot=d_inc_slot,
+        inc_sign=d_inc_sign,
         n_faces=F,
         n_boundary_faces=Fb,
         n_elements=n_elements,

@@ -257,19 +257,30 @@ def build_subgrid_connectivity(
                     (K, S)).ravel()
                 cap = bucket_capacity(len(bc))
                 pad = cap - len(bc)
-                b_cells.append(jnp.asarray(np.pad(bc, (0, pad))))
-                b_areas.append(jnp.asarray(np.pad(ar.astype(np.float32), (0, pad))))
-                b_recvs.append(jnp.asarray(
-                    build_recv_map(bc, cap_e, spec, axis, 1,
-                                   sentinel=cap)[:, 0]))
+                b_cells.append(np.pad(bc, (0, pad)))
+                b_areas.append(np.pad(ar.astype(np.float32), (0, pad)))
+                b_recvs.append(build_recv_map(bc, cap_e, spec, axis, 1,
+                                              sentinel=cap)[:, 0])
                 b_groups.append((axis, sign))
 
+    # ONE host->device transfer for the whole connectivity (per-array
+    # uploads are latency-bound through slow interconnects; see utils/xfer)
+    from t8gpu_tpu.utils.xfer import pack_put
+    sides = 2 * dim
+    dev = pack_put(nbrs + rels + bits_ + masks + b_cells + b_areas + b_recvs)
+    d_nbr = dev[:sides]
+    d_rel = dev[sides: 2 * sides]
+    d_bits = dev[2 * sides: 3 * sides]
+    d_mask = dev[3 * sides: 4 * sides]
+    nb = len(b_cells)
+    d_bc = dev[4 * sides: 4 * sides + nb]
+    d_ba = dev[4 * sides + nb: 4 * sides + 2 * nb]
+    d_br = dev[4 * sides + 2 * nb: 4 * sides + 3 * nb]
+
     return SubgridConnectivity(
-        nbr=tuple(jnp.asarray(x) for x in nbrs),
-        rel=tuple(jnp.asarray(x) for x in rels),
-        bits=tuple(jnp.asarray(x) for x in bits_),
-        mask=tuple(jnp.asarray(x) for x in masks),
-        b_cell=tuple(b_cells), b_area=tuple(b_areas), b_recv=tuple(b_recvs),
+        nbr=tuple(d_nbr), rel=tuple(d_rel), bits=tuple(d_bits),
+        mask=tuple(d_mask),
+        b_cell=tuple(d_bc), b_area=tuple(d_ba), b_recv=tuple(d_br),
         b_groups=tuple(b_groups),
         has_fine=tuple(bool((r == 1).any()) for r in rels),
         has_coarse=tuple(bool((r == -1).any()) for r in rels),

@@ -131,12 +131,12 @@ class SubgridCompressibleEulerSolver:
         B = self.spec.size
         vol = np.zeros(cap, np.float32)
         vol[:n] = mesh.volumes
-        self.volumes = jnp.asarray(vol)
         inv = np.zeros(cap, np.float32)
         inv[:n] = B / mesh.volumes
         dim = self.spec.dim
+        from t8gpu_tpu.utils.xfer import pack_put
         # [cap] broadcasts directly against the element-minor state
-        self.inv_cell_volume = jnp.asarray(inv)
+        self.volumes, self.inv_cell_volume = pack_put([vol, inv])
         if u.shape[-1] != cap:
             guard = jnp.broadcast_to(
                 jnp.asarray(GUARD_STATE).reshape((5,) + (1,) * (dim + 1)),
@@ -171,17 +171,19 @@ class SubgridCompressibleEulerSolver:
         n = len(remap.src_start)
 
         src = np.zeros(cap, np.int32)
-        refined = np.zeros(cap, bool)
+        refined = np.zeros(cap, np.uint8)
         child = np.zeros(cap, np.int32)
-        coarsened = np.zeros(cap, bool)
+        coarsened = np.zeros(cap, np.uint8)
         src[:n] = remap.src_start
         refined[:n] = remap.level_change > 0
         child[:n] = remap.child_id
         coarsened[:n] = remap.src_count > 1
 
+        from t8gpu_tpu.utils.xfer import pack_put
+        d_src, d_ref, d_child, d_coars = pack_put(
+            [src, refined, child, coarsened])
         u_new = sg.apply_subgrid_remap(
-            self.u, jnp.asarray(src), jnp.asarray(refined),
-            jnp.asarray(child), jnp.asarray(coarsened),
+            self.u, d_src, d_ref > 0, d_child, d_coars > 0,
             spec=self.spec, capacity=cap)
         self.install_mesh(mesh, u_new)
         self._max_speed = None

@@ -74,3 +74,59 @@ def test_subgrid_solver_resume_identical(tmp_path):
         for _ in range(3):
             s.iterate(dt)
     np.testing.assert_array_equal(s1.conserved_state(), s2.conserved_state())
+
+
+def test_checkpoint_shell_forest_roundtrip(tmp_path):
+    """Shell prism / tri / tet forests checkpoint and restore exactly
+    (format v2: any forest kind)."""
+    import numpy as np
+
+    from t8gpu_tpu.io.checkpoint import restore_solver, save_solver
+    from t8gpu_tpu.mesh.shell_forest import shell_manager
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    def ic(c):
+        u = np.zeros((5, len(c)), np.float32)
+        u[0] = 1.0 + 0.1 * c[:, 0]
+        u[4] = 2.5 * u[0]
+        return u
+
+    mgr = shell_manager(subdiv=1, level=1,
+                        amr=AMRConfig(min_level=0, max_level=2,
+                                      refine_threshold=0.5))
+    s = CompressibleEulerSolver(mgr, ic)
+    dt = s.compute_timestep()
+    s.iterate(dt)
+    s.adapt()
+    s.iterate(dt)
+
+    path = str(tmp_path / "shell.npz")
+    save_solver(path, s, step=2)
+    s2, meta = restore_solver(path)
+    assert meta["step"] == 2
+    assert s2.n_elements == s.n_elements
+    np.testing.assert_array_equal(s2.conserved_state(), s.conserved_state())
+    # restored solver keeps stepping and adapting
+    s2.iterate(s2.compute_timestep())
+    assert np.isfinite(s2.conserved_state()).all()
+
+
+def test_checkpoint_tet_forest_roundtrip(tmp_path):
+    import numpy as np
+
+    from t8gpu_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+    from t8gpu_tpu.mesh.tet import TetForest, unit_cube_roots
+
+    f = TetForest.uniform(unit_cube_roots(), 1)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[0] = 1
+    f, _ = f.adapt(f.balance_flags(flags))
+    u = np.random.default_rng(0).normal(size=(5, f.n_elements)).astype(np.float32)
+    path = str(tmp_path / "tet.npz")
+    save_checkpoint(path, f, u, {"k": 1})
+    f2, u2, meta = load_checkpoint(path)
+    assert meta["k"] == 1
+    np.testing.assert_array_equal(f2.verts, f.verts)
+    np.testing.assert_array_equal(u2, u)
+    np.testing.assert_allclose(f2.volumes(), f.volumes())
