@@ -87,7 +87,7 @@ def bench_amr():
     mgr = subgrid_manager(Forest.uniform(3, dim=3), SubgridSpec((8, 8, 8)),
                           amr)
     solver = SubgridCompressibleEulerSolver(mgr, lambda c: kh_planar(c, dim=3))
-    dt = solver.compute_timestep()
+    dt = solver.compute_timestep_device()   # keep dt on device: no D2H
 
     # warm the initial bucket
     solver.iterate_many(50, dt)
@@ -100,7 +100,7 @@ def bench_amr():
         solver.iterate_many(adapt_every, dt)
         cells_advanced += (solver.n_elements * solver.spec.size) * adapt_every
         solver.adapt()
-        dt = solver.compute_timestep()   # the mesh may have refined
+        dt = solver.compute_timestep_device()   # the mesh may have refined
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
     assert np.isfinite(solver.conserved_state()).all()

@@ -7,7 +7,7 @@ analysis).  Public API:
     from t8gpu_tpu import (
         # meshes
         Forest, ForestMesh, MeshManager, uniform_mesh, shell_mesh,
-        SubgridMesh, SubgridSpec,
+        shell_manager, tri_manager, tet_manager, SubgridMesh, SubgridSpec,
         # solvers (single device)
         CompressibleEulerSolver, SubgridCompressibleEulerSolver,
         subgrid_manager,
@@ -26,7 +26,10 @@ from t8gpu_tpu.memory.subgrid import SUBGRID_4x4, SUBGRID_4x4x4, SubgridSpec
 from t8gpu_tpu.mesh.forest import Forest, ForestMesh
 from t8gpu_tpu.mesh.manager import MeshManager
 from t8gpu_tpu.mesh.shell import shell_mesh
+from t8gpu_tpu.mesh.shell_forest import shell_manager
 from t8gpu_tpu.mesh.subgrid import SubgridMesh
+from t8gpu_tpu.mesh.tet import tet_manager
+from t8gpu_tpu.mesh.tri import tri_manager
 from t8gpu_tpu.mesh.uniform import uniform_mesh
 from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
 from t8gpu_tpu.models.subgrid_euler import (SubgridCompressibleEulerSolver,
@@ -41,5 +44,6 @@ __all__ = [
     "SUBGRID_4x4x4", "ShardedEulerSolver", "ShardedSubgridEulerSolver",
     "SubgridCompressibleEulerSolver", "SubgridMesh", "SubgridSpec",
     "VariableStore", "restore_solver", "save_solver", "shell_mesh",
-    "subgrid_manager", "uniform_mesh", "write_mesh_vtu", "write_vtu",
+    "shell_manager", "subgrid_manager", "tet_manager", "tri_manager",
+    "uniform_mesh", "write_mesh_vtu", "write_vtu",
 ]

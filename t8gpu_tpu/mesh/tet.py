@@ -369,10 +369,9 @@ class TetForest:
             for i, rr in enumerate(rows):
                 c = np.flatnonzero(nz[rr])
                 u, w = flat_v[rr, c[0]], flat_v[rr, c[1]]
-                t = flat_b[rr, c[0]] if u > w else flat_b[rr, c[1]]
                 lo, hi = (u, w) if u < w else (w, u)
-                # t measured from hi? canonicalize: param of the point from
-                # the SMALLER id = coordinate of the OTHER vertex
+                # canonical param measured from the smaller global id =
+                # the barycentric coordinate of the OTHER vertex
                 t = flat_b[rr, c[1]] if u < w else flat_b[rr, c[0]]
                 eid = roots.edge_id[(int(lo), int(hi))]
                 ids[i] = (lo, hi)

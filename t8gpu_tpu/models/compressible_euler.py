@@ -170,6 +170,10 @@ class CompressibleEulerSolver:
         Unlike the reference (which uses the compile-time max_level bound),
         the level is the mesh's CURRENT finest level when known — tighter dt
         on meshes that have not refined to the bound yet."""
+        return float(self.compute_timestep_device())
+
+    def compute_timestep_device(self):
+        """CFL timestep as a DEVICE scalar (no host round trip)."""
         if self._max_speed is None:
             # bootstrap estimate from the initial state
             _, speed = flux_divergence(
@@ -185,7 +189,7 @@ class CompressibleEulerSolver:
             if level is None:
                 level = getattr(self.mesh, "level", self.amr.max_level)
             h = 0.5 ** level
-        return float(self.config.cfl * h / float(self._max_speed))
+        return jnp.float32(self.config.cfl * h) / self._max_speed
 
     # -- AMR cycle (ref solver.cu:243-277) -------------------------------------
 

@@ -196,13 +196,19 @@ class SubgridCompressibleEulerSolver:
 
     def compute_timestep(self) -> float:
         """CFL timestep: cfl * h_cell_min / max wave speed."""
+        return float(self.compute_timestep_device())
+
+    def compute_timestep_device(self):
+        """CFL timestep as a DEVICE scalar — feed it straight to
+        iterate/iterate_many to avoid a host round trip per adapt cycle
+        (device->host fetches are latency-bound; BENCHMARKS.md)."""
         if self._max_speed is None:
             _, speed = sg.flux_divergence(
                 self.u, self.volumes, self.conn, self.spec,
                 self.config.gamma, self.config.flux)
             self._max_speed = speed
         h_min = 0.5 ** self.mesh.max_level / self.spec.extent
-        return float(self.config.cfl * h_min / float(self._max_speed))
+        return jnp.float32(self.config.cfl * h_min) / self._max_speed
 
     @property
     def n_elements(self) -> int:
