@@ -162,6 +162,8 @@ class PrismForest:
         self.path = np.asarray(path, np.int64)
         self._sort()
         self._geom = None
+        self._faces = None
+        self._face_dict = None
 
     # -- construction ---------------------------------------------------------
 
@@ -434,6 +436,11 @@ class PrismForest:
         return key
 
     def _build_face_lists(self):
+        if self._faces is None:
+            self._faces = self._build_face_lists_impl()
+        return self._faces
+
+    def _build_face_lists_impl(self):
         """Enumerate all faces by exact-rectangle key matching.
 
         Returns dict(left, right, kind, side, ldiff, b_elem, b_kind, b_side)
@@ -602,6 +609,11 @@ class PrismForest:
                     bnd_elem=bnd_elem, bnd_side=bnd_side)
 
     def build_faces(self):
+        if self._face_dict is None:
+            self._face_dict = self._build_faces_impl()
+        return self._face_dict
+
+    def _build_faces_impl(self):
         """Flat face arrays in the Forest.build_faces dict format (general
         normals; no axis groups).  Face geometry always comes from the
         EMITTING side (the finer leaf on hanging faces), whose planar faces

@@ -133,6 +133,8 @@ class TetForest:
         self.verts = np.asarray(verts, np.int64)   # [N, 4, 4] sum = 2^LMAX
         self._sort()
         self._geom = None
+        self._faces = None
+        self._face_dict = None
 
     @staticmethod
     def uniform(roots: TetRoots, level: int) -> "TetForest":
@@ -393,6 +395,11 @@ class TetForest:
         return key.reshape(N, K)
 
     def _build_face_lists(self):
+        if self._faces is None:
+            self._faces = self._build_face_lists_impl()
+        return self._faces
+
+    def _build_face_lists_impl(self):
         n = self.n_elements
         vk = self._vertex_keys(self.verts)                # [N, 4]
         # midpoint keys for the face quarters
@@ -425,6 +432,11 @@ class TetForest:
                               boundary_mask=lambda g: np.ones(len(g), bool))
 
     def build_faces(self):
+        if self._face_dict is None:
+            self._face_dict = self._build_faces_impl()
+        return self._face_dict
+
+    def _build_faces_impl(self):
         """Flat face arrays (general normals; unmatched faces = reflective
         domain boundary).  Hanging faces emitted by the finer side."""
         X, vols, centers = self._geometry()

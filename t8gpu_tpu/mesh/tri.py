@@ -93,6 +93,8 @@ class TriForest:
         self.path = np.asarray(path, np.int64)
         self._sort()
         self._geom = None
+        self._faces = None
+        self._face_dict = None
 
     @staticmethod
     def uniform(roots: TriRoots, level: int) -> "TriForest":
@@ -300,6 +302,11 @@ class TriForest:
         return key
 
     def _build_face_lists(self):
+        if self._faces is None:
+            self._faces = self._build_face_lists_impl()
+        return self._faces
+
+    def _build_face_lists_impl(self):
         n = self.n_elements
         i, j, orient = _decode_tri_paths(self.path, self.level)
         lv = self.level.astype(np.int64)
@@ -333,6 +340,11 @@ class TriForest:
                               boundary_mask=lambda g: np.ones(len(g), bool))
 
     def build_faces(self):
+        if self._face_dict is None:
+            self._face_dict = self._build_faces_impl()
+        return self._face_dict
+
+    def _build_faces_impl(self):
         """Flat face arrays in the Forest.build_faces dict format (general
         in-plane normals, reflective domain-boundary edges).  Hanging
         faces are emitted by the finer side with ITS edge geometry (exact
