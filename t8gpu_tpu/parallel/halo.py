@@ -82,7 +82,10 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
         speed_b = jnp.zeros((0,), u_local.dtype)
 
     all_f = jnp.concatenate([f, fb, jnp.zeros((5, 1), f.dtype)], axis=1)
-    contrib = gather_cols(all_f, conn.inc_slot)          # [5, CL, D]
+    # pad to 8 rows: 32-byte-aligned gather rows (ops/fluxes.accumulate)
+    all_f = jnp.concatenate(
+        [all_f, jnp.zeros((3, all_f.shape[1]), all_f.dtype)], axis=0)
+    contrib = gather_cols(all_f, conn.inc_slot)[:5]      # [5, CL, D]
     acc = (contrib * conn.inc_sign).sum(axis=-1)
 
     local_max = jnp.maximum(speed.max(), speed_b.max() if speed_b.size else 0.0)
