@@ -62,32 +62,33 @@ def _flux_unrotate_rows(f, axis):
     return jnp.stack([f[i] for i in inv])
 
 
-def _fused_kernel(q_ref, w_ref, o0, o1, o2, o3, o4, o5, d_ref, sp_ref, *,
-                  gamma: float, flux: str):
-    """One element tile: q [C, 8, 8, 8, TE]; w [8, TE] (row 0 = interior
-    cell-face surface, rows 1..6 = the six sides' mesh-face weights
+def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
+    """One element tile: q [C, *(8,)*dim, TE]; w [8, TE] (row 0 = interior
+    cell-face surface, rows 1..2*dim = the sides' mesh-face weights
     mask*area*(rel<=0), in side order k = 2*axis + (0 hi, 1 lo));
-    o<k> [C, 8, 8, TE] = the pre-resolved neighbor facing layer of side k.
-    Outputs: d [5, 8, 8, 8, TE] divergence, sp [8, TE] (row-replicated
-    per-element max wave speed)."""
+    o<k> [C, *(8,)*(dim-1), TE] = the pre-resolved neighbor facing layer
+    of side k.  Outputs: d [5, ...] divergence, sp [8, TE]
+    (row-replicated per-element max wave speed)."""
+    others = refs[: 2 * dim]
+    d_ref, sp_ref = refs[2 * dim:]
     C = q_ref.shape[0]
     TE = q_ref.shape[-1]
-    q = tuple(q_ref[i] for i in range(C))             # rows [8, 8, 8, TE]
+    blk = (8,) * dim + (TE,)
+    q = tuple(q_ref[i] for i in range(C))             # rows [*(8,)*dim, TE]
     surface = w_ref[0]                                # [TE]
-    others = (o0, o1, o2, o3, o4, o5)
 
-    D = jnp.zeros((5, 8, 8, 8, TE), q[0].dtype)
-    speed = jnp.zeros((8, 8, 8, TE), q[0].dtype)
+    D = jnp.zeros((5,) + blk, q[0].dtype)
+    speed = jnp.zeros(blk, q[0].dtype)
     interior_ok = (surface > 0).astype(q[0].dtype)
 
-    for a in range(3):
+    for a in range(dim):
         qa = _rows_rotate(q, a)
         hi = _rows_rotate(tuple(others[2 * a][i] for i in range(C)), a)
         lo = _rows_rotate(tuple(others[2 * a + 1][i] for i in range(C)), a)
         w_hi = w_ref[1 + 2 * a]                       # [TE]
         w_lo = w_ref[2 + 2 * a]
 
-        idx = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 8, TE), a)
+        idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
         at_end = idx == 7
 
         # next state: shift -1 along axis a, last slot <- hi neighbor layer
@@ -120,7 +121,7 @@ def _fused_kernel(q_ref, w_ref, o0, o1, o2, o3, o4, o5, d_ref, sp_ref, *,
         D = D + prev - f
 
     d_ref[...] = D
-    smax = speed.max(axis=(0, 1, 2))                  # [TE]
+    smax = speed.max(axis=tuple(range(dim)))          # [TE]
     sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
 
 
@@ -131,13 +132,15 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
                       interpret: bool = False):
     """Fused interior + equal/coarse mesh-face flux divergence.
 
-    q: [C, 8, 8, 8, E] stacked cell fields; weights: [8, E]; others: 6
-    arrays [C, 8, 8, E].  Returns (D [5, 8, 8, 8, E], speed [E]).
+    q: [C, *(8,)*dim, E] stacked cell fields (dim 2 or 3); weights:
+    [8, E]; others: 2*dim arrays [C, *(8,)*(dim-1), E].
+    Returns (D [5, *(8,)*dim, E], speed [E]).
 
     Element capacities are geometric buckets (not lane-multiples), so the
     element axis is edge-padded to the tile size (padded slots carry
     finite states and zero weights; D is sliced back)."""
     C = q.shape[0]
+    dim = q.ndim - 2
     E = q.shape[-1]
     E_pad = -(-E // tile) * tile
     if E_pad != E:
@@ -148,24 +151,26 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
         weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])  # zero weights
     grid = (E_pad // tile,)
 
-    def idx5(i):
-        return (0, 0, 0, 0, i)
+    def idx_blk(i):
+        return (0,) * (dim + 1) + (i,)
 
-    def idx4(i):
-        return (0, 0, 0, i)
+    def idx_lay(i):
+        return (0,) * dim + (i,)
 
     def idx2(i):
         return (0, i)
 
     D, sp = pl.pallas_call(
-        functools.partial(_fused_kernel, gamma=gamma, flux=flux),
+        functools.partial(_fused_kernel, gamma=gamma, flux=flux, dim=dim),
         grid=grid,
-        in_specs=[pl.BlockSpec((C, 8, 8, 8, tile), idx5),
+        in_specs=[pl.BlockSpec((C,) + (8,) * dim + (tile,), idx_blk),
                   pl.BlockSpec((8, tile), idx2)]
-                 + [pl.BlockSpec((C, 8, 8, tile), idx4)] * 6,
-        out_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+                 + [pl.BlockSpec((C,) + (8,) * (dim - 1) + (tile,),
+                                 idx_lay)] * (2 * dim),
+        out_specs=[pl.BlockSpec((5,) + (8,) * dim + (tile,), idx_blk),
                    pl.BlockSpec((8, tile), idx2)],
-        out_shape=[jax.ShapeDtypeStruct((5, 8, 8, 8, E_pad), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((5,) + (8,) * dim + (E_pad,),
+                                        q.dtype),
                    jax.ShapeDtypeStruct((8, E_pad), q.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -185,26 +190,29 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
 # ---------------------------------------------------------------------------
 
 
-def _fused_rk_kernel(u_ref, up_ref, w_ref, o0, o1, o2, o3, o4, o5,
-                     out_ref, sp_ref, *, gamma: float, flux: str, coeffs):
+def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
+                     gamma: float, flux: str, coeffs, dim: int):
     """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*D(u_stage).
-    u/up [5, 8, 8, 8, TE] states; w [8, TE] rows 0..6 as in _fused_kernel,
-    row 7 = dt * inv_cell_volume; o<k> [5, 8, 8, TE] neighbor state layers."""
+    u/up [5, *(8,)*dim, TE] states; w [8, TE] rows 0..2*dim as in
+    _fused_kernel, row 7 = dt * inv_cell_volume; o<k>
+    [5, *(8,)*(dim-1), TE] neighbor state layers."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
 
+    others = refs[: 2 * dim]
+    out_ref, sp_ref = refs[2 * dim:]
     a_c, b_c, c_c = coeffs
     TE = u_ref.shape[-1]
+    blk = (8,) * dim + (TE,)
     u_rows = tuple(u_ref[i] for i in range(5))
     q = cell_fields_tuple(u_rows, gamma, flux)
     surface = w_ref[0]
     dt_inv = w_ref[7]
-    others = (o0, o1, o2, o3, o4, o5)
 
-    D = jnp.zeros((5, 8, 8, 8, TE), u_rows[0].dtype)
-    speed = jnp.zeros((8, 8, 8, TE), u_rows[0].dtype)
+    D = jnp.zeros((5,) + blk, u_rows[0].dtype)
+    speed = jnp.zeros(blk, u_rows[0].dtype)
     interior_ok = (surface > 0).astype(u_rows[0].dtype)
 
-    for a in range(3):
+    for a in range(dim):
         qa = _rows_rotate(q, a)
         hi = _rows_rotate(cell_fields_tuple(
             tuple(others[2 * a][i] for i in range(5)), gamma, flux), a)
@@ -213,7 +221,7 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, o0, o1, o2, o3, o4, o5,
         w_hi = w_ref[1 + 2 * a]
         w_lo = w_ref[2 + 2 * a]
 
-        idx = jax.lax.broadcasted_iota(jnp.int32, (8, 8, 8, TE), a)
+        idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
         at_end = idx == 7
 
         def shift_next(r, h):
@@ -242,7 +250,7 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, o0, o1, o2, o3, o4, o5,
 
     out_ref[...] = (a_c * up_ref[...] + b_c * u_ref[...]
                     + c_c * dt_inv * D)
-    smax = speed.max(axis=(0, 1, 2))
+    smax = speed.max(axis=tuple(range(dim)))
     sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
 
 
@@ -254,8 +262,10 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
                           gamma: float, flux: str, coeffs,
                           tile: int = 128, interpret: bool = False):
     """One SSP-RK stage fully in-kernel (see _fused_rk_kernel).
-    u_stage/u_prev: [5, 8, 8, 8, E]; weights: [8, E]; others: 6 arrays
-    [5, 8, 8, E].  Returns (u_next [5, 8, 8, 8, E], speed [E])."""
+    u_stage/u_prev: [5, *(8,)*dim, E] (dim 2 or 3); weights: [8, E];
+    others: 2*dim arrays [5, *(8,)*(dim-1), E].
+    Returns (u_next like u_stage, speed [E])."""
+    dim = u_stage.ndim - 2
     E = u_stage.shape[-1]
     E_pad = -(-E // tile) * tile
     if E_pad != E:
@@ -267,26 +277,29 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
         weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
     grid = (E_pad // tile,)
 
-    def idx5(i):
-        return (0, 0, 0, 0, i)
+    def idx_blk(i):
+        return (0,) * (dim + 1) + (i,)
 
-    def idx4(i):
-        return (0, 0, 0, i)
+    def idx_lay(i):
+        return (0,) * dim + (i,)
 
     def idx2(i):
         return (0, i)
 
+    blk5 = (5,) + (8,) * dim + (tile,)
     u_next, sp = pl.pallas_call(
         functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
-                          coeffs=coeffs),
+                          coeffs=coeffs, dim=dim),
         grid=grid,
-        in_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
-                  pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+        in_specs=[pl.BlockSpec(blk5, idx_blk),
+                  pl.BlockSpec(blk5, idx_blk),
                   pl.BlockSpec((8, tile), idx2)]
-                 + [pl.BlockSpec((5, 8, 8, tile), idx4)] * 6,
-        out_specs=[pl.BlockSpec((5, 8, 8, 8, tile), idx5),
+                 + [pl.BlockSpec((5,) + (8,) * (dim - 1) + (tile,),
+                                 idx_lay)] * (2 * dim),
+        out_specs=[pl.BlockSpec(blk5, idx_blk),
                    pl.BlockSpec((8, tile), idx2)],
-        out_shape=[jax.ShapeDtypeStruct((5, 8, 8, 8, E_pad), u_stage.dtype),
+        out_shape=[jax.ShapeDtypeStruct((5,) + (8,) * dim + (E_pad,),
+                                        u_stage.dtype),
                    jax.ShapeDtypeStruct((8, E_pad), u_stage.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

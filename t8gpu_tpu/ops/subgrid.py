@@ -313,7 +313,8 @@ def pallas_side_inputs(q: tuple, conn: SubgridConnectivity,
                                  base)
             others.append(base)
             w_rows.append(mask * area_t * (rel <= 0))
-    w_rows.append(jnp.zeros_like(surface))
+    while len(w_rows) < 8:           # fixed [8, E] block for the kernel
+        w_rows.append(jnp.zeros_like(surface))
     return tuple(others), jnp.stack(w_rows)
 
 
@@ -358,6 +359,8 @@ def rk_weights(conn: SubgridConnectivity, spec: SubgridSpec,
     rows = [surface]
     for k in range(2 * dim):
         rows.append(conn.mask[k] * area_t * (conn.rel[k] <= 0))
+    while len(rows) < 7:             # fixed layout: dt always in row 7
+        rows.append(jnp.zeros_like(surface))
     rows.append(dt * inv_cell_volume)
     return jnp.stack(rows)
 
@@ -365,8 +368,8 @@ def rk_weights(conn: SubgridConnectivity, spec: SubgridSpec,
 def can_fuse_rk(conn: SubgridConnectivity, spec: SubgridSpec) -> bool:
     """The RK-fused kernel applies when no XLA-side D additions exist:
     no hanging-fine sides and no walls (uniform periodic 3D ext-8)."""
-    return (spec.dim == 3 and spec.extent == 8
-            and not any(conn.has_fine) and not conn.b_groups)
+    return (spec.extent == 8 and not any(conn.has_fine)
+            and not conn.b_groups)
 
 
 def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
@@ -477,7 +480,7 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     use_pallas selects the fused Pallas kernel (ops/pallas_kernels.
     fused_flux_pallas: interior + equal/coarse mesh faces in one VMEM
     pass; hanging-fine and wall fluxes stay XLA-side additive passes).
-    Currently 3D / extent-8 blocks; other shapes use the XLA stencil.
+    Extent-8 blocks (2D and 3D); other extents use the XLA stencil.
     Default (None) = auto: the kernel on TPU backends, XLA elsewhere
     (measured on v5e: 8.4 vs 17.2 ms/step on the 2.1M-cell flagship)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
@@ -485,7 +488,7 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
-    if use_pallas and spec.dim == 3 and spec.extent == 8:
+    if use_pallas and spec.extent == 8:
         from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
         others, weights = pallas_side_inputs(q, conn, spec, volumes)
         D, sp_e = fused_flux_pallas(jnp.stack(q), weights, others,

@@ -242,10 +242,10 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
         cell_fields_tuple(u_ext, gamma, flux))
     q_loc = tuple(r[..., :CL] for r in q_ext)
 
-    if spec.dim == 3 and spec.extent == 8 and jax.default_backend() == "tpu":
-        # the fused Pallas kernel per shard: resolved neighbor layers come
-        # from the extended element axis, everything else is the
-        # single-device path (ops/pallas_kernels.fused_flux_pallas)
+    if spec.extent == 8 and jax.default_backend() == "tpu":
+        # the fused Pallas kernel per shard (2D/3D ext-8): resolved
+        # neighbor layers come from the extended element axis, everything
+        # else is the single-device path (fused_flux_pallas)
         return _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
                                    spec, gamma, flux)
 

@@ -30,9 +30,10 @@ def test_pallas_inner_matches_xla(dim, spec, flux):
 def _fused_vs_xla(forest, flux):
     from t8gpu_tpu.memory.subgrid import SubgridSpec
 
-    spec = SubgridSpec((8, 8, 8))
+    dim = forest.dim
+    spec = SubgridSpec((8,) * dim)
     mesh = SubgridMesh.from_forest(forest, spec)
-    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=3))
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=dim))
     D0, sp0 = sg.flux_divergence(s.u, s.volumes, s.conn, spec, 1.4, flux)
 
     from t8gpu_tpu.ops.euler import cell_fields_tuple
@@ -49,31 +50,35 @@ def _fused_vs_xla(forest, flux):
     np.testing.assert_allclose(float(sp1), float(sp0), rtol=1e-5)
 
 
+@pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("flux", ["kepes", "hll"])
-def test_fused_flux_pallas_uniform(flux):
-    """Fused kernel == XLA path (inner + outer) on a uniform 3D mesh."""
-    _fused_vs_xla(Forest.uniform(1, dim=3), flux)
+def test_fused_flux_pallas_uniform(dim, flux):
+    """Fused kernel == XLA path (inner + outer) on uniform 2D/3D meshes."""
+    _fused_vs_xla(Forest.uniform(2 if dim == 2 else 1, dim=dim), flux)
 
 
-def test_fused_flux_pallas_hanging():
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fused_flux_pallas_hanging(dim):
     """Fused kernel + XLA fine pass == XLA path on a 2:1 hanging mesh."""
-    forest = Forest.uniform(1, dim=3)
+    forest = Forest.uniform(2 if dim == 2 else 1, dim=dim)
     flags = np.zeros(forest.n_elements, np.int8)
     flags[0] = 1
     forest, _ = forest.adapt(forest.balance_flags(flags))
     _fused_vs_xla(forest, "kepes")
 
 
-def test_fused_rk_stage_matches_xla_step():
+@pytest.mark.parametrize("dim", [2, 3])
+def test_fused_rk_stage_matches_xla_step(dim):
     """The RK-fused kernel (flux + divergence + stage update in VMEM) ==
-    rk.ssp_rk3 over the XLA flux on a uniform periodic 3D ext-8 mesh."""
+    rk.ssp_rk3 over the XLA flux on uniform periodic ext-8 meshes."""
     from t8gpu_tpu.memory.subgrid import SubgridSpec
     from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas
     from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3, ssp_rk3
 
-    spec = SubgridSpec((8, 8, 8))
-    mesh = SubgridMesh.from_forest(Forest.uniform(1, dim=3), spec)
-    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=3))
+    spec = SubgridSpec((8,) * dim)
+    mesh = SubgridMesh.from_forest(Forest.uniform(2 if dim == 2 else 1,
+                                                  dim=dim), spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=dim))
     assert sg.can_fuse_rk(s.conn, spec)
     dt = jnp.float32(1e-3)
 
