@@ -39,8 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from t8gpu_tpu.memory.subgrid import SubgridSpec
-from t8gpu_tpu.ops.euler import AXIS_ROTATE, N_FIELDS, fields_flux
-from t8gpu_tpu.ops.euler import numerical_flux
+from t8gpu_tpu.ops.euler import AXIS_ROTATE, fields_flux, numerical_flux
 from t8gpu_tpu.ops.subgrid import axis_rotate, axis_unrotate
 
 DEFAULT_TILE = 1024

@@ -46,7 +46,7 @@ import jax.numpy as jnp
 
 from t8gpu_tpu.memory.subgrid import SubgridSpec
 from t8gpu_tpu.mesh.subgrid import SubgridConnectivity
-from t8gpu_tpu.ops.euler import (AXIS_ROTATE, cell_fields, fields_axis_rotate,
+from t8gpu_tpu.ops.euler import (AXIS_ROTATE, fields_axis_rotate,
                                  fields_flux, numerical_flux)
 
 # momentum-row permutations: state rows [rho, m_x, m_y, m_z, e] -> face frame
@@ -65,11 +65,6 @@ def axis_unrotate(f: jnp.ndarray, axis: int) -> jnp.ndarray:
     if axis == 0:
         return f
     return jnp.stack([f[i] for i in _UNROTATE[axis]])
-
-
-def _guard_state(dtype):
-    """Quiescent state used on padding lanes so flux math stays finite."""
-    return jnp.asarray([1.0, 0.0, 0.0, 0.0, 2.5], dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"))
