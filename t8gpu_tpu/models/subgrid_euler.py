@@ -43,7 +43,9 @@ GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
 
 
 def _use_fused_rk(conn, spec) -> bool:
-    return sg.can_fuse_rk(conn, spec) and jax.default_backend() == "tpu"
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+
+    return sg.can_fuse_rk(conn, spec) and kernel_mode() != "off"
 
 
 @functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"),

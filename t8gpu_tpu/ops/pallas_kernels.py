@@ -45,6 +45,23 @@ from t8gpu_tpu.ops.subgrid import axis_rotate, axis_unrotate
 DEFAULT_TILE = 1024
 
 
+def kernel_mode() -> str:
+    """How the fused kernels should run, read at trace time:
+      "tpu"       — compiled Mosaic kernels (TPU backends; the default)
+      "interpret" — Pallas interpreter (any backend; set T8GPU_PALLAS=
+                    interpret — lets the CPU test mesh exercise the full
+                    kernel dispatch glue, including inside shard_map)
+      "off"       — XLA stencil paths only
+    Callers using this inside jitted functions should jax.clear_caches()
+    after flipping the env var (the mode is baked into cached traces)."""
+    import os
+
+    force = os.environ.get("T8GPU_PALLAS", "")
+    if force in ("interpret", "off"):
+        return force
+    return "tpu" if jax.default_backend() == "tpu" else "off"
+
+
 def _rows_rotate(rows, axis):
     """Tuple-of-rows face-frame rotation (free row reordering)."""
     if axis == 0:

@@ -379,10 +379,14 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
 
     w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
 
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+    interp = kernel_mode() == "interpret"
+
     def stage(u_stage, u_prev, coeffs):
         others = _state_side_layers(u_stage, conn, spec)
         return fused_rk_stage_pallas(u_stage, u_prev, w, others,
-                                     gamma=gamma, flux=flux, coeffs=coeffs)
+                                     gamma=gamma, flux=flux, coeffs=coeffs,
+                                     interpret=interp)
 
     u1, sp = stage(u, u, (1.0, 0.0, 1.0))
     u2, _ = stage(u1, u, STAGE_2)
@@ -479,15 +483,18 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     Default (None) = auto: the kernel on TPU backends, XLA elsewhere
     (measured on v5e: 8.4 vs 17.2 ms/step on the 2.1M-cell flagship)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+    mode = kernel_mode()
     explicit = use_pallas
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = mode != "off"
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
     if use_pallas and spec.extent == 8:
         from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
         others, weights = pallas_side_inputs(q, conn, spec, volumes)
         D, sp_e = fused_flux_pallas(jnp.stack(q), weights, others,
-                                    gamma=gamma, flux=flux)
+                                    gamma=gamma, flux=flux,
+                                    interpret=mode == "interpret")
         sp_i = sp_e.max()
         D, sp_o = outer_fine_apply(D, q, conn, spec, volumes, gamma, flux)
     else:

@@ -242,7 +242,8 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
         cell_fields_tuple(u_ext, gamma, flux))
     q_loc = tuple(r[..., :CL] for r in q_ext)
 
-    if spec.extent == 8 and jax.default_backend() == "tpu":
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+    if spec.extent == 8 and kernel_mode() != "off":
         # the fused Pallas kernel per shard (2D/3D ext-8): resolved
         # neighbor layers come from the extended element axis, everything
         # else is the single-device path (fused_flux_pallas)
@@ -367,8 +368,10 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
     w_rows.append(jnp.zeros_like(surface))
     weights = jnp.stack(w_rows)
 
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
     D, sp_e = fused_flux_pallas(jnp.stack(q_loc), weights, tuple(others),
-                                gamma=gamma, flux=flux)
+                                gamma=gamma, flux=flux,
+                                interpret=kernel_mode() == "interpret")
     speed = sp_e.max()
 
     # hanging-fine pass (extended-axis gathers)
@@ -422,6 +425,66 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
         speed = jnp.maximum(speed, (sp * (ar > 0)).max())
 
     return D, jax.lax.pmax(speed, halo.AXIS)
+
+
+def _halo_exchange_state(u, conn):
+    """ppermute halo rounds for a [5, *ext, CL] state -> [5, *ext, CL+H]."""
+    S = conn.n_shards
+    parts = [u]
+    for r, idx in zip(conn.halo_rounds, conn.send_rounds):
+        send = u[..., idx]
+        perm = [(s, (s + r) % S) for s in range(S)]
+        parts.append(jax.lax.ppermute(send, halo.AXIS, perm))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def _sharded_state_layers(u_ext, conn, spec: SubgridSpec):
+    """Resolved equal/coarse neighbor facing layers as 5-row STATE slabs,
+    gathered from the extended element axis (the sharded counterpart of
+    ops/subgrid._state_side_layers)."""
+    ext = spec.extent
+    u_rows = tuple(u_ext[i] for i in range(5))
+    others = []
+    for a in range(spec.dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            hi = sign > 0
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in u_rows])
+            base = sg._gather_layers(opp_layer, conn.nbr[k][:, :1])[..., 0]
+            if conn.has_coarse[k]:
+                r_b = conn.rel[k].reshape((1,) * (base.ndim - 1) + (-1,))
+                base = jnp.where(
+                    r_b < 0, sg._coarse_window(base, conn.bits[k], spec),
+                    base)
+            others.append(base)
+    return tuple(others)
+
+
+def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
+                          gamma: float, flux: str, dt, inv_cv):
+    """One SSP-RK3 step per shard with RK-fused Pallas stage kernels
+    (runs inside shard_map; preconditions: sg.can_fuse_rk on the shard
+    tables — uniform periodic ext-8).  Each stage: halo ppermute rounds,
+    resolve neighbor layers, one kernel call."""
+    from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas, kernel_mode
+    from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3
+
+    interp = kernel_mode() == "interpret"
+    w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
+
+    def stage(u_stage, u_prev, coeffs):
+        u_ext = _halo_exchange_state(u_stage, conn)
+        others = _sharded_state_layers(u_ext, conn, spec)
+        return fused_rk_stage_pallas(u_stage, u_prev, w, others,
+                                     gamma=gamma, flux=flux, coeffs=coeffs,
+                                     interpret=interp)
+
+    u1, sp = stage(u, u, (1.0, 0.0, 1.0))
+    u2, _ = stage(u1, u, STAGE_2)
+    u3, _ = stage(u2, u, STAGE_3)
+    return u3, jax.lax.pmax(sp.max(), halo.AXIS)
 
 
 class ShardedSubgridEulerSolver:
@@ -498,15 +561,23 @@ class ShardedSubgridEulerSolver:
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
             in_specs=(u_spec, P(halo.AXIS), P(halo.AXIS), P(halo.AXIS), P()),
-            out_specs=(u_spec, P()))
+            out_specs=(u_spec, P()), check_vma=False)
         def step(u, conn, volumes, inv_cv, dt):
-            conn = jax.tree.map(lambda x: x[0], conn)
-            flux_fn = lambda v: sharded_subgrid_flux_divergence(
-                v, volumes, conn, sgspec, gamma, flux)
+            from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
-            def body(_i, carry):
-                v, _ = carry
-                return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
+            conn = jax.tree.map(lambda x: x[0], conn)
+            if sg.can_fuse_rk(conn, sgspec) and kernel_mode() != "off":
+                def body(_i, carry):
+                    v, _ = carry
+                    return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
+                                                 gamma, flux, dt, inv_cv)
+            else:
+                flux_fn = lambda v: sharded_subgrid_flux_divergence(
+                    v, volumes, conn, sgspec, gamma, flux)
+
+                def body(_i, carry):
+                    v, _ = carry
+                    return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
 
             return jax.lax.fori_loop(
                 0, n_steps, body, (u, jnp.zeros((), u.dtype)))
@@ -537,7 +608,7 @@ class ShardedSubgridEulerSolver:
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
             in_specs=(self._u_spec(), P(halo.AXIS), P(halo.AXIS)),
-            out_specs=P())
+            out_specs=P(), check_vma=False)
         def speed(u, conn, volumes):
             conn = jax.tree.map(lambda x: x[0], conn)
             _, sp = sharded_subgrid_flux_divergence(

@@ -102,3 +102,49 @@ def test_fused_rk_stage_matches_xla_step(dim):
                                np.asarray(u_ref[..., :n]),
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(float(sp.max()), float(sp_ref), rtol=1e-5)
+
+
+def test_solver_glue_interpret_mode_matches_xla():
+    """T8GPU_PALLAS=interpret forces the fused-kernel dispatch glue (the
+    path TPU backends take automatically) through the Pallas interpreter
+    on the CPU mesh: single-device RK-fused stepping AND the sharded
+    shard_map path must match the XLA stencil results."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    spec = SubgridSpec((8, 8))
+    forest = Forest.uniform(2, dim=2)
+    ic = lambda c: kh_planar(c, dim=2)
+
+    def run_single(n=3):
+        mesh = SubgridMesh.from_forest(forest, spec)
+        s = SubgridCompressibleEulerSolver(mesh, ic)
+        s.iterate_many(n, 1e-3)
+        return s.conserved_state()
+
+    def run_sharded(n=3):
+        s = ShardedSubgridEulerSolver(forest, spec, ic,
+                                      devices=jax.devices()[:4])
+        s.iterate_many(n, 1e-3)
+        return s.conserved_state()
+
+    u_ref = run_single()
+    us_ref = run_sharded()
+
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    jax.clear_caches()
+    try:
+        u_k = run_single()
+        us_k = run_sharded()
+    finally:
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(us_k), np.asarray(us_ref),
+                               rtol=2e-5, atol=2e-6)
