@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 N_VARS = 5  # rho, rho*v1, rho*v2, rho*v3, rho*e
@@ -366,13 +367,33 @@ def _ln_mean_d(a_l, a_r, dlog):
 
     Same series/exact split as ln_mean (ref kernels.cu:24-36); the exact
     branch divides by the precomputed log difference instead of evaluating
-    a per-face log.
-    """
-    xi = a_r / a_l
-    v = (xi * (xi - 2.0) + 1.0) / (xi * (xi + 2.0) + 1.0)
-    series = (a_l + a_r) * 52.5 / (105.0 + v * (35.0 + v * (21.0 + v * 15.0)))
-    exact = (a_r - a_l) / jnp.where(v < 1.0e-4, 1.0, dlog)
-    return jnp.where(v < 1.0e-4, series, exact)
+    a per-face log.  The series selector v = (xi-1)^2/(xi+1)^2 is computed
+    as ((a_r-a_l)/(a_r+a_l))^2 — algebraically identical — and numerator/
+    denominator are selected BEFORE one shared divide, so the whole
+    ln_mean costs 2 divides (divisions dominate the per-face cost once
+    the logs are hoisted per cell)."""
+    d = a_r - a_l
+    s = a_l + a_r
+    t = d / s
+    v = t * t
+    c = v < 1.0e-4
+    num = jnp.where(c, s * 52.5, d)
+    den = jnp.where(c, 105.0 + v * (35.0 + v * (21.0 + v * 15.0)), dlog)
+    return num / den
+
+
+def _ln_mean_d_recip(a_l, a_r, dlog):
+    """RECIPROCAL of _ln_mean_d in the same 2 divides — for consumers that
+    only ever use 1/ln_mean (the KEPES beta_hat enters exclusively as
+    1/beta_hat), saving the extra reciprocal."""
+    d = a_r - a_l
+    s = a_l + a_r
+    t = d / s
+    v = t * t
+    c = v < 1.0e-4
+    num = jnp.where(c, s * 52.5, d)
+    den = jnp.where(c, 105.0 + v * (35.0 + v * (21.0 + v * 15.0)), dlog)
+    return den / num
 
 
 def kepes_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
@@ -384,37 +405,37 @@ def kepes_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
     rho_l, u_l, v_l, w_l, p_l, rhop_l, lrho_l, lp_l, vent0_l, ke_l = q_l
     rho_r, u_r, v_r, w_r, p_r, rhop_r, lrho_r, lp_r, vent0_r, ke_r = q_r
 
-    beta_l = 0.5 * rhop_l
-    beta_r = 0.5 * rhop_r
-    rho_mean = 0.5 * (rho_l + rho_r)
+    # Division economy (divisions dominate per-face cost once logs are
+    # per-cell): beta_hat enters only as 1/beta_hat -> reciprocal ln_mean;
+    # gamma factors fold into static python-float constants; a_hat uses
+    # sqrt*rsqrt instead of divide-then-sqrt.
     rho_hat = _ln_mean_d(rho_l, rho_r, lrho_r - lrho_l)
-    beta_mean = 0.5 * (beta_l + beta_r)
-    beta_hat = _ln_mean_d(beta_l, beta_r,
-                          (lrho_r - lp_r) - (lrho_l - lp_l))
+    inv_bh = 2.0 * _ln_mean_d_recip(rhop_l, rhop_r,
+                                    (lrho_r - lp_r) - (lrho_l - lp_l))
 
     u_hat = 0.5 * (u_l + u_r)
     v_hat = 0.5 * (v_l + v_r)
     w_hat = 0.5 * (w_l + w_r)
-    a_hat = jnp.sqrt(gamma * 0.5 * (p_l + p_r) / rho_hat)
-    inv_bh = 1.0 / beta_hat
+    a_hat = (jnp.sqrt((gamma * 0.5) * (p_l + p_r))
+             * jax.lax.rsqrt(rho_hat))
     h_hat = (gamma / (2.0 * kappa_m1)) * inv_bh + 0.5 * (
         u_l * u_r + v_l * v_r + w_l * w_r)
-    p1_hat = 0.5 * rho_mean / beta_mean
+    p1_hat = (rho_l + rho_r) / (rhop_l + rhop_r)
     vel2_m = ke_l + ke_r
 
     f0 = rho_hat * u_hat
     f1 = f0 * u_hat + p1_hat
     f2 = f0 * v_hat
     f3 = f0 * w_hat
-    f4 = (f0 * 0.5 * (inv_bh / kappa_m1 - vel2_m)
+    f4 = (f0 * 0.5 * ((1.0 / kappa_m1) * inv_bh - vel2_m)
           + u_hat * f1 + v_hat * f2 + w_hat * f3)
 
     # Dissipation (ref kernels.cu:95-133): same algebra as kepes_es_flux
     # with the entropy-variable jump assembled from per-cell rows.
-    d0 = 0.5 * jnp.abs(u_hat - a_hat) * rho_hat / gamma
+    d0 = (0.5 / gamma) * jnp.abs(u_hat - a_hat) * rho_hat
     d1 = jnp.abs(u_hat) * (kappa_m1 / gamma) * rho_hat
     d2 = jnp.abs(u_hat) * p1_hat
-    d4 = 0.5 * jnp.abs(u_hat + a_hat) * rho_hat / gamma
+    d4 = (0.5 / gamma) * jnp.abs(u_hat + a_hat) * rho_hat
 
     dv0 = vent0_r - vent0_l
     dv1 = rhop_r * u_r - rhop_l * u_l

@@ -106,11 +106,18 @@ def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
 
         idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
         at_end = idx == 7
+        last_axis = a == dim - 1   # the sublane axis: shift via roll
 
-        # next state: shift -1 along axis a, last slot <- hi neighbor layer
+        # next state: shift -1 along axis a, last slot <- hi neighbor
+        # layer.  Loop axes concatenate slices (free reindexing); only the
+        # sublane axis needs a roll + masked substitute.
         def shift_next(r, h):
-            rolled = jnp.roll(r, -1, axis=a)
-            return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            if last_axis:
+                rolled = jnp.roll(r, -1, axis=a)
+                return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(r, 1, 8, axis=a),
+                 jnp.expand_dims(h, a)], axis=a)
 
         nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
         f, sp = fields_flux(qa, nxt, gamma=gamma, flux=flux)
@@ -132,8 +139,13 @@ def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
             jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
 
         # divergence: D[c] += f[c-1] - f[c]; f[-1] is the low-side flux
-        prev = jnp.roll(f, 1, axis=1 + a)
-        prev = jnp.where(idx == 0, f_lo, prev)
+        if last_axis:
+            prev = jnp.roll(f, 1, axis=1 + a)
+            prev = jnp.where(idx == 0, f_lo, prev)
+        else:
+            prev = jnp.concatenate(
+                [f_lo, jax.lax.slice_in_dim(f, 0, 7, axis=1 + a)],
+                axis=1 + a)
         D = D + prev - f
 
     d_ref[...] = D
@@ -239,10 +251,18 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
 
         idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
         at_end = idx == 7
+        last_axis = a == dim - 1   # the sublane axis: shift via roll
 
+        # next state: shift -1 along axis a, last slot <- hi neighbor
+        # layer.  Loop axes concatenate slices (free reindexing); only the
+        # sublane axis needs a roll + masked substitute.
         def shift_next(r, h):
-            rolled = jnp.roll(r, -1, axis=a)
-            return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            if last_axis:
+                rolled = jnp.roll(r, -1, axis=a)
+                return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(r, 1, 8, axis=a),
+                 jnp.expand_dims(h, a)], axis=a)
 
         nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
         f, sp = fields_flux(qa, nxt, gamma=gamma, flux=flux)
@@ -260,8 +280,14 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
             speed,
             jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
 
-        prev = jnp.roll(f, 1, axis=1 + a)
-        prev = jnp.where(idx == 0, f_lo, prev)
+        # divergence: D[c] += f[c-1] - f[c]; f[-1] is the low-side flux
+        if last_axis:
+            prev = jnp.roll(f, 1, axis=1 + a)
+            prev = jnp.where(idx == 0, f_lo, prev)
+        else:
+            prev = jnp.concatenate(
+                [f_lo, jax.lax.slice_in_dim(f, 0, 7, axis=1 + a)],
+                axis=1 + a)
         D = D + prev - f
 
     out_ref[...] = (a_c * up_ref[...] + b_c * u_ref[...]
