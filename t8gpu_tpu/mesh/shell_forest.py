@@ -452,6 +452,8 @@ class PrismForest:
         roots = self.roots
         i, j, orient, rk = self.decoded()
         lv = self.level.astype(np.int64)
+        assert int(lv.max(initial=0)) < LMAX, (
+            "forest refined to LMAX: face quarters need one spare level")
         sh = (LMAX - lv)
         t = self.root // roots.n_layers
         layer = self.root % roots.n_layers

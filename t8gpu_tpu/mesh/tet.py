@@ -401,6 +401,9 @@ class TetForest:
 
     def _build_face_lists_impl(self):
         n = self.n_elements
+        assert int(self.level.max(initial=0)) < LMAX, (
+            "forest refined to LMAX: face-quarter midpoints need one "
+            "spare level")
         vk = self._vertex_keys(self.verts)                # [N, 4]
         # midpoint keys for the face quarters
         mids = np.stack([(self.verts[:, a] + self.verts[:, b]) >> 1

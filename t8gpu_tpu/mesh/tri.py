@@ -310,6 +310,8 @@ class TriForest:
         n = self.n_elements
         i, j, orient = _decode_tri_paths(self.path, self.level)
         lv = self.level.astype(np.int64)
+        assert int(lv.max(initial=0)) < LMAX, (
+            "forest refined to LMAX: edge midpoints need one spare level")
         sh = LMAX - lv
         t = self.root
 

@@ -78,20 +78,18 @@ def _flux_unrotate_rows(f, axis):
     return jnp.stack([f[i] for i in inv])
 
 
-def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
-    """One element tile: q [C, *(8,)*dim, TE]; w [8, TE] (row 0 = interior
-    cell-face surface, rows 1..2*dim = the sides' mesh-face weights
-    mask*area*(rel<=0), in side order k = 2*axis + (0 hi, 1 lo));
-    o<k> [C, *(8,)*(dim-1), TE] = the pre-resolved neighbor facing layer
-    of side k.  Outputs: d [5, ...] divergence, sp [8, TE]
-    (row-replicated per-element max wave speed)."""
-    others = refs[: 2 * dim]
-    d_ref, sp_ref = refs[2 * dim:]
-    C = q_ref.shape[0]
-    TE = q_ref.shape[-1]
+def _tile_flux_divergence(q, others, w_ref, dim: int,
+                          gamma: float, flux: str):
+    """Shared per-tile flux-divergence body of the fused kernels.
+
+    q: tuple of C field rows [*(8,)*dim, TE]; others: 2*dim refs of
+    pre-resolved neighbor facing layers [C, *(8,)*(dim-1), TE];
+    w_ref: [8, TE] weights (row 0 interior surface, rows 1..2*dim sides).
+    Returns (D [5, *(8,)*dim, TE], per-cell speed [*(8,)*dim, TE])."""
+    C = len(q)
+    TE = q[0].shape[-1]
     blk = (8,) * dim + (TE,)
-    q = tuple(q_ref[i] for i in range(C))             # rows [*(8,)*dim, TE]
-    surface = w_ref[0]                                # [TE]
+    surface = w_ref[0]
 
     D = jnp.zeros((5,) + blk, q[0].dtype)
     speed = jnp.zeros(blk, q[0].dtype)
@@ -124,8 +122,7 @@ def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
         # interface weight: interior surface everywhere, side weight at end
         wgt = jnp.where(at_end, w_hi, surface)
         f = _flux_unrotate_rows(f, a) * wgt
-        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype),
-                          interior_ok)
+        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
         speed = jnp.maximum(speed, sp * sp_ok)
 
         # low-side mesh-face interface on the first slot
@@ -148,6 +145,22 @@ def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
                 axis=1 + a)
         D = D + prev - f
 
+    return D, speed
+
+
+def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
+    """One element tile: q [C, *(8,)*dim, TE]; w [8, TE] (row 0 = interior
+    cell-face surface, rows 1..2*dim = the sides' mesh-face weights
+    mask*area*(rel<=0), in side order k = 2*axis + (0 hi, 1 lo));
+    o<k> [C, *(8,)*(dim-1), TE] = the pre-resolved neighbor facing layer
+    of side k.  Outputs: d [5, ...] divergence, sp [8, TE]
+    (row-replicated per-element max wave speed)."""
+    others = refs[: 2 * dim]
+    d_ref, sp_ref = refs[2 * dim:]
+    C = q_ref.shape[0]
+    TE = q_ref.shape[-1]
+    q = tuple(q_ref[i] for i in range(C))
+    D, speed = _tile_flux_divergence(q, others, w_ref, dim, gamma, flux)
     d_ref[...] = D
     smax = speed.max(axis=tuple(range(dim)))          # [TE]
     sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
@@ -223,72 +236,23 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
     """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*D(u_stage).
     u/up [5, *(8,)*dim, TE] states; w [8, TE] rows 0..2*dim as in
     _fused_kernel, row 7 = dt * inv_cell_volume; o<k>
-    [5, *(8,)*(dim-1), TE] neighbor state layers."""
+    [5, *(8,)*(dim-1), TE] neighbor state layers whose fields are derived
+    IN VMEM (cell_fields_tuple)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
 
     others = refs[: 2 * dim]
     out_ref, sp_ref = refs[2 * dim:]
     a_c, b_c, c_c = coeffs
     TE = u_ref.shape[-1]
-    blk = (8,) * dim + (TE,)
     u_rows = tuple(u_ref[i] for i in range(5))
     q = cell_fields_tuple(u_rows, gamma, flux)
-    surface = w_ref[0]
     dt_inv = w_ref[7]
 
-    D = jnp.zeros((5,) + blk, u_rows[0].dtype)
-    speed = jnp.zeros(blk, u_rows[0].dtype)
-    interior_ok = (surface > 0).astype(u_rows[0].dtype)
-
-    for a in range(dim):
-        qa = _rows_rotate(q, a)
-        hi = _rows_rotate(cell_fields_tuple(
-            tuple(others[2 * a][i] for i in range(5)), gamma, flux), a)
-        lo = _rows_rotate(cell_fields_tuple(
-            tuple(others[2 * a + 1][i] for i in range(5)), gamma, flux), a)
-        w_hi = w_ref[1 + 2 * a]
-        w_lo = w_ref[2 + 2 * a]
-
-        idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
-        at_end = idx == 7
-        last_axis = a == dim - 1   # the sublane axis: shift via roll
-
-        # next state: shift -1 along axis a, last slot <- hi neighbor
-        # layer.  Loop axes concatenate slices (free reindexing); only the
-        # sublane axis needs a roll + masked substitute.
-        def shift_next(r, h):
-            if last_axis:
-                rolled = jnp.roll(r, -1, axis=a)
-                return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
-            return jnp.concatenate(
-                [jax.lax.slice_in_dim(r, 1, 8, axis=a),
-                 jnp.expand_dims(h, a)], axis=a)
-
-        nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
-        f, sp = fields_flux(qa, nxt, gamma=gamma, flux=flux)
-        wgt = jnp.where(at_end, w_hi, surface)
-        f = _flux_unrotate_rows(f, a) * wgt
-        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
-        speed = jnp.maximum(speed, sp * sp_ok)
-
-        q0 = tuple(jax.lax.index_in_dim(r, 0, axis=a, keepdims=True)
-                   for r in qa)
-        lo_e = tuple(jnp.expand_dims(h, a) for h in lo)
-        f_lo, sp_lo = fields_flux(lo_e, q0, gamma=gamma, flux=flux)
-        f_lo = _flux_unrotate_rows(f_lo, a) * w_lo
-        speed = jnp.maximum(
-            speed,
-            jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
-
-        # divergence: D[c] += f[c-1] - f[c]; f[-1] is the low-side flux
-        if last_axis:
-            prev = jnp.roll(f, 1, axis=1 + a)
-            prev = jnp.where(idx == 0, f_lo, prev)
-        else:
-            prev = jnp.concatenate(
-                [f_lo, jax.lax.slice_in_dim(f, 0, 7, axis=1 + a)],
-                axis=1 + a)
-        D = D + prev - f
+    others_q = tuple(
+        jnp.stack(cell_fields_tuple(tuple(o[i] for i in range(5)),
+                                    gamma, flux))
+        for o in others)
+    D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, gamma, flux)
 
     out_ref[...] = (a_c * up_ref[...] + b_c * u_ref[...]
                     + c_c * dt_inv * D)
