@@ -248,9 +248,9 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
     q = cell_fields_tuple(u_rows, gamma, flux)
     dt_inv = w_ref[7]
 
+    # tuple-of-row-tuples: no stacked materialization in VMEM
     others_q = tuple(
-        jnp.stack(cell_fields_tuple(tuple(o[i] for i in range(5)),
-                                    gamma, flux))
+        cell_fields_tuple(tuple(o[i] for i in range(5)), gamma, flux)
         for o in others)
     D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, gamma, flux)
 
