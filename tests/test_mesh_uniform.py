@@ -108,3 +108,34 @@ def test_reflective_wall_conserves_mass_not_momentum():
     fb, _ = boundary_face_fluxes(jnp.asarray(u), m.conn)
     np.testing.assert_allclose(
         np.asarray(fb)[0, : m.conn.n_boundary_faces], 0.0, atol=1e-6)
+
+
+def test_gather_mode_state_matches_fields():
+    """The measured-variant GATHER_MODE='state' (gather 5-row states,
+    derive fields per face side) must agree with the default fields-gather
+    path (BENCHMARKS.md records why fields-gather is the default)."""
+    import jax
+
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.ops import fluxes
+
+    m = uniform_mesh(level=4, dim=2)
+    ic = lambda c: kh_planar(c, dim=2)
+    s1 = CompressibleEulerSolver(m, ic)
+    for _ in range(3):
+        s1.iterate(1e-3)
+    u_ref = s1.conserved_state()
+
+    fluxes.GATHER_MODE = "state"
+    jax.clear_caches()
+    try:
+        s2 = CompressibleEulerSolver(m, ic)
+        for _ in range(3):
+            s2.iterate(1e-3)
+        u_state = s2.conserved_state()
+    finally:
+        fluxes.GATHER_MODE = "fields"
+        jax.clear_caches()
+
+    np.testing.assert_allclose(u_state, u_ref, rtol=2e-5, atol=2e-6)
