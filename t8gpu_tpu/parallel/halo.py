@@ -62,21 +62,48 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
 
     q_l = gather_cols(q, conn.left)
     q_r = gather_cols(q, conn.right)
-    basis = euler.face_basis(conn.normal)
-    f_rot, speed = euler.fields_flux(
-        euler.fields_rotate(q_l, *basis), euler.fields_rotate(q_r, *basis),
-        gamma=gamma, flux=flux)
-    f = euler.inverse_rotate_state(f_rot, *basis) * conn.area
-    speed = speed * (conn.area > 0)
+    if conn.axis_ranges is not None:
+        # axis-grouped segments (common static ranges across shards):
+        # static row-permutation rotations, no per-face basis math
+        fs, sps = [], []
+        for a, s0, s1 in conn.axis_ranges:
+            f_rot, sp = euler.fields_flux(
+                euler.fields_axis_rotate(q_l[:, s0:s1], a),
+                euler.fields_axis_rotate(q_r[:, s0:s1], a),
+                gamma=gamma, flux=flux)
+            fs.append(euler.flux_axis_unrotate(f_rot, a))
+            sps.append(sp)
+        f = jnp.concatenate(fs, axis=1) * conn.area
+        speed = jnp.concatenate(sps) * (conn.area > 0)
+    else:
+        basis = euler.face_basis(conn.normal)
+        f_rot, speed = euler.fields_flux(
+            euler.fields_rotate(q_l, *basis),
+            euler.fields_rotate(q_r, *basis), gamma=gamma, flux=flux)
+        f = euler.inverse_rotate_state(f_rot, *basis) * conn.area
+        speed = speed * (conn.area > 0)
 
     if conn.boundary_capacity:
         q_in = gather_cols(q[:, : u_local.shape[1]], conn.b_elem)
-        basis_b = euler.face_basis(conn.b_normal)
-        q_rot = euler.fields_rotate(q_in, *basis_b)
-        fb_rot, speed_b = euler.fields_flux(
-            q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
-        fb = euler.inverse_rotate_state(fb_rot, *basis_b) * conn.b_area
-        speed_b = speed_b * (conn.b_area > 0)
+        if conn.b_axis_ranges is not None:
+            fs, sps = [], []
+            for a, sgn, s0, s1 in conn.b_axis_ranges:
+                q_own = euler.fields_axis_rotate(q_in[:, s0:s1], a)
+                q_ghost = euler.fields_mirror(q_own)
+                pair = (q_own, q_ghost) if sgn > 0 else (q_ghost, q_own)
+                fb_rot, sp = euler.fields_flux(*pair, gamma=gamma, flux=flux)
+                f_a = euler.flux_axis_unrotate(fb_rot, a)
+                fs.append(f_a if sgn > 0 else -f_a)
+                sps.append(sp)
+            fb = jnp.concatenate(fs, axis=1) * conn.b_area
+            speed_b = jnp.concatenate(sps) * (conn.b_area > 0)
+        else:
+            basis_b = euler.face_basis(conn.b_normal)
+            q_rot = euler.fields_rotate(q_in, *basis_b)
+            fb_rot, speed_b = euler.fields_flux(
+                q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
+            fb = euler.inverse_rotate_state(fb_rot, *basis_b) * conn.b_area
+            speed_b = speed_b * (conn.b_area > 0)
     else:
         fb = jnp.zeros((5, 0), u_local.dtype)
         speed_b = jnp.zeros((0,), u_local.dtype)

@@ -68,6 +68,14 @@ class ShardedConnectivity:
     n_shards: int = dataclasses.field(metadata=dict(static=True))
     local_capacity: int = dataclasses.field(metadata=dict(static=True))
     halo_size: int = dataclasses.field(metadata=dict(static=True))  # sum H_r
+    # axis-aligned orientation groups, COMMON across shards (per-axis
+    # segments padded to shared capacities) — static row-permutation
+    # rotations like mesh/connectivity.FaceConnectivity.axis_ranges;
+    # None on general meshes
+    axis_ranges: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    b_axis_ranges: Optional[tuple] = dataclasses.field(
+        default=None, metadata=dict(static=True))
 
     @property
     def face_capacity(self) -> int:
@@ -152,16 +160,68 @@ def build_sharded_connectivity(
             out[i] = CL + round_offset[r] + p
         return out
 
+    g_axis = faces.get("axis")
+    g_sign = faces.get("sign")
+    grouped = g_axis is not None and len(gl) > 0
     per_shard = []
     for s in range(n_shards):
         sel = np.flatnonzero((o_l == s) | (o_r == s))
         l_ext = ext_index(gl[sel], s)
         r_ext = ext_index(gr[sel], s)
+        if grouped:
+            # canonicalize to +axis normals: swap sides where sign < 0
+            # (F(l, r, n) = -F(r, l, -n); the incidence roles swap too)
+            swap = np.asarray(g_sign, np.int64)[sel] < 0
+            l_ext[swap], r_ext[swap] = (r_ext[swap].copy(),
+                                        l_ext[swap].copy())
         bsel = np.flatnonzero(owner[gb] == s) if has_b else np.zeros(0, np.int64)
         per_shard.append((sel, l_ext, r_ext, bsel))
 
-    Fcap = bucket_capacity(max(max((len(p[0]) for p in per_shard), default=1), 1))
-    Bcap = (bucket_capacity(max(max((len(p[3]) for p in per_shard), default=1), 1))
+    axis_ranges = None
+    b_axis_ranges = None
+    if grouped:
+        # per-axis face segments padded to capacities COMMON across shards
+        # so the flux path compiles ONE program with static per-axis
+        # ranges + row-permutation rotations (no per-face basis math)
+        ga = np.asarray(g_axis, np.int64)
+        n_ax = int(ga.max()) + 1
+        seg_counts = np.zeros((n_shards, n_ax), np.int64)
+        for s, (sel, _l, _r, _b) in enumerate(per_shard):
+            for a in range(n_ax):
+                seg_counts[s, a] = int((ga[sel] == a).sum())
+        seg_caps = [bucket_capacity(max(int(seg_counts[:, a].max()), 1))
+                    for a in range(n_ax)]
+        seg_offs = np.concatenate([[0], np.cumsum(seg_caps)]).astype(int)
+        Fcap = int(seg_offs[-1])
+        axis_ranges = tuple((a, int(seg_offs[a]), int(seg_offs[a + 1]))
+                            for a in range(n_ax))
+    else:
+        Fcap = bucket_capacity(
+            max(max((len(p[0]) for p in per_shard), default=1), 1))
+
+    gb_axis = faces.get("b_axis")
+    gb_sign = faces.get("b_sign")
+    b_grouped = has_b and gb_axis is not None and len(gb) > 0
+    if b_grouped:
+        gba = np.asarray(gb_axis, np.int64)
+        gbs = np.asarray(gb_sign, np.int64)
+        bkey = gba * 2 + (gbs < 0)
+        keys = np.unique(bkey)
+        bseg_counts = np.zeros((n_shards, len(keys)), np.int64)
+        for s, (_sel, _l, _r, bsel) in enumerate(per_shard):
+            for i, kk in enumerate(keys):
+                bseg_counts[s, i] = int((bkey[bsel] == kk).sum())
+        bseg_caps = [bucket_capacity(max(int(bseg_counts[:, i].max()), 1))
+                     for i in range(len(keys))]
+        bseg_offs = np.concatenate([[0], np.cumsum(bseg_caps)]).astype(int)
+        Bcap = int(bseg_offs[-1])
+        b_axis_ranges = tuple(
+            (int(kk) // 2, 1 - 2 * (int(kk) % 2),
+             int(bseg_offs[i]), int(bseg_offs[i + 1]))
+            for i, kk in enumerate(keys))
+    else:
+        Bcap = (bucket_capacity(
+            max(max((len(p[3]) for p in per_shard), default=1), 1))
             if has_b else 0)
     sentinel = Fcap + Bcap
 
@@ -193,15 +253,35 @@ def build_sharded_connectivity(
 
     for s, (sel, l_ext, r_ext, bsel) in enumerate(per_shard):
         F = len(sel)
-        lefts[s, :F] = l_ext
-        rights[s, :F] = r_ext
-        normals[s, :, :F] = g_normal[:, sel]
-        areas[s, :F] = g_area[sel]
+        # face placement: contiguous [0, F) or per-axis segments (grouped)
+        if grouped:
+            pos = np.empty(F, np.int64)
+            for a in range(len(axis_ranges)):
+                in_a = np.flatnonzero(ga[sel] == a)
+                pos[in_a] = axis_ranges[a][1] + np.arange(len(in_a))
+        else:
+            pos = np.arange(F)
+        lefts[s, pos] = l_ext
+        rights[s, pos] = r_ext
+        if grouped:
+            for a, a0, _a1 in axis_ranges:
+                normals[s, :, a0:_a1] = 0.0
+                normals[s, a, a0:_a1] = 1.0
+        else:
+            normals[s, :, :F] = g_normal[:, sel]
+        areas[s, pos] = g_area[sel]
         Fb = len(bsel)
         if has_b and Fb:
-            b_elems[s, :Fb] = gb[bsel] - starts[s]
-            b_normals[s, :, :Fb] = faces["b_normal"][:, bsel]
-            b_areas[s, :Fb] = faces["b_area"][bsel]
+            if b_grouped:
+                bpos = np.empty(Fb, np.int64)
+                for i, (_a, _sgn, b0, _b1) in enumerate(b_axis_ranges):
+                    in_k = np.flatnonzero(bkey[bsel] == keys[i])
+                    bpos[in_k] = b0 + np.arange(len(in_k))
+            else:
+                bpos = np.arange(Fb)
+            b_elems[s, bpos] = gb[bsel] - starts[s]
+            b_normals[s, :, bpos] = faces["b_normal"][:, bsel].T
+            b_areas[s, bpos] = faces["b_area"][bsel]
 
         # local incidence: -1 for emitter/owner side, +1 for receiver
         elems = []
@@ -210,14 +290,14 @@ def build_sharded_connectivity(
         loc_mask_l = l_ext < CL
         loc_mask_r = r_ext < CL
         elems.append(l_ext[loc_mask_l])
-        slots.append(np.flatnonzero(loc_mask_l))
+        slots.append(pos[loc_mask_l])
         signs.append(-np.ones(loc_mask_l.sum()))
         elems.append(r_ext[loc_mask_r])
-        slots.append(np.flatnonzero(loc_mask_r))
+        slots.append(pos[loc_mask_r])
         signs.append(np.ones(loc_mask_r.sum()))
         if has_b and Fb:
             elems.append(gb[bsel] - starts[s])
-            slots.append(Fcap + np.arange(Fb))
+            slots.append(Fcap + bpos)
             signs.append(-np.ones(Fb))
         elems = np.concatenate(elems).astype(np.int64)
         slots = np.concatenate(slots).astype(np.int64)
@@ -237,7 +317,8 @@ def build_sharded_connectivity(
         b_area=jnp.asarray(b_areas),
         inc_slot=jnp.asarray(inc_slot), inc_sign=jnp.asarray(inc_sign),
         send_rounds=tuple(send_rounds), halo_rounds=halo_rounds,
-        n_shards=n_shards, local_capacity=CL, halo_size=H)
+        n_shards=n_shards, local_capacity=CL, halo_size=H,
+        axis_ranges=axis_ranges, b_axis_ranges=b_axis_ranges)
     return conn, bounds
 
 
