@@ -127,9 +127,16 @@ def _config_meta(config, amr) -> dict:
 
 
 def save_solver(path: str, solver, step: int = 0) -> str:
-    """Checkpoint a plain or subgrid Euler solver (forest-backed mesh)."""
-    forest = (solver.manager.forest if solver.manager is not None
-              else getattr(solver.mesh, "forest", None))
+    """Checkpoint a plain or subgrid Euler solver — single-device or
+    sharded (the sharded solvers gather their state via conserved_state;
+    only the O(state) host copy at checkpoint time crosses the chips)."""
+    manager = getattr(solver, "manager", None)
+    if manager is not None:
+        forest = manager.forest
+    else:
+        forest = getattr(solver, "forest", None)       # sharded solvers
+        if forest is None:
+            forest = getattr(getattr(solver, "mesh", None), "forest", None)
     if forest is None:
         raise ValueError("checkpointing requires a forest-backed mesh "
                          "(ForestMesh / MeshManager), not a UniformMesh")
@@ -163,6 +170,33 @@ def restore_solver(path: str):
         from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
         manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
         solver = CompressibleEulerSolver(manager, lambda _c: u, config=config)
+    return solver, meta
+
+
+def restore_sharded_solver(path: str, devices=None):
+    """Rebuild a SHARDED solver (parallel/solver.py, parallel/subgrid.py)
+    from a checkpoint written by save_solver — the multi-chip resume the
+    reference lacks entirely (SURVEY §5: no persistence).  The state is
+    re-sharded over `devices` (default: all) by construction; checkpoints
+    are layout-portable between single-device and sharded runs.
+    Returns (solver, meta)."""
+    from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+
+    forest, u, meta = load_checkpoint(path)
+    config = EulerConfig(**meta["config"])
+    amr = AMRConfig(**meta["amr"])
+
+    if "extents" in meta:
+        from t8gpu_tpu.memory.subgrid import SubgridSpec
+        from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+        spec = SubgridSpec(tuple(meta["extents"]))
+        solver = ShardedSubgridEulerSolver(
+            forest, spec, lambda _c: u.reshape(u.shape[0], -1),
+            devices=devices, config=config, amr=amr)
+    else:
+        from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+        solver = ShardedEulerSolver(forest, lambda _c: u,
+                                    devices=devices, config=config, amr=amr)
     return solver, meta
 
 

@@ -26,6 +26,15 @@ def _b64(arr: np.ndarray) -> str:
     return base64.b64encode(header + raw).decode()
 
 
+def _xml_attr(name: str) -> str:
+    """Escape a string for use inside a double-quoted XML attribute (field
+    names containing &, <, > or quotes would otherwise produce files
+    ParaView rejects)."""
+    from xml.sax.saxutils import escape
+
+    return escape(str(name), {'"': "&quot;"})
+
+
 def write_vtu(path: str,
               centers: np.ndarray,       # [N, dim]
               sizes: np.ndarray,         # [N] edge lengths
@@ -84,13 +93,15 @@ def write_vtu(path: str,
     for name, values in cell_data.items():
         values = np.asarray(values, np.float32)
         if values.ndim == 1:
-            parts.append(f'<DataArray type="Float32" Name="{name}" format="binary">')
+            parts.append(f'<DataArray type="Float32" Name="{_xml_attr(name)}"'
+                         ' format="binary">')
             parts.append(_b64(values))
         else:
             comps = np.zeros((3, values.shape[1]), np.float32)
             comps[: values.shape[0]] = values
             parts.append(
-                f'<DataArray type="Float32" Name="{name}" NumberOfComponents="3" format="binary">')
+                f'<DataArray type="Float32" Name="{_xml_attr(name)}" '
+                'NumberOfComponents="3" format="binary">')
             parts.append(_b64(comps.T.copy()))
         parts.append('</DataArray>')
     parts.append('</CellData>')
@@ -119,13 +130,13 @@ def write_pvtu(path: str, piece_paths, cell_data_names, vector_names=()) -> str:
     parts.append('<PCellData>')
     for name in cell_data_names:
         if name in vector_names:
-            parts.append(f'<PDataArray type="Float32" Name="{name}" '
+            parts.append(f'<PDataArray type="Float32" Name="{_xml_attr(name)}" '
                          'NumberOfComponents="3"/>')
         else:
-            parts.append(f'<PDataArray type="Float32" Name="{name}"/>')
+            parts.append(f'<PDataArray type="Float32" Name="{_xml_attr(name)}"/>')
     parts.append('</PCellData>')
     for p in piece_paths:
-        parts.append(f'<Piece Source="{os.path.basename(p)}"/>')
+        parts.append(f'<Piece Source="{_xml_attr(os.path.basename(p))}"/>')
     parts.append('</PUnstructuredGrid></VTKFile>')
     with open(path, "w") as f:
         f.write("\n".join(parts))

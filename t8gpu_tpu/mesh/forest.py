@@ -128,6 +128,13 @@ class Forest:
     def edge_lengths(self) -> np.ndarray:
         return self.sizes() * self.h_unit
 
+    def cfl_h(self) -> float:
+        """Characteristic min cell size for CFL control: the finest edge
+        (= 0.5^max_level), matching the reference's cfl * 0.5^max_level
+        timestep rule (solver.cu:213-229).  Non-brick forests provide the
+        same method via cfl_h_from_faces (anisotropic-safe)."""
+        return float(self.edge_lengths().min())
+
     # -- family detection ----------------------------------------------------
 
     def family_heads(self) -> np.ndarray:
@@ -529,3 +536,17 @@ class ForestMesh:
             centers=forest.centers().astype(np.float32),
             volumes=forest.volumes().astype(np.float32),
         )
+
+
+def cfl_h_from_faces(forest) -> float:
+    """Characteristic min cell size dim * min(V / sum A) over elements —
+    half the smallest cell extent on anisotropic elements (shell prisms,
+    tets) where V^(1/dim) overestimates the binding direction.  Shared by
+    the non-brick forests' cfl_h methods and the ShellForestMesh adapter."""
+    f = forest.build_faces()
+    suma = np.zeros(forest.n_elements)
+    np.add.at(suma, f["left"], f["area"].astype(np.float64))
+    np.add.at(suma, f["right"], f["area"].astype(np.float64))
+    if f["b_elem"] is not None:
+        np.add.at(suma, f["b_elem"], f["b_area"].astype(np.float64))
+    return float(forest.dim * (forest.volumes() / suma).min())

@@ -707,6 +707,10 @@ class PrismForest:
             element_capacity=element_capacity,
         )
 
+    def cfl_h(self) -> float:
+        from t8gpu_tpu.mesh.forest import cfl_h_from_faces
+        return cfl_h_from_faces(self)
+
 
 @dataclasses.dataclass
 class ShellForestMesh:
@@ -734,22 +738,14 @@ class ShellForestMesh:
     @staticmethod
     def from_forest(forest: PrismForest,
                     element_capacity: Optional[int] = None) -> "ShellForestMesh":
-        faces = forest.build_faces()
-        suma = np.zeros(forest.n_elements)
-        np.add.at(suma, faces["left"], faces["area"].astype(np.float64))
-        np.add.at(suma, faces["right"], faces["area"].astype(np.float64))
-        if faces["b_elem"] is not None:
-            np.add.at(suma, faces["b_elem"], faces["b_area"].astype(np.float64))
-        vols = forest.volumes()
         # dim * V / sum(A) ~= half the smallest cell extent: the binding
         # direction on thin prisms is radial, which volume^(1/3) misses
-        cfl_h = float(3.0 * (vols / suma).min())
         return ShellForestMesh(
             forest=forest,
             conn=forest.connectivity(element_capacity),
             centers=forest.centers().astype(np.float32),
-            volumes=vols.astype(np.float32),
-            cfl_h=cfl_h,
+            volumes=forest.volumes().astype(np.float32),
+            cfl_h=forest.cfl_h(),
         )
 
 

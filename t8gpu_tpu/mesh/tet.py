@@ -507,6 +507,10 @@ class TetForest:
             element_capacity=element_capacity,
         )
 
+    def cfl_h(self) -> float:
+        from t8gpu_tpu.mesh.forest import cfl_h_from_faces
+        return cfl_h_from_faces(self)
+
 
 @dataclasses.dataclass
 class TetForestMesh:
@@ -531,19 +535,12 @@ class TetForestMesh:
     @staticmethod
     def from_forest(forest: TetForest,
                     element_capacity: Optional[int] = None) -> "TetForestMesh":
-        faces = forest.build_faces()
-        suma = np.zeros(forest.n_elements)
-        np.add.at(suma, faces["left"], faces["area"].astype(np.float64))
-        np.add.at(suma, faces["right"], faces["area"].astype(np.float64))
-        if faces["b_elem"] is not None:
-            np.add.at(suma, faces["b_elem"], faces["b_area"].astype(np.float64))
-        vols = forest.volumes()
         return TetForestMesh(
             forest=forest,
             conn=forest.connectivity(element_capacity),
             centers=forest.centers().astype(np.float32),
-            volumes=vols.astype(np.float32),
-            cfl_h=float(3.0 * (vols / suma).min()),
+            volumes=forest.volumes().astype(np.float32),
+            cfl_h=forest.cfl_h(),
         )
 
 

@@ -45,9 +45,16 @@ from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
 
 class ShardedEulerSolver:
-    """Plain-element Euler solver distributed over a 1D device mesh."""
+    """Plain-element Euler solver distributed over a 1D device mesh.
 
-    def __init__(self, forest: Forest, ic: Callable[[np.ndarray], np.ndarray],
+    `forest` may be ANY SFC-ordered forest kind — brick Forest, shell
+    PrismForest, planar TriForest, or TetForest (duck-typed on
+    build_faces/volumes/centers/flags_from_criteria/balance_flags/adapt/
+    cfl_h) — covering the reference's flagship deployment, an MPI program
+    over the prismed icosahedral shell (main.cu:6-47): every element class
+    is distributed there, so every forest kind shards here."""
+
+    def __init__(self, forest, ic: Callable[[np.ndarray], np.ndarray],
                  devices=None,
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig()):
@@ -69,11 +76,12 @@ class ShardedEulerSolver:
         spec = P(halo.AXIS) if element_axis_only else P(None, halo.AXIS)
         return NamedSharding(self.mesh_dev, spec)
 
-    def _install(self, forest: Forest, ic=None, u_flat=None):
+    def _install(self, forest, ic=None, u_flat=None):
         """Partition the forest, build the sharded connectivity and place
         the state; exactly one of ic / u_flat supplies the state
         (u_flat: device or host [5, S*CL] already in padded-global order)."""
         self.forest = forest
+        self._cfl_h = forest.cfl_h()
         conn, bounds = build_sharded_connectivity(
             forest.build_faces(), forest.n_elements, self.n_shards)
         self.bounds = bounds
@@ -204,10 +212,17 @@ class ShardedEulerSolver:
         return float((self.u[0] * self.volume).sum())
 
     def compute_timestep(self) -> float:
+        return float(self.compute_timestep_device())
+
+    def compute_timestep_device(self):
+        """CFL timestep as a DEVICE scalar (no host round trip — scalar
+        fetches through the TPU tunnel are latency-poison in adapt loops).
+        The characteristic min cell size comes from the forest's cfl_h()
+        (finest edge on bricks; dim*min(V/sum A) on anisotropic prism/tri/
+        tet forests), so any SFC forest kind works."""
         if self._max_speed is None:
             self._max_speed = self._speed(self.u, self.conn)
-        level = int(self.forest.level.max())
-        return float(self.config.cfl * 0.5**level / float(self._max_speed))
+        return jnp.float32(self.config.cfl * self._cfl_h) / self._max_speed
 
     @property
     def n_elements(self) -> int:

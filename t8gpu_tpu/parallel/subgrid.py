@@ -365,7 +365,8 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
                     base)
             others.append(base)
             w_rows.append(conn.mask[k] * area_t * (conn.rel[k] <= 0))
-    w_rows.append(jnp.zeros_like(surface))
+    while len(w_rows) < 8:           # fixed [8, E] block for the kernel
+        w_rows.append(jnp.zeros_like(surface))
     weights = jnp.stack(w_rows)
 
     from t8gpu_tpu.ops.pallas_kernels import kernel_mode
@@ -509,7 +510,9 @@ class ShardedSubgridEulerSolver:
         self.n_shards = len(devices)
         self._max_speed = None
         self._steps = {}
-        self._speed_fn = None
+        # built ONCE; jax.jit retraces per capacity bucket and keeps every
+        # trace cached, so adapts at a steady bucket reuse the executable
+        self._speed_fn = self._build_speed()
         from t8gpu_tpu.mesh.subgrid import cell_centers
         u0 = np.asarray(ic(cell_centers(forest, spec)), np.float32)
         u0 = u0.reshape((u0.shape[0], forest.n_elements) + spec.extents)
@@ -623,8 +626,9 @@ class ShardedSubgridEulerSolver:
         parallel/solver.adapt) -> fresh connectivity
         (ref solver.inl:327-345, mesh_manager.inl:625-723).  Only the
         criteria and the integer index plan cross the host boundary."""
-        crit_fn = jax.jit(sg.h1_criteria, static_argnums=(2,))
-        crit_flat = np.asarray(crit_fn(self.u, self.volumes, self.spec))
+        # sg.h1_criteria is module-level jitted: its trace cache persists
+        # across adapts (no per-adapt jax.jit wrappers — ADVICE r2)
+        crit_flat = np.asarray(sg.h1_criteria(self.u, self.volumes, self.spec))
         crit = _unpad_flat(crit_flat, self.bounds, self.local_capacity)
 
         flags = self.forest.flags_from_criteria(
@@ -671,23 +675,25 @@ class ShardedSubgridEulerSolver:
             self.u, jnp.asarray(src), jnp.asarray(refined),
             jnp.asarray(child), jnp.asarray(coarsened), jnp.asarray(fam),
             spec=self.spec, capacity=cap)
-        u_new = jax.jit(
-            lambda x: jax.lax.with_sharding_constraint(x, out_sh))(u_new)
+        u_new = _constrain(u_new, out_sh)
         self._install(new_forest, u_dev=u_new)
         self._max_speed = None
-        self._speed_fn = None   # capacity may have changed shape signature
 
     def compute_integral(self) -> float:
         cv = self.volumes / self.spec.size            # [S*CL]
         return float((self.u[0] * cv).sum())
 
     def compute_timestep(self) -> float:
+        return float(self.compute_timestep_device())
+
+    def compute_timestep_device(self):
+        """CFL timestep as a DEVICE scalar — no host round trip; fetching
+        scalars through the TPU tunnel is latency-poison in adapt loops
+        (same rationale as the single-device compute_timestep_device)."""
         if self._max_speed is None:
-            if self._speed_fn is None:
-                self._speed_fn = self._build_speed()
             self._max_speed = self._speed_fn(self.u, self.conn, self.volumes)
         h_min = 0.5 ** int(self.forest.level.max()) / self.spec.extent
-        return float(self.config.cfl * h_min / float(self._max_speed))
+        return jnp.float32(self.config.cfl * h_min) / self._max_speed
 
     @property
     def n_elements(self) -> int:
@@ -707,3 +713,11 @@ def _unpad_flat(flat: np.ndarray, bounds: np.ndarray, CL: int) -> np.ndarray:
         lo = s * CL
         parts.append(flat[..., lo: lo + bounds[s + 1] - bounds[s]])
     return np.concatenate(parts, axis=-1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,), donate_argnums=(0,))
+def _constrain(x, sharding):
+    """Module-level resharding helper: its trace cache persists across
+    adapts (NamedSharding is hashable, so it rides along as a static arg
+    like _device_remap's out_sharding in parallel/solver.py)."""
+    return jax.lax.with_sharding_constraint(x, sharding)

@@ -130,3 +130,56 @@ def test_checkpoint_tet_forest_roundtrip(tmp_path):
     np.testing.assert_array_equal(f2.verts, f.verts)
     np.testing.assert_array_equal(u2, u)
     np.testing.assert_allclose(f2.volumes(), f.volumes())
+
+
+def test_sharded_solver_checkpoint_roundtrip(tmp_path):
+    """Sharded (multi-chip) save -> restore, both plain and subgrid: the
+    state re-shards by construction and stepping continues identically to
+    the original solver (checkpoints are layout-portable)."""
+    import numpy as np
+
+    from t8gpu_tpu.io.checkpoint import restore_sharded_solver, save_solver
+    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    ic = lambda c: kh_planar(c, dim=2)
+
+    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=2.0)
+    s = ShardedEulerSolver(Forest.uniform(4, dim=2), ic, amr=amr)
+    dt = float(s.compute_timestep())
+    s.iterate(dt)
+    s.adapt()          # checkpoint an ADAPTED (non-uniform) mesh
+    s.iterate(dt)
+    path = str(tmp_path / "sharded_plain.npz")
+    save_solver(path, s, step=2)
+    s2, meta = restore_sharded_solver(path)
+    assert meta["step"] == 2
+    assert s2.n_elements == s.n_elements
+    np.testing.assert_array_equal(s2.conserved_state(), s.conserved_state())
+    s.iterate(dt)
+    s2.iterate(dt)
+    np.testing.assert_allclose(s2.conserved_state(), s.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+
+    amr_sg = AMRConfig(min_level=1, max_level=3, refine_threshold=0.02)
+    sg = ShardedSubgridEulerSolver(Forest.uniform(2, dim=2), SUBGRID_4x4,
+                                   ic, amr=amr_sg)
+    dt = float(sg.compute_timestep())
+    sg.iterate(dt)
+    sg.adapt()
+    sg.iterate(dt)
+    path = str(tmp_path / "sharded_subgrid.npz")
+    save_solver(path, sg, step=2)
+    sg2, meta = restore_sharded_solver(path)
+    assert meta["extents"] == [4, 4]
+    assert sg2.n_elements == sg.n_elements
+    np.testing.assert_array_equal(sg2.conserved_state(),
+                                  sg.conserved_state())
+    sg.iterate(dt)
+    sg2.iterate(dt)
+    np.testing.assert_allclose(sg2.conserved_state(), sg.conserved_state(),
+                               rtol=1e-6, atol=1e-7)

@@ -147,3 +147,85 @@ def test_sharded_iterate_many_matches_loop():
     s2.iterate_many(4, 1e-3)
     np.testing.assert_allclose(s1.conserved_state(), s2.conserved_state(),
                                rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Non-brick forests over the device mesh: the reference flagship is an MPI
+# program on the prismed icosahedral shell (main.cu:6-47) — every element
+# class is distributed there, so every forest kind must shard here.
+# ---------------------------------------------------------------------------
+
+
+def test_sharded_shell_matches_single_device():
+    """8-shard solver on the prism shell == single-device solver."""
+    from t8gpu_tpu.mesh.shell_forest import (PrismForest, ShellForestMesh,
+                                             shell_roots)
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    forest = PrismForest.uniform(shell_roots(1), 1)
+    ref = CompressibleEulerSolver(ShellForestMesh.from_forest(forest),
+                                  kh_sphere)
+    sharded = ShardedEulerSolver(forest, kh_sphere)
+    assert sharded.n_shards == 8
+
+    dt = 5e-4
+    for _ in range(5):
+        ref.iterate(dt)
+        sharded.iterate(dt)
+    np.testing.assert_allclose(sharded.conserved_state(),
+                               ref.conserved_state(), rtol=2e-5, atol=1e-6)
+    # CFL timesteps agree (cfl_h + pmax speed == single-device estimate)
+    np.testing.assert_allclose(sharded.compute_timestep(),
+                               ref.compute_timestep(), rtol=1e-5)
+
+
+def test_sharded_shell_amr_cycle_matches_single_device():
+    """Distributed shell AMR cycle (criteria -> balanced adapt -> device
+    remap -> reshard) produces the same mesh and state as single-device."""
+    from t8gpu_tpu.mesh.manager import MeshManager
+    from t8gpu_tpu.mesh.shell_forest import (PrismForest, ShellForestMesh,
+                                             shell_roots)
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    amr = AMRConfig(min_level=0, max_level=2, refine_threshold=8.0)
+    forest = PrismForest.uniform(shell_roots(1), 1)
+    mgr = MeshManager(forest, amr, mesh_factory=ShellForestMesh.from_forest)
+    ref = CompressibleEulerSolver(mgr, kh_sphere)
+    sharded = ShardedEulerSolver(forest, kh_sphere, amr=amr)
+
+    dt = 5e-4
+    m0 = sharded.compute_integral()
+    for _ in range(2):
+        for _ in range(5):
+            ref.iterate(dt)
+            sharded.iterate(dt)
+        ref.adapt()
+        sharded.adapt()
+    assert sharded.n_elements == ref.n_elements
+    np.testing.assert_allclose(sharded.conserved_state(),
+                               ref.conserved_state(), rtol=5e-5, atol=1e-6)
+    # mass conserved through the distributed remaps
+    np.testing.assert_allclose(sharded.compute_integral(), m0, rtol=2e-4)
+
+
+def test_sharded_tri_and_tet():
+    """Planar-tri and tet forests step + adapt over the device mesh."""
+    from t8gpu_tpu.mesh.tet import TetForest, unit_cube_roots
+    from t8gpu_tpu.mesh.tri import TriForest, unit_square_roots
+
+    ic2 = lambda c: kh_planar(c, dim=2)
+    ic3 = lambda c: kh_planar(c, dim=3)
+    for forest, ic in ((TriForest.uniform(unit_square_roots(), 3), ic2),
+                       (TetForest.uniform(unit_cube_roots(), 1), ic3)):
+        solver = ShardedEulerSolver(
+            forest, ic,
+            amr=AMRConfig(min_level=0, max_level=4, refine_threshold=1.0))
+        m0 = solver.compute_integral()
+        dt = float(solver.compute_timestep())
+        for _ in range(3):
+            solver.iterate(dt)
+        solver.adapt()
+        solver.iterate(dt)
+        assert np.isfinite(solver.conserved_state()).all()
+        np.testing.assert_allclose(solver.compute_integral(), m0, rtol=2e-4)
