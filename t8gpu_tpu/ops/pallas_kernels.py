@@ -78,17 +78,20 @@ def _flux_unrotate_rows(f, axis):
     return jnp.stack([f[i] for i in inv])
 
 
-def _tile_flux_divergence(q, others, w_ref, dim: int,
+def _tile_flux_divergence(q, others, w_ref, dim: int, ext: int,
                           gamma: float, flux: str):
     """Shared per-tile flux-divergence body of the fused kernels.
 
-    q: tuple of C field rows [*(8,)*dim, TE]; others: 2*dim refs of
-    pre-resolved neighbor facing layers [C, *(8,)*(dim-1), TE];
+    q: tuple of C field rows [*(ext,)*dim, TE]; others: 2*dim refs of
+    pre-resolved neighbor facing layers [C, *(ext,)*(dim-1), TE];
     w_ref: [8, TE] weights (row 0 interior surface, rows 1..2*dim sides).
-    Returns (D [5, *(8,)*dim, TE], per-cell speed [*(8,)*dim, TE])."""
+    ext is 8 (the fast layout: the minor block axis fills the 8 sublanes
+    exactly) or 4 (the reference's literal Subgrid<4,4(,4)>,
+    main_3d.cu:34 — Mosaic pads the 4-sublane minor axis to a half tile).
+    Returns (D [5, *(ext,)*dim, TE], per-cell speed [*(ext,)*dim, TE])."""
     C = len(q)
     TE = q[0].shape[-1]
-    blk = (8,) * dim + (TE,)
+    blk = (ext,) * dim + (TE,)
     surface = w_ref[0]
 
     D = jnp.zeros((5,) + blk, q[0].dtype)
@@ -103,7 +106,7 @@ def _tile_flux_divergence(q, others, w_ref, dim: int,
         w_lo = w_ref[2 + 2 * a]
 
         idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
-        at_end = idx == 7
+        at_end = idx == ext - 1
         last_axis = a == dim - 1   # the sublane axis: shift via roll
 
         # next state: shift -1 along axis a, last slot <- hi neighbor
@@ -114,7 +117,7 @@ def _tile_flux_divergence(q, others, w_ref, dim: int,
                 rolled = jnp.roll(r, -1, axis=a)
                 return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
             return jnp.concatenate(
-                [jax.lax.slice_in_dim(r, 1, 8, axis=a),
+                [jax.lax.slice_in_dim(r, 1, ext, axis=a),
                  jnp.expand_dims(h, a)], axis=a)
 
         nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
@@ -141,26 +144,29 @@ def _tile_flux_divergence(q, others, w_ref, dim: int,
             prev = jnp.where(idx == 0, f_lo, prev)
         else:
             prev = jnp.concatenate(
-                [f_lo, jax.lax.slice_in_dim(f, 0, 7, axis=1 + a)],
+                [f_lo, jax.lax.slice_in_dim(f, 0, ext - 1, axis=1 + a)],
                 axis=1 + a)
         D = D + prev - f
 
     return D, speed
 
 
-def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
-    """One element tile: q [C, *(8,)*dim, TE]; w [8, TE] (row 0 = interior
-    cell-face surface, rows 1..2*dim = the sides' mesh-face weights
-    mask*area*(rel<=0), in side order k = 2*axis + (0 hi, 1 lo));
-    o<k> [C, *(8,)*(dim-1), TE] = the pre-resolved neighbor facing layer
-    of side k.  Outputs: d [5, ...] divergence, sp [8, TE]
-    (row-replicated per-element max wave speed)."""
+def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int,
+                  ext: int):
+    """One element tile: q [C, *(ext,)*dim, TE]; w [8, TE] (row 0 =
+    interior cell-face surface, rows 1..2*dim = the sides' mesh-face
+    weights mask*area*(rel<=0) [+ wall area on wall sides], in side order
+    k = 2*axis + (0 hi, 1 lo)); o<k> [C, *(ext,)*(dim-1), TE] = the
+    pre-resolved neighbor facing layer of side k (the MIRRORED own layer
+    on wall sides — walls are in-kernel, ops/subgrid.pallas_side_inputs).
+    Outputs: d [5, ...] divergence, sp [8, TE] (row-replicated
+    per-element max wave speed)."""
     others = refs[: 2 * dim]
     d_ref, sp_ref = refs[2 * dim:]
     C = q_ref.shape[0]
     TE = q_ref.shape[-1]
     q = tuple(q_ref[i] for i in range(C))
-    D, speed = _tile_flux_divergence(q, others, w_ref, dim, gamma, flux)
+    D, speed = _tile_flux_divergence(q, others, w_ref, dim, ext, gamma, flux)
     d_ref[...] = D
     smax = speed.max(axis=tuple(range(dim)))          # [TE]
     sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
@@ -171,17 +177,18 @@ def _fused_kernel(q_ref, w_ref, *refs, gamma: float, flux: str, dim: int):
 def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
                       gamma: float, flux: str, tile: int = 128,
                       interpret: bool = False):
-    """Fused interior + equal/coarse mesh-face flux divergence.
+    """Fused interior + equal/coarse mesh-face + wall flux divergence.
 
-    q: [C, *(8,)*dim, E] stacked cell fields (dim 2 or 3); weights:
-    [8, E]; others: 2*dim arrays [C, *(8,)*(dim-1), E].
-    Returns (D [5, *(8,)*dim, E], speed [E]).
+    q: [C, *(ext,)*dim, E] stacked cell fields (dim 2 or 3, ext 8 or 4);
+    weights: [8, E]; others: 2*dim arrays [C, *(ext,)*(dim-1), E].
+    Returns (D [5, *(ext,)*dim, E], speed [E]).
 
     Element capacities are geometric buckets (not lane-multiples), so the
     element axis is edge-padded to the tile size (padded slots carry
     finite states and zero weights; D is sliced back)."""
     C = q.shape[0]
     dim = q.ndim - 2
+    ext = q.shape[1]
     E = q.shape[-1]
     E_pad = -(-E // tile) * tile
     if E_pad != E:
@@ -202,15 +209,16 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
         return (0, i)
 
     D, sp = pl.pallas_call(
-        functools.partial(_fused_kernel, gamma=gamma, flux=flux, dim=dim),
+        functools.partial(_fused_kernel, gamma=gamma, flux=flux, dim=dim,
+                          ext=ext),
         grid=grid,
-        in_specs=[pl.BlockSpec((C,) + (8,) * dim + (tile,), idx_blk),
+        in_specs=[pl.BlockSpec((C,) + (ext,) * dim + (tile,), idx_blk),
                   pl.BlockSpec((8, tile), idx2)]
-                 + [pl.BlockSpec((C,) + (8,) * (dim - 1) + (tile,),
+                 + [pl.BlockSpec((C,) + (ext,) * (dim - 1) + (tile,),
                                  idx_lay)] * (2 * dim),
-        out_specs=[pl.BlockSpec((5,) + (8,) * dim + (tile,), idx_blk),
+        out_specs=[pl.BlockSpec((5,) + (ext,) * dim + (tile,), idx_blk),
                    pl.BlockSpec((8, tile), idx2)],
-        out_shape=[jax.ShapeDtypeStruct((5,) + (8,) * dim + (E_pad,),
+        out_shape=[jax.ShapeDtypeStruct((5,) + (ext,) * dim + (E_pad,),
                                         q.dtype),
                    jax.ShapeDtypeStruct((8, E_pad), q.dtype)],
         compiler_params=pltpu.CompilerParams(
@@ -232,16 +240,22 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
 
 
 def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
-                     gamma: float, flux: str, coeffs, dim: int):
-    """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*D(u_stage).
-    u/up [5, *(8,)*dim, TE] states; w [8, TE] rows 0..2*dim as in
+                     gamma: float, flux: str, coeffs, dim: int, ext: int,
+                     extra_sides=()):
+    """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*(D(u_stage) + extras).
+    u/up [5, *(ext,)*dim, TE] states; w [8, TE] rows 0..2*dim as in
     _fused_kernel, row 7 = dt * inv_cell_volume; o<k>
-    [5, *(8,)*(dim-1), TE] neighbor state layers whose fields are derived
-    IN VMEM (cell_fields_tuple)."""
+    [5, *(ext,)*(dim-1), TE] neighbor state layers whose fields are
+    derived IN VMEM (cell_fields_tuple); x<j> [5, *(ext,)*(dim-1), TE]
+    XLA-computed additive side-layer divergences for the hanging-fine
+    (2:1) subfaces of side extra_sides[j] (ops/subgrid.fine_side_extras)
+    — un-fencing the RK-fused path from uniform-only meshes (the
+    reference handles hanging faces in-kernel too, kernels.inl:664-911)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
 
     others = refs[: 2 * dim]
-    out_ref, sp_ref = refs[2 * dim:]
+    extras = refs[2 * dim: 2 * dim + len(extra_sides)]
+    out_ref, sp_ref = refs[2 * dim + len(extra_sides):]
     a_c, b_c, c_c = coeffs
     TE = u_ref.shape[-1]
     u_rows = tuple(u_ref[i] for i in range(5))
@@ -252,7 +266,14 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
     others_q = tuple(
         cell_fields_tuple(tuple(o[i] for i in range(5)), gamma, flux)
         for o in others)
-    D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, gamma, flux)
+    D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, ext,
+                                     gamma, flux)
+
+    for k, x_ref in zip(extra_sides, extras):
+        a = k // 2
+        at = ext - 1 if k % 2 == 0 else 0          # hi side / lo side layer
+        idx = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1 + a)
+        D = D + jnp.where(idx == at, jnp.expand_dims(x_ref[...], 1 + a), 0.0)
 
     out_ref[...] = (a_c * up_ref[...] + b_c * u_ref[...]
                     + c_c * dt_inv * D)
@@ -262,16 +283,20 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "coeffs", "tile",
-                                    "interpret"))
+                                    "interpret", "extra_sides"))
 def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
                           weights: jnp.ndarray, others,
                           gamma: float, flux: str, coeffs,
-                          tile: int = 128, interpret: bool = False):
+                          tile: int = 128, interpret: bool = False,
+                          extra_sides=(), extras=()):
     """One SSP-RK stage fully in-kernel (see _fused_rk_kernel).
-    u_stage/u_prev: [5, *(8,)*dim, E] (dim 2 or 3); weights: [8, E];
-    others: 2*dim arrays [5, *(8,)*(dim-1), E].
+    u_stage/u_prev: [5, *(ext,)*dim, E] (dim 2 or 3, ext 8 or 4);
+    weights: [8, E]; others: 2*dim arrays [5, *(ext,)*(dim-1), E];
+    extras: per extra_sides[j] an additive side-layer divergence
+    [5, *(ext,)*(dim-1), E] (hanging-fine contributions, XLA-computed).
     Returns (u_next like u_stage, speed [E])."""
     dim = u_stage.ndim - 2
+    ext = u_stage.shape[1]
     E = u_stage.shape[-1]
     E_pad = -(-E // tile) * tile
     if E_pad != E:
@@ -280,6 +305,7 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
         u_stage = jnp.pad(u_stage, pad, mode="edge")
         u_prev = jnp.pad(u_prev, pad, mode="edge")
         others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        extras = tuple(jnp.pad(x, pad[1:]) for x in extras)  # zero-padded
         weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
     grid = (E_pad // tile,)
 
@@ -292,25 +318,26 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
     def idx2(i):
         return (0, i)
 
-    blk5 = (5,) + (8,) * dim + (tile,)
+    blk5 = (5,) + (ext,) * dim + (tile,)
+    lay5 = pl.BlockSpec((5,) + (ext,) * (dim - 1) + (tile,), idx_lay)
     u_next, sp = pl.pallas_call(
         functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
-                          coeffs=coeffs, dim=dim),
+                          coeffs=coeffs, dim=dim, ext=ext,
+                          extra_sides=extra_sides),
         grid=grid,
         in_specs=[pl.BlockSpec(blk5, idx_blk),
                   pl.BlockSpec(blk5, idx_blk),
                   pl.BlockSpec((8, tile), idx2)]
-                 + [pl.BlockSpec((5,) + (8,) * (dim - 1) + (tile,),
-                                 idx_lay)] * (2 * dim),
+                 + [lay5] * (2 * dim + len(extra_sides)),
         out_specs=[pl.BlockSpec(blk5, idx_blk),
                    pl.BlockSpec((8, tile), idx2)],
-        out_shape=[jax.ShapeDtypeStruct((5,) + (8,) * dim + (E_pad,),
+        out_shape=[jax.ShapeDtypeStruct((5,) + (ext,) * dim + (E_pad,),
                                         u_stage.dtype),
                    jax.ShapeDtypeStruct((8, E_pad), u_stage.dtype)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u_stage, u_prev, weights, *others)
+    )(u_stage, u_prev, weights, *others, *extras)
     return u_next[..., :E], sp[0, :E]
 
 

@@ -274,19 +274,48 @@ def outer_apply(D: jnp.ndarray, q: tuple,
     return D, speed
 
 
-def pallas_side_inputs(q: tuple, conn: SubgridConnectivity,
-                       spec: SubgridSpec, volumes: jnp.ndarray):
+def _wall_masks(conn, spec: SubgridSpec, volumes: jnp.ndarray):
+    """Per side, 1.0 where a REAL element's side is a reflective wall
+    (side-table mask 0 on a live element), else 0.  Walls ride the fused
+    kernels as ordinary end faces whose neighbor layer is the MIRRORED own
+    facing layer (the reference folds walls into its per-face kernels the
+    same way, kernels.inl:913-1107)."""
+    if not conn.b_groups:
+        return None
+    live = (volumes > 0).astype(volumes.dtype)
+    return tuple((conn.mask[k] == 0) * live for k in range(2 * spec.dim))
+
+
+def _mirror_rows(layer: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Mirror a facing layer across its wall: negate the normal velocity /
+    momentum row (row 1 + axis in unrotated row layout).  Exact for both
+    5-row states and cell-fields rows (rho, p, logs, ke are invariant)."""
+    neg = layer[1 + axis] * -1.0
+    return jnp.concatenate(
+        [layer[: 1 + axis], neg[None], layer[2 + axis:]], axis=0)
+
+
+def pallas_side_inputs(q: tuple, conn, spec: SubgridSpec,
+                       volumes: jnp.ndarray, q_ext: tuple | None = None):
     """Inputs for ops.pallas_kernels.fused_flux_pallas: per side the
     RESOLVED equal/coarse neighbor facing layer (gather + coarse-window,
     identical to outer_apply pass 1) in unrotated field rows
     [C, *t_ext, E], plus the packed per-element weights [8, E]
-    (row 0 = interior cell surface, rows 1+k = side-k mesh-face weight)."""
+    (row 0 = interior cell surface, rows 1+k = side-k mesh-face weight,
+    wall sides carrying the wall area with a mirrored own layer).
+
+    `q_ext` supplies the gather source rows when the element axis is
+    extended with received halo blocks (the sharded path); defaults to q.
+    """
     dim = spec.dim
     ext = spec.extent
+    if q_ext is None:
+        q_ext = q
     h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
     h_cell = h_e / ext
     surface = (h_cell ** (dim - 1)) * (volumes > 0)
     area_t = (h_e / ext) ** (dim - 1)
+    walls = _wall_masks(conn, spec, volumes)
 
     others = []
     w_rows = [surface]
@@ -298,7 +327,7 @@ def pallas_side_inputs(q: tuple, conn: SubgridConnectivity,
             hi = sign > 0
             opp_layer = jnp.stack([
                 jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
-                                     keepdims=False) for r in q])
+                                     keepdims=False) for r in q_ext])
             # pass 1 only ever reads quadrant 0 (the fine pass re-gathers)
             nb = _gather_layers(opp_layer, nbr[:, :1])
             base = nb[..., 0]
@@ -306,21 +335,37 @@ def pallas_side_inputs(q: tuple, conn: SubgridConnectivity,
                 r_b = rel.reshape((1,) * (base.ndim - 1) + (-1,))
                 base = jnp.where(r_b < 0, _coarse_window(base, bits, spec),
                                  base)
+            w = mask * area_t * (rel <= 0)
+            if walls is not None:
+                own_layer = jnp.stack([
+                    jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
+                                         keepdims=False) for r in q])
+                wall_b = walls[k].reshape((1,) * (base.ndim - 1) + (-1,))
+                base = jnp.where(wall_b > 0, _mirror_rows(own_layer, a),
+                                 base)
+                w = w + walls[k] * area_t
             others.append(base)
-            w_rows.append(mask * area_t * (rel <= 0))
+            w_rows.append(w)
     while len(w_rows) < 8:           # fixed [8, E] block for the kernel
         w_rows.append(jnp.zeros_like(surface))
     return tuple(others), jnp.stack(w_rows)
 
 
-def _state_side_layers(u: jnp.ndarray, conn: SubgridConnectivity,
-                       spec: SubgridSpec):
+def _state_side_layers(u: jnp.ndarray, conn, spec: SubgridSpec,
+                       volumes: jnp.ndarray, u_ext: jnp.ndarray = None):
     """Per side, the RESOLVED equal/coarse neighbor facing layer as 5-row
     STATE slabs [5, *t_ext, E] (the RK-fused kernel derives their fields
     in VMEM).  The coarse-window resolution is a pure cell selection, so
-    applying it to states is exact."""
+    applying it to states is exact.  Wall sides get the mirrored own
+    facing layer (negated normal momentum, ref kernels.inl:913-1107).
+    `u_ext` supplies the gather source (extended element axis in the
+    sharded path); defaults to u."""
     ext = spec.extent
-    u_rows = tuple(u[i] for i in range(5))
+    if u_ext is None:
+        u_ext = u
+    u_rows = tuple(u_ext[i] for i in range(5))
+    own_rows = tuple(u[i] for i in range(5))
+    walls = _wall_masks(conn, spec, volumes)
     others = []
     for a in range(spec.dim):
         for s_i, sign in ((0, 1), (1, -1)):
@@ -336,62 +381,132 @@ def _state_side_layers(u: jnp.ndarray, conn: SubgridConnectivity,
                 base = jnp.where(r_b < 0,
                                  _coarse_window(base, conn.bits[k], spec),
                                  base)
+            if walls is not None:
+                own_layer = jnp.stack([
+                    jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
+                                         keepdims=False) for r in own_rows])
+                wall_b = walls[k].reshape((1,) * (base.ndim - 1) + (-1,))
+                base = jnp.where(wall_b > 0, _mirror_rows(own_layer, a),
+                                 base)
             others.append(base)
     return tuple(others)
 
 
-def rk_weights(conn: SubgridConnectivity, spec: SubgridSpec,
+def rk_weights(conn, spec: SubgridSpec,
                volumes: jnp.ndarray, dt, inv_cell_volume: jnp.ndarray):
     """Packed per-element weights [8, E] for the RK-fused kernel:
-    row 0 interior cell surface, rows 1..6 side mesh-face weights,
-    row 7 = dt * inv_cell_volume."""
+    row 0 interior cell surface, rows 1..6 side mesh-face weights
+    (incl. wall areas on wall sides), row 7 = dt * inv_cell_volume."""
     dim = spec.dim
     ext = spec.extent
     h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
     h_cell = h_e / ext
     surface = (h_cell ** (dim - 1)) * (volumes > 0)
     area_t = (h_e / ext) ** (dim - 1)
+    walls = _wall_masks(conn, spec, volumes)
     rows = [surface]
     for k in range(2 * dim):
-        rows.append(conn.mask[k] * area_t * (conn.rel[k] <= 0))
+        w = conn.mask[k] * area_t * (conn.rel[k] <= 0)
+        if walls is not None:
+            w = w + walls[k] * area_t
+        rows.append(w)
     while len(rows) < 7:             # fixed layout: dt always in row 7
         rows.append(jnp.zeros_like(surface))
     rows.append(dt * inv_cell_volume)
     return jnp.stack(rows)
 
 
-def can_fuse_rk(conn: SubgridConnectivity, spec: SubgridSpec) -> bool:
-    """The RK-fused kernel applies when no XLA-side D additions exist:
-    no hanging-fine sides and no walls (uniform periodic 3D ext-8)."""
-    return (spec.extent == 8 and not any(conn.has_fine)
-            and not conn.b_groups)
+def fine_side_extras(u: jnp.ndarray, conn, spec: SubgridSpec,
+                     volumes: jnp.ndarray, gamma: float, flux: str,
+                     u_ext: jnp.ndarray = None):
+    """XLA-computed hanging-fine (2:1) side-layer divergences for the
+    RK-fused kernel: per side with finer neighbors, the additive
+    contribution [5, *t_ext, E] to that side's boundary layer (the
+    virtual-fine pass of outer_apply evaluated on STATES, since the
+    RK-fused path never materializes cell fields outside the kernel).
+    Returns (extra_sides, extras, max_speed).  Compiled away entirely on
+    uniform meshes (conn.has_fine all False)."""
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    t_axes = tuple(range(1, 1 + n_t))
+    if u_ext is None:
+        u_ext = u
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    area_v = (h_e / ext) ** n_t / (2 ** n_t)
+    u_rows = tuple(u_ext[i] for i in range(5))
+    own_rows = tuple(u[i] for i in range(5))
+    sides, extras = [], []
+    speed = jnp.zeros((), u.dtype)
+    for a in range(dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            if not conn.has_fine[k]:
+                continue
+            nbr, rel, mask = conn.nbr[k], conn.rel[k], conn.mask[k]
+            hi = sign > 0
+            my_layer = jnp.stack([
+                jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
+                                     keepdims=False) for r in own_rows])
+            opp_layer = jnp.stack([
+                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
+                                     keepdims=False) for r in u_rows])
+            nb = _gather_layers(opp_layer, nbr)
+            fine = _fine_interleave(nb, spec)
+            mine = _upsample2(my_layer, t_axes)
+            u_l, u_r = (mine, fine) if hi else (fine, mine)
+            f2, sp2 = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
+                                     gamma=gamma, flux=flux)
+            w2 = mask * area_v * (rel > 0)
+            f2 = (axis_unrotate(f2, a)
+                  * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
+            f2 = _pool2(f2, n_t)
+            sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
+            speed = jnp.maximum(speed, (sp2 * sp_m2).max())
+            sides.append(k)
+            extras.append(-f2 if hi else f2)
+    return tuple(sides), tuple(extras), speed
+
+
+def can_fuse_rk(conn, spec: SubgridSpec) -> bool:
+    """The RK-fused kernel now covers walls (mirrored side layers) and
+    hanging-fine faces (additive side extras) — any balanced mesh with a
+    supported block extent qualifies."""
+    return spec.extent in (4, 8)
 
 
 def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
-                  conn: SubgridConnectivity, spec: SubgridSpec,
+                  conn, spec: SubgridSpec,
                   gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray):
     """One SSP-RK3 step with every stage as ONE RK-fused Pallas kernel
     call (ops/pallas_kernels.fused_rk_stage_pallas): flux + divergence +
-    stage update all in VMEM; between stages XLA only regathers the six
-    [5, t_ext, E] neighbor layer slabs.  Preconditions: can_fuse_rk."""
-    from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas
+    stage update all in VMEM; between stages XLA only regathers the 2*dim
+    [5, t_ext, E] neighbor layer slabs (plus the hanging-fine side extras
+    on AMR meshes).  Preconditions: can_fuse_rk."""
+    from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas, kernel_mode
     from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3
 
     w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
-
-    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
     interp = kernel_mode() == "interpret"
+    any_fine = any(conn.has_fine)
 
     def stage(u_stage, u_prev, coeffs):
-        others = _state_side_layers(u_stage, conn, spec)
-        return fused_rk_stage_pallas(u_stage, u_prev, w, others,
-                                     gamma=gamma, flux=flux, coeffs=coeffs,
-                                     interpret=interp)
+        others = _state_side_layers(u_stage, conn, spec, volumes)
+        if any_fine:
+            sides, extras, sp_f = fine_side_extras(
+                u_stage, conn, spec, volumes, gamma, flux)
+        else:
+            sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
+        u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
+                                        gamma=gamma, flux=flux,
+                                        coeffs=coeffs, interpret=interp,
+                                        extra_sides=sides, extras=extras)
+        return u_n, jnp.maximum(sp.max(), sp_f)
 
     u1, sp = stage(u, u, (1.0, 0.0, 1.0))
     u2, _ = stage(u1, u, STAGE_2)
     u3, _ = stage(u2, u, STAGE_3)
-    return u3, sp.max()
+    return u3, sp
 
 
 def outer_fine_apply(D: jnp.ndarray, q: tuple,
@@ -477,11 +592,13 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     work is expressed once per evaluation.
 
     use_pallas selects the fused Pallas kernel (ops/pallas_kernels.
-    fused_flux_pallas: interior + equal/coarse mesh faces in one VMEM
-    pass; hanging-fine and wall fluxes stay XLA-side additive passes).
-    Extent-8 blocks (2D and 3D); other extents use the XLA stencil.
-    Default (None) = auto: the kernel on TPU backends, XLA elsewhere
-    (measured on v5e: 8.4 vs 17.2 ms/step on the 2.1M-cell flagship)."""
+    fused_flux_pallas: interior + equal/coarse mesh faces + walls in one
+    VMEM pass; hanging-fine fluxes stay an XLA-side additive pass).
+    Extent-8 and extent-4 blocks (2D and 3D, the latter the reference's
+    literal Subgrid<4,4(,4)>, main_3d.cu:34); other extents use the XLA
+    stencil.  Default (None) = auto: the kernel on TPU backends, XLA
+    elsewhere (measured on v5e: 8.4 vs 17.2 ms/step on the 2.1M-cell
+    flagship)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
     from t8gpu_tpu.ops.pallas_kernels import kernel_mode
     mode = kernel_mode()
@@ -489,13 +606,15 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     if use_pallas is None:
         use_pallas = mode != "off"
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
-    if use_pallas and spec.extent == 8:
+    if use_pallas and spec.extent in (4, 8):
         from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
         others, weights = pallas_side_inputs(q, conn, spec, volumes)
         D, sp_e = fused_flux_pallas(jnp.stack(q), weights, others,
                                     gamma=gamma, flux=flux,
                                     interpret=mode == "interpret")
         sp_i = sp_e.max()
+        # walls are in-kernel (mirrored side layers); only hanging-fine
+        # subfaces remain an XLA-side additive pass
         D, sp_o = outer_fine_apply(D, q, conn, spec, volumes, gamma, flux)
     else:
         if explicit:
@@ -506,10 +625,10 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
         else:
             D, sp_i = inner_divergence_fields(q, volumes, spec, gamma, flux)
         D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux)
-    if conn.b_groups:
-        D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q), conn,
-                                 spec, gamma, flux)
-        sp_o = jnp.maximum(sp_o, sp_b)
+        if conn.b_groups:
+            D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q),
+                                     conn, spec, gamma, flux)
+            sp_o = jnp.maximum(sp_o, sp_b)
     return D, jnp.maximum(sp_i, sp_o)
 
 

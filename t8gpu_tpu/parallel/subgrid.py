@@ -243,8 +243,8 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
     q_loc = tuple(r[..., :CL] for r in q_ext)
 
     from t8gpu_tpu.ops.pallas_kernels import kernel_mode
-    if spec.extent == 8 and kernel_mode() != "off":
-        # the fused Pallas kernel per shard (2D/3D ext-8): resolved
+    if spec.extent in (4, 8) and kernel_mode() != "off":
+        # the fused Pallas kernel per shard (2D/3D, ext 8 or 4): resolved
         # neighbor layers come from the extended element axis, everything
         # else is the single-device path (fused_flux_pallas)
         return _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
@@ -332,45 +332,23 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
 
 def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
                         spec: SubgridSpec, gamma: float, flux: str):
-    """Per-shard fused-Pallas flux path (3D ext-8 on TPU): the kernel
-    covers interior + equal/coarse mesh faces; hanging-fine and wall
-    contributions stay XLA-side, gathering from the extended axis."""
-    from t8gpu_tpu.ops.euler import fields_mirror
-    from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
+    """Per-shard fused-Pallas flux path (2D/3D, ext 8 or 4): the kernel
+    covers interior + equal/coarse mesh faces + walls (mirrored side
+    layers); only hanging-fine contributions stay XLA-side, gathering
+    from the extended axis (same structure as ops/subgrid.flux_divergence
+    with extended-axis gather sources)."""
+    from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas, kernel_mode
 
     dim = spec.dim
     ext = spec.extent
     n_t = dim - 1
     t_axes = tuple(range(1, 1 + n_t))
     h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
-    h_cell = h_e / ext
-    surface = (h_cell ** (dim - 1)) * (volumes > 0)
-    area_t = (h_e / ext) ** n_t
-    area_v = area_t / (2 ** n_t)
+    area_v = (h_e / ext) ** n_t / (2 ** n_t)
 
-    others = []
-    w_rows = [surface]
-    for a in range(dim):
-        for s_i, sign in ((0, 1), (1, -1)):
-            k = 2 * a + s_i
-            hi = sign > 0
-            opp_layer = jnp.stack([
-                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
-                                     keepdims=False) for r in q_ext])
-            base = sg._gather_layers(opp_layer, conn.nbr[k][:, :1])[..., 0]
-            if conn.has_coarse[k]:
-                r_b = conn.rel[k].reshape((1,) * (base.ndim - 1) + (-1,))
-                base = jnp.where(
-                    r_b < 0, sg._coarse_window(base, conn.bits[k], spec),
-                    base)
-            others.append(base)
-            w_rows.append(conn.mask[k] * area_t * (conn.rel[k] <= 0))
-    while len(w_rows) < 8:           # fixed [8, E] block for the kernel
-        w_rows.append(jnp.zeros_like(surface))
-    weights = jnp.stack(w_rows)
-
-    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
-    D, sp_e = fused_flux_pallas(jnp.stack(q_loc), weights, tuple(others),
+    others, weights = sg.pallas_side_inputs(q_loc, conn, spec, volumes,
+                                            q_ext=q_ext)
+    D, sp_e = fused_flux_pallas(jnp.stack(q_loc), weights, others,
                                 gamma=gamma, flux=flux,
                                 interpret=kernel_mode() == "interpret")
     speed = sp_e.max()
@@ -407,24 +385,6 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
             D = sg._slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
                              spec=spec)
 
-    # reflective walls (extended flat gathers)
-    q_ext_flat = tuple(r.reshape(-1) for r in q_ext)
-    for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
-                                        conn.b_area, conn.b_recv):
-        q_own = sg.fields_axis_rotate(tuple(r[bc] for r in q_ext_flat),
-                                      axis)
-        q_ghost = fields_mirror(q_own)
-        if sign > 0:
-            f, sp = sg.fields_flux(q_own, q_ghost, gamma=gamma, flux=flux)
-        else:
-            f, sp = sg.fields_flux(q_ghost, q_own, gamma=gamma, flux=flux)
-        f = sg.axis_unrotate(f, axis) * ar
-        f_pad = jnp.concatenate([f, jnp.zeros((5, 1), f.dtype)], axis=1)
-        c = f_pad[:, br]
-        D = sg._slab_add(D, -c if sign > 0 else c, axis,
-                         layer_hi=sign > 0, spec=spec)
-        speed = jnp.maximum(speed, (sp * (ar > 0)).max())
-
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
@@ -439,53 +399,39 @@ def _halo_exchange_state(u, conn):
     return jnp.concatenate(parts, axis=-1)
 
 
-def _sharded_state_layers(u_ext, conn, spec: SubgridSpec):
-    """Resolved equal/coarse neighbor facing layers as 5-row STATE slabs,
-    gathered from the extended element axis (the sharded counterpart of
-    ops/subgrid._state_side_layers)."""
-    ext = spec.extent
-    u_rows = tuple(u_ext[i] for i in range(5))
-    others = []
-    for a in range(spec.dim):
-        for s_i, sign in ((0, 1), (1, -1)):
-            k = 2 * a + s_i
-            hi = sign > 0
-            opp_layer = jnp.stack([
-                jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
-                                     keepdims=False) for r in u_rows])
-            base = sg._gather_layers(opp_layer, conn.nbr[k][:, :1])[..., 0]
-            if conn.has_coarse[k]:
-                r_b = conn.rel[k].reshape((1,) * (base.ndim - 1) + (-1,))
-                base = jnp.where(
-                    r_b < 0, sg._coarse_window(base, conn.bits[k], spec),
-                    base)
-            others.append(base)
-    return tuple(others)
-
-
 def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                           gamma: float, flux: str, dt, inv_cv):
     """One SSP-RK3 step per shard with RK-fused Pallas stage kernels
     (runs inside shard_map; preconditions: sg.can_fuse_rk on the shard
-    tables — uniform periodic ext-8).  Each stage: halo ppermute rounds,
-    resolve neighbor layers, one kernel call."""
+    tables).  Each stage: halo ppermute rounds, resolve neighbor layers
+    (walls = mirrored own layers, in-kernel), hanging-fine side extras
+    XLA-side, one kernel call."""
     from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas, kernel_mode
     from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3
 
     interp = kernel_mode() == "interpret"
     w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
+    any_fine = any(conn.has_fine)
 
     def stage(u_stage, u_prev, coeffs):
         u_ext = _halo_exchange_state(u_stage, conn)
-        others = _sharded_state_layers(u_ext, conn, spec)
-        return fused_rk_stage_pallas(u_stage, u_prev, w, others,
-                                     gamma=gamma, flux=flux, coeffs=coeffs,
-                                     interpret=interp)
+        others = sg._state_side_layers(u_stage, conn, spec, volumes,
+                                       u_ext=u_ext)
+        if any_fine:
+            sides, extras, sp_f = sg.fine_side_extras(
+                u_stage, conn, spec, volumes, gamma, flux, u_ext=u_ext)
+        else:
+            sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
+        u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
+                                        gamma=gamma, flux=flux,
+                                        coeffs=coeffs, interpret=interp,
+                                        extra_sides=sides, extras=extras)
+        return u_n, jnp.maximum(sp.max(), sp_f)
 
     u1, sp = stage(u, u, (1.0, 0.0, 1.0))
     u2, _ = stage(u1, u, STAGE_2)
     u3, _ = stage(u2, u, STAGE_3)
-    return u3, jax.lax.pmax(sp.max(), halo.AXIS)
+    return u3, jax.lax.pmax(sp, halo.AXIS)
 
 
 class ShardedSubgridEulerSolver:
