@@ -30,7 +30,7 @@ from t8gpu_tpu.utils.cache import enable_persistent_cache
 
 enable_persistent_cache()
 
-from t8gpu_tpu.io.vtk import write_vtu
+from t8gpu_tpu.io.vtk import write_forest_vtu, write_vtu
 from t8gpu_tpu.mesh.shell import shell_mesh
 from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
 from t8gpu_tpu.models.initial_conditions import kh_sphere
@@ -100,10 +100,16 @@ def main():
         if args.vtk_every and done % args.vtk_every == 0:
             u = solver.conserved_state()
             mesh_now = solver.mesh
-            h = np.asarray(mesh_now.volumes) ** (1.0 / 3.0)
-            write_vtu(f"{args.prefix}_{done:06d}.vtu", mesh_now.centers, h,
-                      {"density": u[0], "energy": u[4], "momentum": u[1:4]},
-                      dim=3)
+            fields = {"density": u[0], "energy": u[4], "momentum": u[1:4]}
+            forest = getattr(mesh_now, "forest", None)
+            if forest is not None:
+                # true prism geometry (VTK wedges), ref mesh_manager.inl:561
+                write_forest_vtu(f"{args.prefix}_{done:06d}.vtu", forest,
+                                 fields)
+            else:
+                h = np.asarray(mesh_now.volumes) ** (1.0 / 3.0)
+                write_vtu(f"{args.prefix}_{done:06d}.vtu", mesh_now.centers,
+                          h, fields, dim=3)
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
 

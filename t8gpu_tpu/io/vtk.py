@@ -181,8 +181,145 @@ def write_mesh_vtu(path: str, mesh, shard_bounds=None) -> str:
     if shard_bounds is not None:
         owner = np.searchsorted(shard_bounds, np.arange(n), side="right") - 1
         fields["shard"] = owner.astype(np.float32)
+    if forest is not None:
+        # true element geometry (wedges/tris/tets/bricks), not centroids
+        return write_forest_vtu(path, forest, fields)
     dim = mesh.dim
     h = np.asarray(mesh.volumes) ** (1.0 / dim)
-    centers = (mesh.centers if hasattr(mesh, "centers")
-               else forest.centers().astype(np.float32))
+    centers = mesh.centers
     return write_vtu(path, np.asarray(centers), h, fields, dim=dim)
+
+
+# ---------------------------------------------------------------------------
+# True-geometry export: wedge/tri/tet/quad/hex cells from actual element
+# vertices (ref t8_forest_write_vtk_ext writes real element geometry,
+# mesh_manager.inl:561-623; round-2 fell back to axis-aligned cubes at
+# centroids for non-brick forests).
+# ---------------------------------------------------------------------------
+
+_VTK_TRIANGLE = 5
+_VTK_TETRA = 10
+_VTK_WEDGE = 13
+
+
+def write_vtu_cells(path: str, points: np.ndarray, cell_types: np.ndarray,
+                    points_per_cell: int,
+                    cell_data: Mapping[str, np.ndarray]) -> str:
+    """Write an unstructured grid of homogeneous cells from explicit
+    vertices.  points: [N * points_per_cell, 3] (cell-major);
+    cell_types: [N] VTK type ids; cell_data values [N] or [k, N]."""
+    n = len(cell_types)
+    k = points_per_cell
+    connectivity = np.arange(n * k, dtype=np.int32)
+    offsets = (np.arange(1, n + 1, dtype=np.int32) * k)
+
+    parts = []
+    parts.append('<?xml version="1.0"?>')
+    parts.append('<VTKFile type="UnstructuredGrid" version="0.1" '
+                 'byte_order="LittleEndian">')
+    parts.append('<UnstructuredGrid>')
+    parts.append(f'<Piece NumberOfPoints="{n * k}" NumberOfCells="{n}">')
+    parts.append('<Points><DataArray type="Float32" NumberOfComponents="3" '
+                 'format="binary">')
+    parts.append(_b64(np.asarray(points, np.float32)))
+    parts.append('</DataArray></Points>')
+    parts.append('<Cells>')
+    parts.append('<DataArray type="Int32" Name="connectivity" format="binary">')
+    parts.append(_b64(connectivity))
+    parts.append('</DataArray>')
+    parts.append('<DataArray type="Int32" Name="offsets" format="binary">')
+    parts.append(_b64(offsets))
+    parts.append('</DataArray>')
+    parts.append('<DataArray type="UInt8" Name="types" format="binary">')
+    parts.append(_b64(np.asarray(cell_types, np.uint8)))
+    parts.append('</DataArray>')
+    parts.append('</Cells>')
+    parts.append('<CellData>')
+    for name, values in cell_data.items():
+        values = np.asarray(values, np.float32)
+        if values.ndim == 1:
+            parts.append(f'<DataArray type="Float32" Name="{_xml_attr(name)}"'
+                         ' format="binary">')
+            parts.append(_b64(values))
+        else:
+            comps = np.zeros((3, values.shape[1]), np.float32)
+            comps[: values.shape[0]] = values
+            parts.append(
+                f'<DataArray type="Float32" Name="{_xml_attr(name)}" '
+                'NumberOfComponents="3" format="binary">')
+            parts.append(_b64(comps.T.copy()))
+        parts.append('</DataArray>')
+    parts.append('</CellData>')
+    parts.append('</Piece></UnstructuredGrid></VTKFile>')
+    with open(path, "w") as f:
+        f.write("\n".join(parts))
+    return path
+
+
+def _tet_volumes(p: np.ndarray) -> np.ndarray:
+    """Signed volumes of tets [N, 4, 3]."""
+    a = p[:, 1] - p[:, 0]
+    b = p[:, 2] - p[:, 0]
+    c = p[:, 3] - p[:, 0]
+    return np.einsum("ni,ni->n", np.cross(a, b), c) / 6.0
+
+
+def forest_cells(forest):
+    """(points [N*k, 3], cell_types [N], k) with the forest's TRUE element
+    geometry — wedges for shell prisms, triangles/tets for simplex
+    forests, quads/hexes for bricks.  Orientation is normalized so cell
+    volumes are positive (ParaView renders inverted cells black)."""
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.shell_forest import PrismForest
+    from t8gpu_tpu.mesh.tet import TetForest
+    from t8gpu_tpu.mesh.tri import TriForest
+
+    n = forest.n_elements
+    if isinstance(forest, PrismForest):
+        corners, _vols, _cent = forest._geometry()    # [N, 2, 3, 3]
+        pts = corners.reshape(n, 6, 3).copy()         # bottom v012, top v012
+        # normalize winding: wedge volume via 3-tet split must be positive
+        vol = (_tet_volumes(pts[:, [0, 1, 2, 3]])
+               + _tet_volumes(pts[:, [1, 2, 3, 4]])
+               + _tet_volumes(pts[:, [2, 3, 4, 5]]))
+        flip = vol < 0
+        pts[flip] = pts[flip][:, [0, 2, 1, 3, 5, 4]]
+        return (pts.reshape(-1, 3), np.full(n, _VTK_WEDGE, np.uint8), 6)
+    if isinstance(forest, TriForest):
+        X, _area, _cent = forest._geometry()          # [N, 3, 2]
+        pts = np.zeros((n, 3, 3))
+        pts[:, :, :2] = X
+        return (pts.reshape(-1, 3), np.full(n, _VTK_TRIANGLE, np.uint8), 3)
+    if isinstance(forest, TetForest):
+        X = forest._positions(forest.verts)           # [N, 4, 3]
+        pts = np.asarray(X, np.float64).copy()
+        flip = _tet_volumes(pts) < 0
+        pts[flip] = pts[flip][:, [0, 2, 1, 3]]
+        return (pts.reshape(-1, 3), np.full(n, _VTK_TETRA, np.uint8), 4)
+    if isinstance(forest, Forest):
+        centers = forest.centers()
+        half = (forest.edge_lengths() * 0.5)[:, None]
+        c = np.zeros((n, 3))
+        c[:, : forest.dim] = centers
+        if forest.dim == 2:
+            offs = np.array([[-1, -1, 0], [1, -1, 0], [1, 1, 0], [-1, 1, 0]],
+                            np.float64)
+            ctype, k = _VTK_QUAD, 4
+        else:
+            offs = np.array([
+                [-1, -1, -1], [1, -1, -1], [1, 1, -1], [-1, 1, -1],
+                [-1, -1, 1], [1, -1, 1], [1, 1, 1], [-1, 1, 1]], np.float64)
+            ctype, k = _VTK_HEXA, 8
+        scale = np.zeros((1, 1, 3))
+        scale[..., : forest.dim] = 1.0
+        pts = c[:, None, :] + offs[None] * half[:, None] * scale
+        return (pts.reshape(-1, 3), np.full(n, ctype, np.uint8), k)
+    raise TypeError(f"unsupported forest type: {type(forest)!r}")
+
+
+def write_forest_vtu(path: str, forest,
+                     cell_data: Mapping[str, np.ndarray]) -> str:
+    """Export a forest with its true element geometry + cell data (the
+    reference's save_variables_to_vtk role, mesh_manager.inl:561-623)."""
+    pts, types, k = forest_cells(forest)
+    return write_vtu_cells(path, pts, types, k, cell_data)

@@ -66,6 +66,15 @@ class SubgridConnectivity:
     rel: Tuple[jnp.ndarray, ...]
     bits: Tuple[jnp.ndarray, ...]
     mask: Tuple[jnp.ndarray, ...]
+    # compact hanging-fine tables (sides with finer neighbors only; empty
+    # [0]-arrays elsewhere): fine_idx[k] [K] = element ids with rel > 0
+    # (bucketed, padded by repeating the first), fine_inv[k] [Ecap] =
+    # position in fine_idx or K (sentinel).  The virtual-fine pass runs on
+    # the COMPACT axis and expands by row gather — O(level-boundary)
+    # instead of O(all elements) work (the dense pass measured 4x the
+    # whole step cost on a band-refined mesh).
+    fine_idx: Tuple[jnp.ndarray, ...]
+    fine_inv: Tuple[jnp.ndarray, ...]
 
     b_cell: Tuple[jnp.ndarray, ...]
     b_area: Tuple[jnp.ndarray, ...]
@@ -213,6 +222,27 @@ def build_side_tables(forest: Forest, spec: SubgridSpec, cap_e: int,
     return nbrs, rels, bits_, masks
 
 
+def build_fine_tables(rels, cap_e: int):
+    """Per side, the compact hanging-fine index table + its inverse
+    (see SubgridConnectivity.fine_idx/fine_inv).  `rels` are host [cap_e]
+    int8 arrays; sides without finer neighbors get empty [0] arrays."""
+    fine_idxs, fine_invs = [], []
+    for r in rels:
+        pos = np.flatnonzero(r == 1)
+        if len(pos):
+            K = bucket_capacity(len(pos), base=16)
+            fi = np.full(K, pos[0], np.int32)
+            fi[: len(pos)] = pos
+            inv = np.full(cap_e, K, np.int32)
+            inv[pos] = np.arange(len(pos))
+        else:
+            fi = np.zeros(0, np.int32)
+            inv = np.zeros(0, np.int32)
+        fine_idxs.append(fi)
+        fine_invs.append(inv)
+    return fine_idxs, fine_invs
+
+
 def build_subgrid_connectivity(
         forest: Forest, spec: SubgridSpec,
         element_capacity: Optional[int] = None) -> SubgridConnectivity:
@@ -263,23 +293,29 @@ def build_subgrid_connectivity(
                                               sentinel=cap)[:, 0])
                 b_groups.append((axis, sign))
 
+    # compact hanging-fine tables (see SubgridConnectivity docstring)
+    fine_idxs, fine_invs = build_fine_tables(rels, cap_e)
+
     # ONE host->device transfer for the whole connectivity (per-array
     # uploads are latency-bound through slow interconnects; see utils/xfer)
     from t8gpu_tpu.utils.xfer import pack_put
     sides = 2 * dim
-    dev = pack_put(nbrs + rels + bits_ + masks + b_cells + b_areas + b_recvs)
+    dev = pack_put(nbrs + rels + bits_ + masks + fine_idxs + fine_invs
+                   + b_cells + b_areas + b_recvs)
     d_nbr = dev[:sides]
     d_rel = dev[sides: 2 * sides]
     d_bits = dev[2 * sides: 3 * sides]
     d_mask = dev[3 * sides: 4 * sides]
+    d_fi = dev[4 * sides: 5 * sides]
+    d_fv = dev[5 * sides: 6 * sides]
     nb = len(b_cells)
-    d_bc = dev[4 * sides: 4 * sides + nb]
-    d_ba = dev[4 * sides + nb: 4 * sides + 2 * nb]
-    d_br = dev[4 * sides + 2 * nb: 4 * sides + 3 * nb]
+    d_bc = dev[6 * sides: 6 * sides + nb]
+    d_ba = dev[6 * sides + nb: 6 * sides + 2 * nb]
+    d_br = dev[6 * sides + 2 * nb: 6 * sides + 3 * nb]
 
     return SubgridConnectivity(
         nbr=tuple(d_nbr), rel=tuple(d_rel), bits=tuple(d_bits),
-        mask=tuple(d_mask),
+        mask=tuple(d_mask), fine_idx=tuple(d_fi), fine_inv=tuple(d_fv),
         b_cell=tuple(d_bc), b_area=tuple(d_ba), b_recv=tuple(d_br),
         b_groups=tuple(b_groups),
         has_fine=tuple(bool((r == 1).any()) for r in rels),

@@ -416,6 +416,19 @@ def rk_weights(conn, spec: SubgridSpec,
     return jnp.stack(rows)
 
 
+def _expand_compact(contrib: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
+    """Compact per-fine-element rows [5, *t_ext, K] -> dense [5, *t_ext, E]
+    via the inverse position map (sentinel K -> zero row).  Row-major
+    transpose-then-gather, like _gather_layers."""
+    lead = contrib.shape[:-1]
+    K = contrib.shape[-1]
+    rows = contrib.reshape(-1, K).T                  # [K, P]
+    rows = jnp.concatenate([rows, jnp.zeros((1, rows.shape[1]),
+                                            rows.dtype)])
+    dense = rows[inv]                                # [E, P]
+    return jnp.moveaxis(dense, -1, 0).reshape(lead + inv.shape)
+
+
 def fine_side_extras(u: jnp.ndarray, conn, spec: SubgridSpec,
                      volumes: jnp.ndarray, gamma: float, flux: str,
                      u_ext: jnp.ndarray = None):
@@ -424,6 +437,11 @@ def fine_side_extras(u: jnp.ndarray, conn, spec: SubgridSpec,
     contribution [5, *t_ext, E] to that side's boundary layer (the
     virtual-fine pass of outer_apply evaluated on STATES, since the
     RK-fused path never materializes cell fields outside the kernel).
+
+    Runs on the COMPACT fine-element axis (conn.fine_idx: only elements
+    that actually face finer neighbors) and expands by row gather —
+    O(level-boundary) work instead of O(all elements): the dense pass
+    measured 4x the whole step cost on a band-refined flagship mesh.
     Returns (extra_sides, extras, max_speed).  Compiled away entirely on
     uniform meshes (conn.has_fine all False)."""
     dim = spec.dim
@@ -443,28 +461,30 @@ def fine_side_extras(u: jnp.ndarray, conn, spec: SubgridSpec,
             k = 2 * a + s_i
             if not conn.has_fine[k]:
                 continue
-            nbr, rel, mask = conn.nbr[k], conn.rel[k], conn.mask[k]
+            idxk = conn.fine_idx[k]                  # [K]
             hi = sign > 0
-            my_layer = jnp.stack([
+            my_full = jnp.stack([
                 jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
                                      keepdims=False) for r in own_rows])
+            my_layer = _gather_layers(my_full, idxk[:, None])[..., 0]
             opp_layer = jnp.stack([
                 jax.lax.index_in_dim(r, 0 if hi else ext - 1, axis=a,
                                      keepdims=False) for r in u_rows])
-            nb = _gather_layers(opp_layer, nbr)
+            nb = _gather_layers(opp_layer, conn.nbr[k][idxk])
             fine = _fine_interleave(nb, spec)
             mine = _upsample2(my_layer, t_axes)
             u_l, u_r = (mine, fine) if hi else (fine, mine)
             f2, sp2 = numerical_flux(axis_rotate(u_l, a), axis_rotate(u_r, a),
                                      gamma=gamma, flux=flux)
-            w2 = mask * area_v * (rel > 0)
+            w2 = (conn.mask[k] * area_v * (conn.rel[k] > 0))[idxk]
             f2 = (axis_unrotate(f2, a)
                   * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
             f2 = _pool2(f2, n_t)
             sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
             speed = jnp.maximum(speed, (sp2 * sp_m2).max())
             sides.append(k)
-            extras.append(-f2 if hi else f2)
+            extras.append(_expand_compact(-f2 if hi else f2,
+                                          conn.fine_inv[k]))
     return tuple(sides), tuple(extras), speed
 
 

@@ -50,6 +50,10 @@ class ShardedSubgridConnectivity:
     rel: Tuple[jnp.ndarray, ...]      # per side [S, CL] i8
     bits: Tuple[jnp.ndarray, ...]     # per side [S, CL, dim-1] i8
     mask: Tuple[jnp.ndarray, ...]     # per side [S, CL] f32
+    # compact hanging-fine tables (mesh/subgrid.SubgridConnectivity):
+    # [S, K] local fine-element ids / [S, CL] inverse positions
+    fine_idx: Tuple[jnp.ndarray, ...]
+    fine_inv: Tuple[jnp.ndarray, ...]
     b_cell: Tuple[jnp.ndarray, ...]   # per boundary group [S, Kb]
     b_area: Tuple[jnp.ndarray, ...]
     b_recv: Tuple[jnp.ndarray, ...]   # per boundary group [S, CL*T] i32
@@ -154,6 +158,27 @@ def build_sharded_subgrid_connectivity(
         bitss.append(jnp.asarray(bit_s))
         masks.append(jnp.asarray(msk_s))
 
+    # compact hanging-fine tables per side, K common across shards
+    fine_idxs, fine_invs = [], []
+    for k in range(2 * dim):
+        rel_s = np.asarray(rels[k])
+        per = [np.flatnonzero(rel_s[s] == 1) for s in range(n_shards)]
+        mx = max(len(p) for p in per)
+        if mx == 0:
+            fine_idxs.append(jnp.zeros((n_shards, 0), jnp.int32))
+            fine_invs.append(jnp.zeros((n_shards, 0), jnp.int32))
+            continue
+        K = bucket_capacity(mx, base=16)
+        fi = np.zeros((n_shards, K), np.int32)
+        inv = np.full((n_shards, CL), K, np.int32)
+        for s, pos in enumerate(per):
+            if len(pos):
+                fi[s] = pos[0]
+                fi[s, : len(pos)] = pos
+                inv[s, pos] = np.arange(len(pos))
+        fine_idxs.append(jnp.asarray(fi))
+        fine_invs.append(jnp.asarray(inv))
+
     # --- boundary subfaces per (shard, axis, sign) --------------------------
     b_cells, b_areas, b_groups, b_recvs = [], [], [], []
     if f["b_elem"] is not None:
@@ -208,6 +233,7 @@ def build_sharded_subgrid_connectivity(
     conn = ShardedSubgridConnectivity(
         nbr=tuple(nbrs), rel=tuple(rels), bits=tuple(bitss),
         mask=tuple(masks),
+        fine_idx=tuple(fine_idxs), fine_inv=tuple(fine_invs),
         b_cell=tuple(b_cells), b_area=tuple(b_areas),
         b_recv=tuple(b_recvs),
         send_rounds=tuple(send_rounds), halo_rounds=halo_rounds,

