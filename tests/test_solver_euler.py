@@ -122,3 +122,48 @@ class TestTimestep:
         # discontinuous KH data: local-error bound is loose but tight enough
         # to catch a mis-weighted RK stage (that gives O(1e-1) differences)
         assert np.abs(a - b).max() < 1e-2
+
+
+def test_blocked_uniform_solver_matches_plain():
+    """The blocked fast path (plain elements as degenerate subgrid cells,
+    models/blocked_euler.py) == the gather-path plain solver, cell-exact
+    ordering restored: same state after stepping, same integral, same CFL
+    timestep.  BASELINE config 1's production path."""
+    import numpy as np
+
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+    from t8gpu_tpu.models.blocked_euler import (BlockedUniformEulerSolver,
+                                                can_block)
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+
+    for dim, level in ((2, 4), (3, 3)):
+        forest = Forest.uniform(level, dim=dim)
+        assert can_block(forest)
+        ic = lambda c: kh_planar(c, dim=dim)
+        ref = CompressibleEulerSolver(ForestMesh.from_forest(forest), ic)
+        blk = BlockedUniformEulerSolver(forest, ic)
+        assert blk.n_elements == ref.n_elements
+        np.testing.assert_allclose(blk.conserved_state(),
+                                   ref.conserved_state(),
+                                   rtol=1e-6, atol=1e-7)
+        dt = 1e-3
+        for _ in range(3):
+            ref.iterate(dt)
+            blk.iterate(dt)
+        np.testing.assert_allclose(blk.conserved_state(),
+                                   ref.conserved_state(),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(blk.compute_integral(),
+                                   ref.compute_integral(), rtol=1e-5)
+        np.testing.assert_allclose(blk.compute_timestep(),
+                                   ref.compute_timestep(), rtol=1e-4)
+
+    # non-qualifying forests are rejected
+    assert not can_block(Forest.uniform(2, dim=2))          # level < 3
+    assert not can_block(Forest.uniform(4, dim=2, periodic=False))
+    f = Forest.uniform(4, dim=2)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[0] = 1
+    f, _ = f.adapt(f.balance_flags(flags))
+    assert not can_block(f)                                 # non-uniform
