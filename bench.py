@@ -69,6 +69,40 @@ def bench_flagship():
     }))
 
 
+def bench_plain():
+    """Plain-element throughput (BASELINE config 1): 2D Euler KH, uniform
+    periodic, level 8 = 65 536 elements.  Uses the production path for
+    this mesh — the blocked fast lane (models/blocked_euler.py: plain
+    elements as degenerate Subgrid<8,8> cells riding the fused Pallas
+    kernels); the gather path remains the general-mesh fallback and is
+    measured in BENCHMARKS.md."""
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.models.blocked_euler import BlockedUniformEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+
+    forest = Forest.uniform(8, dim=2)
+    solver = BlockedUniformEulerSolver(forest, lambda c: kh_planar(c, dim=2))
+    dt = solver.compute_timestep()
+    steps = 200
+    solver.iterate(dt)
+    solver.iterate_many(steps, dt)
+    solver.u.block_until_ready()
+
+    t0 = time.perf_counter()
+    solver.iterate_many(steps, dt)
+    solver.u.block_until_ready()
+    wall = time.perf_counter() - t0
+    assert np.isfinite(solver.conserved_state()).all()
+    value = solver.n_elements * steps / wall
+    print(json.dumps({
+        "metric": "elem-updates/sec/chip (2D Euler KH, 65k plain elements, "
+                  "blocked fast path)",
+        "value": value,
+        "unit": "elem-updates/s",
+        "vs_baseline": value / 15.0e6,   # round-1 target for config 1
+    }))
+
+
 def bench_amr():
     """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
     with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
@@ -152,7 +186,7 @@ def bench_sphere():
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
-                   choices=("flagship", "amr", "sphere", "all"))
+                   choices=("flagship", "plain", "amr", "sphere", "all"))
     args = p.parse_args()
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
@@ -160,6 +194,8 @@ def main():
 
     if args.config in ("flagship", "all"):
         bench_flagship()
+    if args.config in ("plain", "all"):
+        bench_plain()
     if args.config in ("amr", "all"):
         bench_amr()
     if args.config in ("sphere", "all"):

@@ -239,9 +239,9 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
 # ---------------------------------------------------------------------------
 
 
-def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
+def _fused_rk_kernel(u_ref, *refs,
                      gamma: float, flux: str, coeffs, dim: int, ext: int,
-                     extra_sides=()):
+                     extra_sides=(), share_prev: bool = False):
     """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*(D(u_stage) + extras).
     u/up [5, *(ext,)*dim, TE] states; w [8, TE] rows 0..2*dim as in
     _fused_kernel, row 7 = dt * inv_cell_volume; o<k>
@@ -253,6 +253,13 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
     reference handles hanging faces in-kernel too, kernels.inl:664-911)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
 
+    # stage 1 has u_prev == u_stage: the operand is dropped statically
+    # (share_prev) so the tile reads one state from HBM, not two
+    if share_prev:
+        up_ref = u_ref
+    else:
+        up_ref, refs = refs[0], refs[1:]
+    w_ref, refs = refs[0], refs[1:]
     others = refs[: 2 * dim]
     extras = refs[2 * dim: 2 * dim + len(extra_sides)]
     out_ref, sp_ref = refs[2 * dim + len(extra_sides):]
@@ -284,26 +291,30 @@ def _fused_rk_kernel(u_ref, up_ref, w_ref, *refs,
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "coeffs", "tile",
                                     "interpret", "extra_sides"))
-def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
+def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
                           weights: jnp.ndarray, others,
                           gamma: float, flux: str, coeffs,
                           tile: int = 128, interpret: bool = False,
                           extra_sides=(), extras=()):
     """One SSP-RK stage fully in-kernel (see _fused_rk_kernel).
     u_stage/u_prev: [5, *(ext,)*dim, E] (dim 2 or 3, ext 8 or 4);
-    weights: [8, E]; others: 2*dim arrays [5, *(ext,)*(dim-1), E];
-    extras: per extra_sides[j] an additive side-layer divergence
-    [5, *(ext,)*(dim-1), E] (hanging-fine contributions, XLA-computed).
-    Returns (u_next like u_stage, speed [E])."""
+    u_prev may be None when it equals u_stage (stage 1) — the kernel then
+    reads ONE state operand instead of two; weights: [8, E]; others:
+    2*dim arrays [5, *(ext,)*(dim-1), E]; extras: per extra_sides[j] an
+    additive side-layer divergence [5, *(ext,)*(dim-1), E] (hanging-fine
+    contributions, XLA-computed).  Returns (u_next like u_stage,
+    speed [E])."""
     dim = u_stage.ndim - 2
     ext = u_stage.shape[1]
     E = u_stage.shape[-1]
+    share_prev = u_prev is None
     E_pad = -(-E // tile) * tile
     if E_pad != E:
         pad = [(0, 0)] * u_stage.ndim
         pad[-1] = (0, E_pad - E)
         u_stage = jnp.pad(u_stage, pad, mode="edge")
-        u_prev = jnp.pad(u_prev, pad, mode="edge")
+        if not share_prev:
+            u_prev = jnp.pad(u_prev, pad, mode="edge")
         others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
         extras = tuple(jnp.pad(x, pad[1:]) for x in extras)  # zero-padded
         weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
@@ -320,14 +331,15 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
 
     blk5 = (5,) + (ext,) * dim + (tile,)
     lay5 = pl.BlockSpec((5,) + (ext,) * (dim - 1) + (tile,), idx_lay)
+    prev_ops = () if share_prev else (u_prev,)
     u_next, sp = pl.pallas_call(
         functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
                           coeffs=coeffs, dim=dim, ext=ext,
-                          extra_sides=extra_sides),
+                          extra_sides=extra_sides, share_prev=share_prev),
         grid=grid,
-        in_specs=[pl.BlockSpec(blk5, idx_blk),
-                  pl.BlockSpec(blk5, idx_blk),
-                  pl.BlockSpec((8, tile), idx2)]
+        in_specs=[pl.BlockSpec(blk5, idx_blk)]
+                 + [pl.BlockSpec(blk5, idx_blk)] * len(prev_ops)
+                 + [pl.BlockSpec((8, tile), idx2)]
                  + [lay5] * (2 * dim + len(extra_sides)),
         out_specs=[pl.BlockSpec(blk5, idx_blk),
                    pl.BlockSpec((8, tile), idx2)],
@@ -337,7 +349,7 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u_stage, u_prev, weights, *others, *extras)
+    )(u_stage, *prev_ops, weights, *others, *extras)
     return u_next[..., :E], sp[0, :E]
 
 

@@ -523,7 +523,8 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                                         extra_sides=sides, extras=extras)
         return u_n, jnp.maximum(sp.max(), sp_f)
 
-    u1, sp = stage(u, u, (1.0, 0.0, 1.0))
+    # stage 1: u_prev == u, passed as None so the kernel reads ONE state
+    u1, sp = stage(u, None, (1.0, 0.0, 1.0))
     u2, _ = stage(u1, u, STAGE_2)
     u3, _ = stage(u2, u, STAGE_3)
     return u3, sp
