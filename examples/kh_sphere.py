@@ -93,10 +93,17 @@ def main():
         solver.iterate_many(n, dt)
         done += n
         if args.amr and done % args.adapt_every == 0 and done < args.steps:
+            t_a = time.perf_counter()
             solver.adapt()
             adapts += 1
             if args.dt == 0:
                 dt = solver.compute_timestep()
+            if adapts % 10 == 0:      # element-count trajectory for long runs
+                print(f"  adapt {adapts}: step={done} "
+                      f"elements={solver.n_elements} "
+                      f"adapt_wall={time.perf_counter() - t_a:.2f}s "
+                      f"total_wall={time.perf_counter() - t0:.1f}s",
+                      flush=True)
         if args.vtk_every and done % args.vtk_every == 0:
             u = solver.conserved_state()
             mesh_now = solver.mesh
