@@ -228,3 +228,31 @@ def test_true_geometry_tri_tet_brick(tmp_path):
     arrays = _parse_vtu(write_forest_vtu(
         str(tmp_path / "brick.vtu"), brick, {}))
     assert (arrays["types"] == 12).all()
+
+
+def test_sharded_forest_vtu_pieces(tmp_path):
+    """True-geometry multi-piece export slices the wedges by SFC shard and
+    the .pvtu indexes every piece."""
+    import numpy as np
+
+    from t8gpu_tpu.io.vtk import write_sharded_forest_vtu
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+    from t8gpu_tpu.parallel.partition import partition_elements
+
+    forest = PrismForest.uniform(shell_roots(1), 1)
+    n = forest.n_elements
+    bounds = partition_elements(n, 4)
+    rho = np.arange(n, dtype=np.float32)
+    pvtu = write_sharded_forest_vtu(str(tmp_path / "sh"), forest, bounds,
+                                    {"density": rho})
+    assert pvtu.endswith(".pvtu")
+    total = 0
+    vals = []
+    for s in range(4):
+        a = _parse_vtu(str(tmp_path / f"sh_p{s:04d}.vtu"))
+        assert (a["types"] == 13).all()
+        total += len(a["types"])
+        vals.append(a["density"])
+    assert total == n
+    np.testing.assert_array_equal(np.concatenate(vals), rho)
+    assert "sh_p0003.vtu" in open(pvtu).read()
