@@ -107,3 +107,42 @@ def test_sharded_subgrid_3d_matches_single():
         sh.iterate(dt)
     np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_fused_glue_amr_walls_interpret():
+    """The sharded RK-fused path with walls + hanging-fine extras
+    (T8GPU_PALLAS=interpret, the glue TPU multichip runs take) == the XLA
+    stencil path, on a NON-periodic pre-adapted forest."""
+    import os
+
+    import jax
+    import numpy as np
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    forest = Forest.uniform(2, dim=2, periodic=False)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    spec = SubgridSpec((8, 8))
+    ic = lambda c: kh_planar(c, dim=2)
+
+    def run(n=3):
+        s = ShardedSubgridEulerSolver(forest, spec, ic,
+                                      devices=jax.devices()[:4])
+        s.iterate_many(n, 5e-4)
+        return s.conserved_state()
+
+    u_ref = run()                       # XLA path (kernel off on CPU)
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    jax.clear_caches()
+    try:
+        u_k = run()
+    finally:
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                               rtol=2e-5, atol=2e-6)
