@@ -400,18 +400,47 @@ def kepes_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
     """Entropy-stable KEPES flux from precomputed cell fields (face frame:
     row 1 is the normal velocity).  Matches kepes_es_flux to fp tolerance
     (the exact-branch ln_mean divides a difference of precomputed logs).
-    Returns (flux [5, ...], speed [...])."""
+    Returns (flux [5, ...], speed [...]).
+
+    Division economy round 3 (per-interface divides measured as ~35% of
+    the flagship step): the FIVE ratios of the round-2 formulation
+    (2x ln_mean at 2 divides each + p1_hat) collapse into TWO divides via
+    combined reciprocals — one shared 1/(s_rho^2 s_beta^2) feeding both
+    series selectors v = (d/s)^2, and one shared 1/(den_r num_b s_b)
+    feeding rho_hat, 1/beta_hat and p1_hat as products.  Equal values up
+    to ~1-ulp rounding differences; gamma factors fold into static python
+    floats; a_hat uses sqrt*rsqrt instead of divide-then-sqrt."""
     kappa_m1 = gamma - 1.0
     rho_l, u_l, v_l, w_l, p_l, rhop_l, lrho_l, lp_l, vent0_l, ke_l = q_l
     rho_r, u_r, v_r, w_r, p_r, rhop_r, lrho_r, lp_r, vent0_r, ke_r = q_r
 
-    # Division economy (divisions dominate per-face cost once logs are
-    # per-cell): beta_hat enters only as 1/beta_hat -> reciprocal ln_mean;
-    # gamma factors fold into static python-float constants; a_hat uses
-    # sqrt*rsqrt instead of divide-then-sqrt.
-    rho_hat = _ln_mean_d(rho_l, rho_r, lrho_r - lrho_l)
-    inv_bh = 2.0 * _ln_mean_d_recip(rhop_l, rhop_r,
-                                    (lrho_r - lp_r) - (lrho_l - lp_l))
+    # ln_mean ingredients for rho (r) and beta ~ rho/p (b)
+    d_r = rho_r - rho_l
+    s_r = rho_l + rho_r
+    d_b = rhop_r - rhop_l
+    s_b = rhop_l + rhop_r
+    s_r2 = s_r * s_r
+    s_b2 = s_b * s_b
+    q2 = 1.0 / (s_r2 * s_b2)                 # divide 1 of 2
+    vsq_r = (d_r * d_r) * s_b2 * q2          # = (d_r/s_r)^2
+    vsq_b = (d_b * d_b) * s_r2 * q2
+    c_r = vsq_r < 1.0e-4
+    c_b = vsq_b < 1.0e-4
+    num_r = jnp.where(c_r, s_r * 52.5, d_r)
+    den_r = jnp.where(
+        c_r, 105.0 + vsq_r * (35.0 + vsq_r * (21.0 + vsq_r * 15.0)),
+        lrho_r - lrho_l)
+    num_b = jnp.where(c_b, s_b * 52.5, d_b)
+    den_b = jnp.where(
+        c_b, 105.0 + vsq_b * (35.0 + vsq_b * (21.0 + vsq_b * 15.0)),
+        (lrho_r - lp_r) - (lrho_l - lp_l))
+    # rho_hat = num_r/den_r, 1/beta_hat = 2 den_b/num_b,
+    # p1_hat = s_r/s_b — one shared reciprocal
+    Q = 1.0 / (den_r * num_b * s_b)          # divide 2 of 2
+    nbsb = num_b * s_b
+    rho_hat = num_r * nbsb * Q
+    inv_bh = (2.0 * den_b * den_r * s_b) * Q
+    p1_hat = s_r * den_r * num_b * Q
 
     u_hat = 0.5 * (u_l + u_r)
     v_hat = 0.5 * (v_l + v_r)
@@ -420,7 +449,6 @@ def kepes_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
              * jax.lax.rsqrt(rho_hat))
     h_hat = (gamma / (2.0 * kappa_m1)) * inv_bh + 0.5 * (
         u_l * u_r + v_l * v_r + w_l * w_r)
-    p1_hat = (rho_l + rho_r) / (rhop_l + rhop_r)
     vel2_m = ke_l + ke_r
 
     f0 = rho_hat * u_hat

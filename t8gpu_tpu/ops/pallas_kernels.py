@@ -353,6 +353,127 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
     return u_next[..., :E], sp[0, :E]
 
 
+def _recover_state_rows(q, gamma: float, flux: str):
+    """Conservative state rows from cell-field rows (exact up to ~1-ulp
+    rounding: the fields are algebraic in the state).  kepes rows:
+    [rho, v1, v2, v3, p, rho/p, log rho, log p, vent0, ke]; hll rows:
+    [rho, v1, v2, v3, p, h, c, sqrt(rho), ke]."""
+    rho = q[0]
+    m1, m2, m3 = rho * q[1], rho * q[2], rho * q[3]
+    if flux == "kepes":
+        e = q[4] * (1.0 / (gamma - 1.0)) + rho * q[9]
+    else:                                     # hll: h = (e + p) / rho
+        e = rho * q[5] - q[4]
+    return (rho, m1, m2, m3, e)
+
+
+def _fused_rk_fields_kernel(q_ref, *refs, gamma: float, flux: str, coeffs,
+                            dim: int, ext: int, extra_sides=(),
+                            share_prev: bool = False):
+    """RK stage from PRECOMPUTED cell fields: q [C, *(ext,)*dim, TE] and
+    the 2*dim neighbor layers as FIELD rows [C, *(ext,)*(dim-1), TE]
+    (built once per stage by XLA — removes the ~75% duplicate in-VMEM
+    field derivation of the state-input kernel, where every element
+    recomputes its 2*dim neighbors' facing-layer fields).  The stage
+    state is recovered from q algebraically for the update."""
+    if share_prev:
+        up_rows = None
+    else:
+        up_ref, refs = refs[0], refs[1:]
+        up_rows = tuple(up_ref[i] for i in range(5))
+    w_ref, refs = refs[0], refs[1:]
+    others = refs[: 2 * dim]
+    extras = refs[2 * dim: 2 * dim + len(extra_sides)]
+    out_ref, sp_ref = refs[2 * dim + len(extra_sides):]
+    a_c, b_c, c_c = coeffs
+    C = q_ref.shape[0]
+    TE = q_ref.shape[-1]
+    q = tuple(q_ref[i] for i in range(C))
+    dt_inv = w_ref[7]
+
+    others_q = tuple(tuple(o[i] for i in range(C)) for o in others)
+    D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, ext,
+                                     gamma, flux)
+
+    for k, x_ref in zip(extra_sides, extras):
+        a = k // 2
+        at = ext - 1 if k % 2 == 0 else 0
+        idx = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1 + a)
+        D = D + jnp.where(idx == at, jnp.expand_dims(x_ref[...], 1 + a), 0.0)
+
+    u_rows = _recover_state_rows(q, gamma, flux)
+    if up_rows is None:
+        up_rows = u_rows
+    out_ref[...] = jnp.stack([
+        a_c * up_rows[i] + b_c * u_rows[i] + c_c * dt_inv * D[i]
+        for i in range(5)])
+    smax = speed.max(axis=tuple(range(dim)))
+    sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "coeffs", "tile",
+                                    "interpret", "extra_sides"))
+def fused_rk_stage_fields_pallas(q: jnp.ndarray, u_prev,
+                                 weights: jnp.ndarray, others,
+                                 gamma: float, flux: str, coeffs,
+                                 tile: int = 128, interpret: bool = False,
+                                 extra_sides=(), extras=()):
+    """One SSP-RK stage from stacked cell fields q [C, *(ext,)*dim, E]
+    (see _fused_rk_fields_kernel).  weights: [8, E] with row 7 =
+    dt * inv_cell_volume; others: 2*dim FIELD layers
+    [C, *(ext,)*(dim-1), E]; u_prev: [5, ...] state or None (stage 1).
+    Returns (u_next [5, *(ext,)*dim, E], speed [E])."""
+    C = q.shape[0]
+    dim = q.ndim - 2
+    ext = q.shape[1]
+    E = q.shape[-1]
+    share_prev = u_prev is None
+    E_pad = -(-E // tile) * tile
+    if E_pad != E:
+        pad = [(0, 0)] * q.ndim
+        pad[-1] = (0, E_pad - E)
+        q = jnp.pad(q, pad, mode="edge")
+        if not share_prev:
+            u_prev = jnp.pad(u_prev, pad, mode="edge")
+        others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        extras = tuple(jnp.pad(x, pad[1:]) for x in extras)
+        weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
+    grid = (E_pad // tile,)
+
+    def idx_blk(i):
+        return (0,) * (dim + 1) + (i,)
+
+    def idx_lay(i):
+        return (0,) * dim + (i,)
+
+    def idx2(i):
+        return (0, i)
+
+    blk_q = pl.BlockSpec((C,) + (ext,) * dim + (tile,), idx_blk)
+    blk_u = pl.BlockSpec((5,) + (ext,) * dim + (tile,), idx_blk)
+    lay_q = pl.BlockSpec((C,) + (ext,) * (dim - 1) + (tile,), idx_lay)
+    lay_u = pl.BlockSpec((5,) + (ext,) * (dim - 1) + (tile,), idx_lay)
+    prev_ops = () if share_prev else (u_prev,)
+    u_next, sp = pl.pallas_call(
+        functools.partial(_fused_rk_fields_kernel, gamma=gamma, flux=flux,
+                          coeffs=coeffs, dim=dim, ext=ext,
+                          extra_sides=extra_sides, share_prev=share_prev),
+        grid=grid,
+        in_specs=[blk_q] + [blk_u] * len(prev_ops)
+                 + [pl.BlockSpec((8, tile), idx2)]
+                 + [lay_q] * (2 * dim) + [lay_u] * len(extra_sides),
+        out_specs=[blk_u, pl.BlockSpec((8, tile), idx2)],
+        out_shape=[jax.ShapeDtypeStruct((5,) + (ext,) * dim + (E_pad,),
+                                        q.dtype),
+                   jax.ShapeDtypeStruct((8, E_pad), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, *prev_ops, weights, *others, *extras)
+    return u_next[..., :E], sp[0, :E]
+
+
 # ---------------------------------------------------------------------------
 # Round-1 inner-only kernel (kept for comparison; see module docstring).
 # ---------------------------------------------------------------------------

@@ -296,7 +296,8 @@ def _mirror_rows(layer: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 
 def pallas_side_inputs(q: tuple, conn, spec: SubgridSpec,
-                       volumes: jnp.ndarray, q_ext: tuple | None = None):
+                       volumes: jnp.ndarray, q_ext: tuple | None = None,
+                       dt_inv=None):
     """Inputs for ops.pallas_kernels.fused_flux_pallas: per side the
     RESOLVED equal/coarse neighbor facing layer (gather + coarse-window,
     identical to outer_apply pass 1) in unrotated field rows
@@ -346,8 +347,12 @@ def pallas_side_inputs(q: tuple, conn, spec: SubgridSpec,
                 w = w + walls[k] * area_t
             others.append(base)
             w_rows.append(w)
-    while len(w_rows) < 8:           # fixed [8, E] block for the kernel
+    while len(w_rows) < 7:           # fixed [8, E] block for the kernel
         w_rows.append(jnp.zeros_like(surface))
+    # row 7: dt * inv_cell_volume for the RK-stage kernels (zero for the
+    # D-kernel, which ignores it)
+    w_rows.append(dt_inv if dt_inv is not None
+                  else jnp.zeros_like(surface))
     return tuple(others), jnp.stack(w_rows)
 
 
@@ -495,32 +500,60 @@ def can_fuse_rk(conn, spec: SubgridSpec) -> bool:
     return spec.extent in (4, 8)
 
 
+# What the RK stage kernels take per stage: "state" derives cell fields
+# IN VMEM from 5-row state + neighbor state layers (every element also
+# re-derives its 2*dim neighbors' facing-layer fields: ~1.75x the field
+# transcendentals); "fields" has XLA compute the stacked fields once per
+# stage and the kernel consumes field layers directly (1.0x the logs, at
+# ~2x the state HBM read).  Measured on v5e with the 2-divide KEPES
+# formulation: fields mode is ~2.5x SLOWER (2.44 vs 0.90 ms on the 2D
+# 1M-cell config) — the extra HBM traffic outweighs the saved logs once
+# the divide count drops — so "state" is the default; "fields" is kept
+# as a measured negative result.  Process-level switch, read at trace
+# time.
+RK_STAGE_INPUTS = "state"
+
+
 def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                   conn, spec: SubgridSpec,
                   gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray):
     """One SSP-RK3 step with every stage as ONE RK-fused Pallas kernel
-    call (ops/pallas_kernels.fused_rk_stage_pallas): flux + divergence +
-    stage update all in VMEM; between stages XLA only regathers the 2*dim
-    [5, t_ext, E] neighbor layer slabs (plus the hanging-fine side extras
-    on AMR meshes).  Preconditions: can_fuse_rk."""
-    from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas, kernel_mode
+    call: flux + divergence + stage update all in VMEM; between stages
+    XLA regathers the 2*dim neighbor layer slabs (plus the hanging-fine
+    side extras on AMR meshes).  Preconditions: can_fuse_rk.
+    RK_STAGE_INPUTS selects the state- or fields-input stage kernel."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple
+    from t8gpu_tpu.ops.pallas_kernels import (fused_rk_stage_fields_pallas,
+                                              fused_rk_stage_pallas,
+                                              kernel_mode)
     from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3
 
-    w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
+    use_fields = RK_STAGE_INPUTS == "fields"
+    if not use_fields:
+        w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
 
     def stage(u_stage, u_prev, coeffs):
-        others = _state_side_layers(u_stage, conn, spec, volumes)
         if any_fine:
             sides, extras, sp_f = fine_side_extras(
                 u_stage, conn, spec, volumes, gamma, flux)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
-        u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
-                                        gamma=gamma, flux=flux,
-                                        coeffs=coeffs, interpret=interp,
-                                        extra_sides=sides, extras=extras)
+        if use_fields:
+            q = cell_fields_tuple(u_stage, gamma, flux)
+            others, w_q = pallas_side_inputs(q, conn, spec, volumes,
+                                             dt_inv=dt * inv_cell_volume)
+            u_n, sp = fused_rk_stage_fields_pallas(
+                jnp.stack(q), u_prev, w_q, others, gamma=gamma, flux=flux,
+                coeffs=coeffs, interpret=interp,
+                extra_sides=sides, extras=extras)
+        else:
+            others = _state_side_layers(u_stage, conn, spec, volumes)
+            u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
+                                            gamma=gamma, flux=flux,
+                                            coeffs=coeffs, interpret=interp,
+                                            extra_sides=sides, extras=extras)
         return u_n, jnp.maximum(sp.max(), sp_f)
 
     # stage 1: u_prev == u, passed as None so the kernel reads ONE state

@@ -432,26 +432,43 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
     tables).  Each stage: halo ppermute rounds, resolve neighbor layers
     (walls = mirrored own layers, in-kernel), hanging-fine side extras
     XLA-side, one kernel call."""
-    from t8gpu_tpu.ops.pallas_kernels import fused_rk_stage_pallas, kernel_mode
+    from t8gpu_tpu.ops.euler import cell_fields_tuple
+    from t8gpu_tpu.ops.pallas_kernels import (fused_rk_stage_fields_pallas,
+                                              fused_rk_stage_pallas,
+                                              kernel_mode)
     from t8gpu_tpu.ops.rk import STAGE_2, STAGE_3
 
     interp = kernel_mode() == "interpret"
-    w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
     any_fine = any(conn.has_fine)
+    use_fields = sg.RK_STAGE_INPUTS == "fields"
+    if not use_fields:
+        w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
 
     def stage(u_stage, u_prev, coeffs):
         u_ext = _halo_exchange_state(u_stage, conn)
-        others = sg._state_side_layers(u_stage, conn, spec, volumes,
-                                       u_ext=u_ext)
         if any_fine:
             sides, extras, sp_f = sg.fine_side_extras(
                 u_stage, conn, spec, volumes, gamma, flux, u_ext=u_ext)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
-        u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
-                                        gamma=gamma, flux=flux,
-                                        coeffs=coeffs, interpret=interp,
-                                        extra_sides=sides, extras=extras)
+        if use_fields:
+            CL = u_stage.shape[-1]
+            q_ext = cell_fields_tuple(u_ext, gamma, flux)
+            q_loc = tuple(r[..., :CL] for r in q_ext)
+            others, w_q = sg.pallas_side_inputs(q_loc, conn, spec, volumes,
+                                                q_ext=q_ext,
+                                                dt_inv=dt * inv_cv)
+            u_n, sp = fused_rk_stage_fields_pallas(
+                jnp.stack(q_loc), u_prev, w_q, others, gamma=gamma,
+                flux=flux, coeffs=coeffs, interpret=interp,
+                extra_sides=sides, extras=extras)
+        else:
+            others = sg._state_side_layers(u_stage, conn, spec, volumes,
+                                           u_ext=u_ext)
+            u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
+                                            gamma=gamma, flux=flux,
+                                            coeffs=coeffs, interpret=interp,
+                                            extra_sides=sides, extras=extras)
         return u_n, jnp.maximum(sp.max(), sp_f)
 
     # stage 1: u_prev == u, passed as None so the kernel reads ONE state
