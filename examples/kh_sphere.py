@@ -59,9 +59,23 @@ def main():
     p.add_argument("--adapt-every", type=int, default=100)
     p.add_argument("--refine-threshold", type=float, default=10.0,
                    help="criteria threshold b (ref mesh_manager.inl:141)")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="[--amr] save a resumable checkpoint every N steps "
+                        "(beyond-reference: the 20k-step flagship protocol "
+                        "can survive interruption)")
+    p.add_argument("--checkpoint-path", default="kh_sphere_ck.npz")
+    p.add_argument("--resume", default="",
+                   help="checkpoint to resume from (continues to --steps)")
     args = p.parse_args()
 
-    if args.amr:
+    start = 0
+    if args.resume:
+        from t8gpu_tpu.io.checkpoint import restore_solver
+        solver, meta = restore_solver(args.resume)
+        start = int(meta.get("step", 0))
+        args.amr = True     # checkpoints are forest-backed (AMR mode)
+        print(f"resumed from {args.resume} at step {start}")
+    elif args.amr:
         from t8gpu_tpu.mesh.shell_forest import shell_manager
         mgr = shell_manager(
             subdiv=args.subdiv, level=args.level,
@@ -82,7 +96,7 @@ def main():
     print(f"initial integral={m0:.6f} dt={dt:.3e}")
 
     t0 = time.perf_counter()
-    done = 0
+    done = start
     adapts = 0
     while done < args.steps:
         n = args.steps - done
@@ -90,6 +104,8 @@ def main():
             n = min(n, args.adapt_every - done % args.adapt_every)
         if args.vtk_every:
             n = min(n, args.vtk_every - done % args.vtk_every)
+        if args.checkpoint_every:
+            n = min(n, args.checkpoint_every - done % args.checkpoint_every)
         solver.iterate_many(n, dt)
         done += n
         if args.amr and done % args.adapt_every == 0 and done < args.steps:
@@ -104,6 +120,9 @@ def main():
                       f"adapt_wall={time.perf_counter() - t_a:.2f}s "
                       f"total_wall={time.perf_counter() - t0:.1f}s",
                       flush=True)
+        if args.checkpoint_every and done % args.checkpoint_every == 0:
+            from t8gpu_tpu.io.checkpoint import save_solver
+            save_solver(args.checkpoint_path, solver, step=done)
         if args.vtk_every and done % args.vtk_every == 0:
             u = solver.conserved_state()
             mesh_now = solver.mesh
@@ -123,7 +142,7 @@ def main():
     m1 = solver.compute_integral()
     print(f"steps={args.steps} adapts={adapts} elements={solver.n_elements} "
           f"wall={wall:.3f}s "
-          f"elem-updates/s={solver.n_elements * args.steps / wall:.3e} "
+          f"elem-updates/s={solver.n_elements * (args.steps - start) / wall:.3e} "
           f"integral drift={(m1 - m0) / m0:.2e}")
 
 
