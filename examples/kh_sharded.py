@@ -36,7 +36,7 @@ from t8gpu_tpu.utils.config import AMRConfig
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--solver", default="subgrid",
-                   choices=("plain", "subgrid"))
+                   choices=("plain", "subgrid", "blocked"))
     p.add_argument("--dim", type=int, default=2, choices=(2, 3))
     p.add_argument("--shell", action="store_true",
                    help="[plain] prismed icosahedral shell (the reference "
@@ -72,6 +72,17 @@ def main():
                             refine_threshold=2.0)
             solver = ShardedEulerSolver(
                 forest, lambda c: kh_planar(c, dim=args.dim), amr=amr)
+    elif args.solver == "blocked":
+        # plain elements on a uniform periodic brick, stepped as blocks
+        # on the fused kernels under shard_map (multi-chip config 1)
+        from t8gpu_tpu.mesh.forest import Forest
+        from t8gpu_tpu.models.blocked_euler import ShardedBlockedEulerSolver
+        from t8gpu_tpu.models.initial_conditions import kh_planar
+        level = args.level or (6 if args.dim == 2 else 4)
+        forest = Forest.uniform(level, dim=args.dim)
+        solver = ShardedBlockedEulerSolver(
+            forest, lambda c: kh_planar(c, dim=args.dim))
+        args.adapt_every = args.steps + 1      # static mesh
     else:
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.mesh.forest import Forest
@@ -110,9 +121,12 @@ def main():
           f"integral drift={abs(m1 - m0) / abs(m0):.2e}")
 
     if args.checkpoint:
-        from t8gpu_tpu.io.checkpoint import save_solver
-        save_solver(args.checkpoint, solver, step=done)
-        print(f"checkpoint: {args.checkpoint}")
+        if args.solver == "blocked":
+            print("checkpoint: n/a for the static blocked path")
+        else:
+            from t8gpu_tpu.io.checkpoint import save_solver
+            save_solver(args.checkpoint, solver, step=done)
+            print(f"checkpoint: {args.checkpoint}")
 
 
 if __name__ == "__main__":

@@ -126,3 +126,75 @@ class BlockedUniformEulerSolver:
         sub = self._inner.conserved_state()                 # [5, E, *ext]
         flat = sub.reshape(5, -1, self._B)                  # raster cells
         return flat[:, :, self._perm].reshape(5, -1)        # z-order cells
+
+
+class ShardedBlockedEulerSolver:
+    """The blocked fast path over a device mesh: a uniform periodic brick
+    forest of PLAIN elements, stepped as `Subgrid<ext,...>` blocks by
+    `ShardedSubgridEulerSolver` (fused Pallas kernels inside shard_map,
+    neighbor-scoped halo) — the multi-chip deployment of BASELINE
+    config 1.  The reference's counterpart is its plain MPI solver on a
+    uniform mesh (examples/compressible_euler/kernels.cu:135-309 under
+    mpirun); here the same mesh rides the compute-bound kernel path
+    instead of the gather path.
+
+    Same stepping surface as ShardedEulerSolver; `conserved_state()`
+    restores the plain forest's Morton element order.  Static meshes only
+    (see module docstring); for AMR use ShardedEulerSolver.
+    """
+
+    dim = 3
+
+    def __init__(self, forest: Forest, ic: Callable[[np.ndarray], np.ndarray],
+                 devices=None, config: EulerConfig = EulerConfig(),
+                 ext: int = 8):
+        assert can_block(forest, ext), \
+            "blocked path needs a uniform periodic brick forest"
+        from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+        dim = forest.dim
+        self.config = config
+        self._n = forest.n_elements
+        self._B = ext**dim
+        self._perm = _zorder_to_raster(ext, dim)
+        k = int(np.log2(ext))
+        coarse = Forest.uniform(int(forest.level[0]) - k, dim=dim,
+                                max_refine_level=forest.L)
+        spec = SubgridSpec((ext,) * dim)
+        self._inner = ShardedSubgridEulerSolver(coarse, spec, ic,
+                                                devices=devices,
+                                                config=config)
+
+    def iterate(self, dt: float):
+        self._inner.iterate(dt)
+
+    def iterate_many(self, n_steps: int, dt: float):
+        self._inner.iterate_many(n_steps, dt)
+
+    def compute_integral(self) -> float:
+        return self._inner.compute_integral()
+
+    def compute_timestep(self) -> float:
+        return self._inner.compute_timestep()
+
+    def compute_timestep_device(self):
+        return self._inner.compute_timestep_device()
+
+    @property
+    def n_elements(self) -> int:
+        return self._n
+
+    @property
+    def n_shards(self) -> int:
+        return self._inner.n_shards
+
+    @property
+    def u(self):
+        """The internal (blocked, element-minor, sharded) device state."""
+        return self._inner.u
+
+    def conserved_state(self) -> np.ndarray:
+        """[5, N] in the plain forest's Morton element order."""
+        sub = self._inner.conserved_state()                 # [5, E, *ext]
+        flat = sub.reshape(5, -1, self._B)
+        return flat[:, :, self._perm].reshape(5, -1)

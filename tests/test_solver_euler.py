@@ -167,3 +167,38 @@ def test_blocked_uniform_solver_matches_plain():
     flags[0] = 1
     f, _ = f.adapt(f.balance_flags(flags))
     assert not can_block(f)                                 # non-uniform
+
+
+def test_sharded_blocked_solver_matches_single_device():
+    """ShardedBlockedEulerSolver (blocked fast path under shard_map) ==
+    the single-device blocked solver == the plain gather path, state
+    restored to plain Morton order.  Multi-chip BASELINE config 1."""
+    import numpy as np
+
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+    from t8gpu_tpu.models.blocked_euler import (BlockedUniformEulerSolver,
+                                                ShardedBlockedEulerSolver)
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+
+    for dim, level in ((2, 4), (3, 3)):
+        forest = Forest.uniform(level, dim=dim)
+        ic = lambda c: kh_planar(c, dim=dim)
+        single = BlockedUniformEulerSolver(forest, ic)
+        sharded = ShardedBlockedEulerSolver(forest, ic)
+        plain = CompressibleEulerSolver(ForestMesh.from_forest(forest), ic)
+        dt = 1e-3
+        for _ in range(2):
+            single.iterate(dt)
+            plain.iterate(dt)
+        sharded.iterate_many(2, dt)
+        np.testing.assert_allclose(sharded.conserved_state(),
+                                   single.conserved_state(),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(sharded.conserved_state(),
+                                   plain.conserved_state(),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(sharded.compute_integral(),
+                                   single.compute_integral(), rtol=1e-5)
+        np.testing.assert_allclose(sharded.compute_timestep(),
+                                   single.compute_timestep(), rtol=1e-4)
