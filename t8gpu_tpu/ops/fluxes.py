@@ -137,14 +137,18 @@ def accumulate(face_flux: jnp.ndarray, boundary_flux: jnp.ndarray,
     deterministic formulation.
     """
     if mode == "gather":
-        # all_f: [8, Fcap + Fbcap + 1] — 5 flux rows + 3 zero pad rows so
-        # gathered rows are 32-byte aligned (measured 28% faster than
-        # 5-float rows on v5e), trailing zero sentinel column.
+        # all_f: [8, Fcap + Fbcap + 1] — the C flux rows (5 for Euler,
+        # any count for other conservation laws) zero-padded to the next
+        # multiple of 8 so gathered rows are 32-byte aligned (measured 28%
+        # faster than 5-float rows on v5e), trailing zero sentinel column.
+        C = face_flux.shape[0]
         all_f = jnp.concatenate(
-            [face_flux, boundary_flux, jnp.zeros((5, 1), face_flux.dtype)], axis=1)
-        all_f = jnp.concatenate(
-            [all_f, jnp.zeros((3, all_f.shape[1]), all_f.dtype)], axis=0)
-        contrib = gather_cols(all_f, conn.inc_slot)[:5]  # [5, capacity, D]
+            [face_flux, boundary_flux, jnp.zeros((C, 1), face_flux.dtype)], axis=1)
+        pad = -C % 8
+        if pad:
+            all_f = jnp.concatenate(
+                [all_f, jnp.zeros((pad, all_f.shape[1]), all_f.dtype)], axis=0)
+        contrib = gather_cols(all_f, conn.inc_slot)[:C]  # [C, capacity, D]
         return (contrib * conn.inc_sign).sum(axis=-1)
     elif mode == "segment_sum":
         n = conn.inc_slot.shape[0]

@@ -1,0 +1,96 @@
+"""The second model family (scalar upwind advection, models/advection.py):
+proof that the mesh/connectivity/RK/AMR layers are PDE-agnostic
+(SURVEY §1 "the library knows nothing about the PDE")."""
+
+import numpy as np
+import pytest
+
+from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+from t8gpu_tpu.mesh.manager import MeshManager
+from t8gpu_tpu.models.advection import AdvectionSolver
+from t8gpu_tpu.utils.config import AMRConfig
+
+
+def bump(centers):
+    r2 = ((centers - 0.35) ** 2).sum(axis=1)
+    return 1.0 + np.exp(-r2 / 0.01)
+
+
+def test_conservation_periodic():
+    mesh = ForestMesh.from_forest(Forest.uniform(5, dim=2))
+    s = AdvectionSolver(mesh, bump, velocity=(1.0, 0.5))
+    m0 = s.compute_integral()
+    s.iterate_many(50, s.compute_timestep())
+    assert np.isfinite(s.state()).all()
+    assert abs(s.compute_integral() - m0) < 1e-5 * abs(m0)
+
+
+def test_free_stream_periodic():
+    """Constant field is an exact steady state on closed (periodic)
+    meshes: the per-element flux sum telescopes to u * a . (sum A n) = 0."""
+    mesh = ForestMesh.from_forest(Forest.uniform(4, dim=2))
+    s = AdvectionSolver(mesh, lambda c: np.full(len(c), 2.5),
+                        velocity=(0.7, -0.3))
+    s.iterate_many(20, 1e-2)
+    np.testing.assert_allclose(s.state(), 2.5, rtol=1e-6)
+
+
+def test_translation_convergence():
+    """L1 error vs the exact translated profile shrinks under refinement
+    (first-order upwind)."""
+    errs = []
+    for level in (4, 5):
+        mesh = ForestMesh.from_forest(Forest.uniform(level, dim=2))
+        s = AdvectionSolver(mesh, bump, velocity=(1.0, 0.0))
+        dt = 0.25 * 0.5**level           # CFL 0.25
+        n = int(round(0.25 / dt))        # advect distance 0.25 in x
+        s.iterate_many(n, dt)
+        exact = bump(np.asarray(mesh.centers) - np.array([0.25, 0.0]))
+        vol = np.asarray(mesh.volumes)
+        errs.append((np.abs(s.state() - exact) * vol).sum())
+    assert errs[1] < 0.7 * errs[0]
+
+
+def test_amr_cycle_conserves_and_tracks():
+    mgr = MeshManager(Forest.uniform(4, dim=2),
+                      AMRConfig(min_level=3, max_level=6,
+                                refine_threshold=1.0))
+    s = AdvectionSolver(mgr, bump, velocity=(1.0, 0.25))
+    m0 = s.compute_integral()
+    n0 = s.n_elements
+    for _ in range(4):
+        s.iterate_many(10, 0.5 * 0.5**6)
+        s.adapt()
+    assert np.isfinite(s.state()).all()
+    assert s.n_elements > n0             # refined around the bump
+    assert abs(s.compute_integral() - m0) < 1e-5 * abs(m0)
+    lv = mgr.forest.level
+    assert lv.max() > 4 and lv.min() >= 3
+
+
+def test_hanging_faces_conservative():
+    """Pre-refined (2:1 hanging) mesh: upwind accumulation stays exactly
+    conservative across the refinement jumps."""
+    f = Forest.uniform(3, dim=2)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[: f.n_elements // 4] = 1
+    f2, _ = f.adapt(f.balance_flags(flags))
+    mesh = ForestMesh.from_forest(f2)
+    s = AdvectionSolver(mesh, bump, velocity=(0.8, 0.6))
+    m0 = s.compute_integral()
+    s.iterate_many(30, 0.25 * 0.5**4)
+    assert abs(s.compute_integral() - m0) < 1e-5 * abs(m0)
+
+
+def test_shell_mesh_runs():
+    """The same solver on the prism shell (general normals, outflow
+    walls): runs, stays finite, loses mass only through the walls."""
+    from t8gpu_tpu.mesh.shell import shell_mesh
+
+    mesh = shell_mesh(subdiv=1, r_in=0.8, thickness=0.2, n_layers=1)
+    s = AdvectionSolver(mesh, lambda c: np.full(len(c), 1.0),
+                        velocity=(0.3, 0.1, 0.2))
+    m0 = s.compute_integral()
+    s.iterate_many(20, 1e-3)
+    assert np.isfinite(s.state()).all()
+    assert s.compute_integral() <= m0 + 1e-6 * abs(m0)   # outflow only
