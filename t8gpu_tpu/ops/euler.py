@@ -325,7 +325,8 @@ def maybe_barrier(q):
     return jax.lax.optimization_barrier(q) if FIELDS_BARRIER else q
 
 
-def cell_fields_tuple(u, gamma: float, flux: str = "kepes") -> tuple:
+def cell_fields_tuple(u, gamma: float, flux: str = "kepes",
+                      logs=None) -> tuple:
     """Per-cell face-flux ingredients as a TUPLE of row arrays (each shaped
     like u[0]).  Computed once per flux evaluation; every per-face quantity
     then derives from these rows with arithmetic only (kepes_fields_flux).
@@ -344,8 +345,15 @@ def cell_fields_tuple(u, gamma: float, flux: str = "kepes") -> tuple:
     p = kappa_m1 * (e - rho * ke)
     if flux == "kepes":
         rho_p = rho / p
-        log_rho = jnp.log(rho)
-        log_p = jnp.log(p)
+        if logs is not None:
+            # precomputed transcendentals (the RK_STAGE_INPUTS="logs"
+            # kernel variant: XLA evaluates the 2 logs once per cell;
+            # the kernel then derives fields log-free for its own tile
+            # AND the duplicated neighbor facing layers)
+            log_rho, log_p = logs
+        else:
+            log_rho = jnp.log(rho)
+            log_p = jnp.log(p)
         s = log_p - gamma * log_rho
         vent0 = (gamma - s) / kappa_m1 - rho_p * ke
         return (rho, v1, v2, v3, p, rho_p, log_rho, log_p, vent0, ke)

@@ -243,8 +243,12 @@ def _fused_rk_kernel(u_ref, *refs,
                      gamma: float, flux: str, coeffs, dim: int, ext: int,
                      extra_sides=(), share_prev: bool = False):
     """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*(D(u_stage) + extras).
-    u/up [5, *(ext,)*dim, TE] states; w [8, TE] rows 0..2*dim as in
-    _fused_kernel, row 7 = dt * inv_cell_volume; o<k>
+    u/up [5, *(ext,)*dim, TE] states — or [7, ...] with rows 5-6 carrying
+    XLA-precomputed [log rho, log p] (RK_STAGE_INPUTS="logs": the kernel
+    then derives every field log-free, removing the ~1.75x duplicated
+    in-VMEM transcendentals at +40% state-read traffic — the step sits
+    6.9x above the HBM roofline, so reads are cheap); w [8, TE] rows
+    0..2*dim as in _fused_kernel, row 7 = dt * inv_cell_volume; o<k>
     [5, *(ext,)*(dim-1), TE] neighbor state layers whose fields are
     derived IN VMEM (cell_fields_tuple); x<j> [5, *(ext,)*(dim-1), TE]
     XLA-computed additive side-layer divergences for the hanging-fine
@@ -256,7 +260,7 @@ def _fused_rk_kernel(u_ref, *refs,
     # stage 1 has u_prev == u_stage: the operand is dropped statically
     # (share_prev) so the tile reads one state from HBM, not two
     if share_prev:
-        up_ref = u_ref
+        up_ref = None
     else:
         up_ref, refs = refs[0], refs[1:]
     w_ref, refs = refs[0], refs[1:]
@@ -265,13 +269,16 @@ def _fused_rk_kernel(u_ref, *refs,
     out_ref, sp_ref = refs[2 * dim + len(extra_sides):]
     a_c, b_c, c_c = coeffs
     TE = u_ref.shape[-1]
+    C_in = u_ref.shape[0]                    # 5 state rows, or 7 with logs
     u_rows = tuple(u_ref[i] for i in range(5))
-    q = cell_fields_tuple(u_rows, gamma, flux)
+    logs = (u_ref[5], u_ref[6]) if C_in == 7 else None
+    q = cell_fields_tuple(u_rows, gamma, flux, logs=logs)
     dt_inv = w_ref[7]
 
     # tuple-of-row-tuples: no stacked materialization in VMEM
     others_q = tuple(
-        cell_fields_tuple(tuple(o[i] for i in range(5)), gamma, flux)
+        cell_fields_tuple(tuple(o[i] for i in range(5)), gamma, flux,
+                          logs=(o[5], o[6]) if C_in == 7 else None)
         for o in others)
     D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, ext,
                                      gamma, flux)
@@ -282,8 +289,9 @@ def _fused_rk_kernel(u_ref, *refs,
         idx = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1 + a)
         D = D + jnp.where(idx == at, jnp.expand_dims(x_ref[...], 1 + a), 0.0)
 
-    out_ref[...] = (a_c * up_ref[...] + b_c * u_ref[...]
-                    + c_c * dt_inv * D)
+    u_b = u_ref[...] if C_in == 5 else u_ref[:5]
+    up_b = u_b if up_ref is None else up_ref[...]
+    out_ref[...] = a_c * up_b + b_c * u_b + c_c * dt_inv * D
     smax = speed.max(axis=tuple(range(dim)))
     sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
 
@@ -307,6 +315,7 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
     dim = u_stage.ndim - 2
     ext = u_stage.shape[1]
     E = u_stage.shape[-1]
+    C_in = u_stage.shape[0]                  # 5, or 7 with log rows
     share_prev = u_prev is None
     E_pad = -(-E // tile) * tile
     if E_pad != E:
@@ -330,17 +339,20 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
         return (0, i)
 
     blk5 = (5,) + (ext,) * dim + (tile,)
+    blk_in = (C_in,) + (ext,) * dim + (tile,)
     lay5 = pl.BlockSpec((5,) + (ext,) * (dim - 1) + (tile,), idx_lay)
+    lay_in = pl.BlockSpec((C_in,) + (ext,) * (dim - 1) + (tile,), idx_lay)
     prev_ops = () if share_prev else (u_prev,)
     u_next, sp = pl.pallas_call(
         functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
                           coeffs=coeffs, dim=dim, ext=ext,
                           extra_sides=extra_sides, share_prev=share_prev),
         grid=grid,
-        in_specs=[pl.BlockSpec(blk5, idx_blk)]
+        in_specs=[pl.BlockSpec(blk_in, idx_blk)]
                  + [pl.BlockSpec(blk5, idx_blk)] * len(prev_ops)
                  + [pl.BlockSpec((8, tile), idx2)]
-                 + [lay5] * (2 * dim + len(extra_sides)),
+                 + [lay_in] * (2 * dim)
+                 + [lay5] * len(extra_sides),
         out_specs=[pl.BlockSpec(blk5, idx_blk),
                    pl.BlockSpec((8, tile), idx2)],
         out_shape=[jax.ShapeDtypeStruct((5,) + (ext,) * dim + (E_pad,),

@@ -368,8 +368,9 @@ def _state_side_layers(u: jnp.ndarray, conn, spec: SubgridSpec,
     ext = spec.extent
     if u_ext is None:
         u_ext = u
-    u_rows = tuple(u_ext[i] for i in range(5))
-    own_rows = tuple(u[i] for i in range(5))
+    C = u.shape[0]          # 5 state rows, or 7 with appended log rows
+    u_rows = tuple(u_ext[i] for i in range(C))
+    own_rows = tuple(u[i] for i in range(C))
     walls = _wall_masks(conn, spec, volumes)
     others = []
     for a in range(spec.dim):
@@ -509,8 +510,10 @@ def can_fuse_rk(conn, spec: SubgridSpec) -> bool:
 # formulation: fields mode is ~2.5x SLOWER (2.44 vs 0.90 ms on the 2D
 # 1M-cell config) — the extra HBM traffic outweighs the saved logs once
 # the divide count drops — so "state" is the default; "fields" is kept
-# as a measured negative result.  Process-level switch, read at trace
-# time.
+# as a measured negative result.  "logs" is the middle ground: XLA
+# precomputes ONLY the 2 log rows (kepes), the kernel reads [7, ...] and
+# derives fields log-free — +40% state reads for 1.75x fewer
+# transcendental evaluations.  Process-level switch, read at trace time.
 RK_STAGE_INPUTS = "state"
 
 
@@ -531,6 +534,7 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
     use_fields = RK_STAGE_INPUTS == "fields"
+    use_logs = RK_STAGE_INPUTS == "logs" and flux == "kepes"
     if not use_fields:
         w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
 
@@ -540,7 +544,23 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                 u_stage, conn, spec, volumes, gamma, flux)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
-        if use_fields:
+        if use_logs:
+            # XLA evaluates the 2 transcendentals once per cell; the
+            # kernel consumes [7, ...] (state + log rho + log p) and
+            # derives all fields log-free (incl. the neighbor layers)
+            gm1 = gamma - 1.0
+            rho, m1, m2, m3, e = (u_stage[i] for i in range(5))
+            inv_rho = 1.0 / rho
+            ke = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * (inv_rho * inv_rho)
+            p = gm1 * (e - rho * ke)
+            u7 = jnp.concatenate(
+                [u_stage, jnp.log(rho)[None], jnp.log(p)[None]], axis=0)
+            others = _state_side_layers(u7, conn, spec, volumes)
+            u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
+                                            gamma=gamma, flux=flux,
+                                            coeffs=coeffs, interpret=interp,
+                                            extra_sides=sides, extras=extras)
+        elif use_fields:
             q = cell_fields_tuple(u_stage, gamma, flux)
             others, w_q = pallas_side_inputs(q, conn, spec, volumes,
                                              dt_inv=dt * inv_cell_volume)

@@ -207,3 +207,47 @@ def test_solver_glue_interpret_mode_matches_xla():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(np.asarray(us_k), np.asarray(us_ref),
                                rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+@pytest.mark.parametrize("hanging", [False, True])
+def test_fused_rk_stage_logs_inputs(dim, hanging):
+    """RK_STAGE_INPUTS="logs" (XLA-precomputed log rows, [7,...] kernel
+    operands) == the default state-input kernel, on uniform AND 2:1
+    hanging non-periodic meshes (walls mirror the log rows exactly —
+    rho and p are wall-invariant)."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.ops.rk import ssp_rk3
+
+    spec = SubgridSpec((8,) * dim)
+    forest = Forest.uniform(2 if dim == 2 else 1, dim=dim,
+                            periodic=not hanging)
+    if hanging:
+        flags = np.zeros(forest.n_elements, np.int8)
+        flags[0] = 1
+        forest, _ = forest.adapt(forest.balance_flags(flags))
+    mesh = SubgridMesh.from_forest(forest, spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=dim))
+    dt = jnp.float32(5e-4)
+    flux_fn = lambda v: sg.flux_divergence(v, s.volumes, s.conn, spec,
+                                           1.4, "kepes", use_pallas=False)
+    u_ref, sp_ref = ssp_rk3(s.u, flux_fn, dt, s.inv_cell_volume)
+
+    import os
+    import jax
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    old = sg.RK_STAGE_INPUTS
+    sg.RK_STAGE_INPUTS = "logs"
+    jax.clear_caches()
+    try:
+        u3, sp = sg.ssp_rk3_fused(s.u, s.volumes, s.conn, spec, 1.4,
+                                  "kepes", dt, s.inv_cell_volume)
+    finally:
+        sg.RK_STAGE_INPUTS = old
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+    n = s.n_elements
+    np.testing.assert_allclose(np.asarray(u3[..., :n]),
+                               np.asarray(u_ref[..., :n]),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp), float(sp_ref), rtol=1e-5)
