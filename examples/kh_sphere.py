@@ -114,12 +114,12 @@ def main():
             adapts += 1
             if args.dt == 0:
                 dt = solver.compute_timestep()
-            if adapts % 10 == 0:      # element-count trajectory for long runs
-                print(f"  adapt {adapts}: step={done} "
-                      f"elements={solver.n_elements} "
-                      f"adapt_wall={time.perf_counter() - t_a:.2f}s "
-                      f"total_wall={time.perf_counter() - t0:.1f}s",
-                      flush=True)
+            # element-count trajectory + per-adapt host cost for long runs
+            print(f"  adapt {adapts}: step={done} "
+                  f"elements={solver.n_elements} "
+                  f"adapt_wall={time.perf_counter() - t_a:.2f}s "
+                  f"total_wall={time.perf_counter() - t0:.1f}s",
+                  flush=True)
         if args.checkpoint_every and done % args.checkpoint_every == 0:
             from t8gpu_tpu.io.checkpoint import save_solver
             save_solver(args.checkpoint_path, solver, step=done)
