@@ -513,8 +513,27 @@ def can_fuse_rk(conn, spec: SubgridSpec) -> bool:
 # as a measured negative result.  "logs" is the middle ground: XLA
 # precomputes ONLY the 2 log rows (kepes), the kernel reads [7, ...] and
 # derives fields log-free — +40% state reads for 1.75x fewer
-# transcendental evaluations.  Process-level switch, read at trace time.
+# transcendental evaluations.  Measured on v5e (3D flagship, quiet-host
+# 200-step slopes): 7.02 ms vs 5.32 ms state — ALSO a negative result:
+# the extra XLA append pass + 7-row side-layer gathers cost more than
+# the saved logs (the kernel is bound by total VPU op issue, and Mosaic
+# overlaps the in-VMEM transcendentals better than an extra HBM pass).
+# Process-level switch, read at trace time; supported by both the
+# single-device and sharded (shard_map) fused paths.
 RK_STAGE_INPUTS = "state"
+
+
+def append_log_rows(u: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """[5, ...] conserved state -> [7, ...] with appended [log rho, log p]
+    rows (the RK_STAGE_INPUTS="logs" kernel input: XLA evaluates the 2
+    transcendentals once per cell; the kernel derives every field log-free,
+    including the duplicated neighbor facing layers)."""
+    gm1 = gamma - 1.0
+    rho, m1, m2, m3, e = (u[i] for i in range(5))
+    inv_rho = 1.0 / rho
+    ke = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * (inv_rho * inv_rho)
+    p = gm1 * (e - rho * ke)
+    return jnp.concatenate([u, jnp.log(rho)[None], jnp.log(p)[None]], axis=0)
 
 
 def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
@@ -548,13 +567,7 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
             # XLA evaluates the 2 transcendentals once per cell; the
             # kernel consumes [7, ...] (state + log rho + log p) and
             # derives all fields log-free (incl. the neighbor layers)
-            gm1 = gamma - 1.0
-            rho, m1, m2, m3, e = (u_stage[i] for i in range(5))
-            inv_rho = 1.0 / rho
-            ke = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * (inv_rho * inv_rho)
-            p = gm1 * (e - rho * ke)
-            u7 = jnp.concatenate(
-                [u_stage, jnp.log(rho)[None], jnp.log(p)[None]], axis=0)
+            u7 = append_log_rows(u_stage, gamma)
             others = _state_side_layers(u7, conn, spec, volumes)
             u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
                                             gamma=gamma, flux=flux,

@@ -441,6 +441,7 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
     use_fields = sg.RK_STAGE_INPUTS == "fields"
+    use_logs = sg.RK_STAGE_INPUTS == "logs" and flux == "kepes"
     if not use_fields:
         w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
 
@@ -451,7 +452,20 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                 u_stage, conn, spec, volumes, gamma, flux, u_ext=u_ext)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
-        if use_fields:
+        if use_logs:
+            # append [log rho, log p] AFTER the halo exchange (5-row
+            # ppermute traffic; the 2 transcendentals are evaluated for
+            # local + halo cells, never sent over ICI)
+            CL = u_stage.shape[-1]
+            u7_ext = sg.append_log_rows(u_ext, gamma)
+            u7 = u7_ext[..., :CL]
+            others = sg._state_side_layers(u7, conn, spec, volumes,
+                                           u_ext=u7_ext)
+            u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
+                                            gamma=gamma, flux=flux,
+                                            coeffs=coeffs, interpret=interp,
+                                            extra_sides=sides, extras=extras)
+        elif use_fields:
             CL = u_stage.shape[-1]
             q_ext = cell_fields_tuple(u_ext, gamma, flux)
             q_loc = tuple(r[..., :CL] for r in q_ext)

@@ -209,6 +209,44 @@ def test_solver_glue_interpret_mode_matches_xla():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_sharded_logs_glue_matches_xla():
+    """RK_STAGE_INPUTS="logs" through the SHARDED shard_map path (log rows
+    appended after the halo ppermute) == the default XLA-stencil sharded
+    stepping."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    spec = SubgridSpec((8, 8))
+    forest = Forest.uniform(2, dim=2)
+    ic = lambda c: kh_planar(c, dim=2)
+
+    def run_sharded(n=3):
+        s = ShardedSubgridEulerSolver(forest, spec, ic,
+                                      devices=jax.devices()[:4])
+        s.iterate_many(n, 1e-3)
+        return s.conserved_state()
+
+    us_ref = run_sharded()
+
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    old = sg.RK_STAGE_INPUTS
+    sg.RK_STAGE_INPUTS = "logs"
+    jax.clear_caches()
+    try:
+        us_k = run_sharded()
+    finally:
+        sg.RK_STAGE_INPUTS = old
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+
+    np.testing.assert_allclose(np.asarray(us_k), np.asarray(us_ref),
+                               rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("hanging", [False, True])
 def test_fused_rk_stage_logs_inputs(dim, hanging):
