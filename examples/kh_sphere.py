@@ -144,6 +144,11 @@ def main():
           f"wall={wall:.3f}s "
           f"elem-updates/s={solver.n_elements * (args.steps - start) / wall:.3e} "
           f"integral drift={(m1 - m0) / m0:.2e}")
+    if adapts:
+        # where the adapt cycles spent their wall time (host face walk vs
+        # criteria D2H vs remap dispatch) — SURVEY §3.4's Amdahl term
+        from t8gpu_tpu.utils.profiling import phase_report
+        phase_report(stream=sys.stdout)
 
 
 if __name__ == "__main__":

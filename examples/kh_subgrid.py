@@ -122,6 +122,10 @@ def run_loop(solver, args, spec):
           f"cell-updates/s={cell_steps / wall:.3e} "
           f"final elements={solver.n_elements} "
           f"integral drift={(m1 - m0) / m0:.2e}")
+    if args.amr:
+        from t8gpu_tpu.utils.profiling import phase_report
+        import sys as _sys
+        phase_report(stream=_sys.stdout)
 
 
 if __name__ == "__main__":

@@ -67,16 +67,24 @@ class MeshManager:
         level — the contract the subgrid data remap needs, and what the
         reference gets from its combined t8code adapt+balance commit
         (mesh_manager.inl:207-212)."""
-        flags = self.forest.flags_from_criteria(
-            np.asarray(criteria)[: self.n_elements],
-            b=self.amr.refine_threshold,
-            min_level=self.amr.min_level, max_level=self.amr.max_level)
-        flags = self.forest.balance_flags(flags)
-        new_forest, remap = self.forest.adapt(flags)
+        from t8gpu_tpu.utils.profiling import phase
+
+        with phase("adapt/flags+balance"):
+            flags = self.forest.flags_from_criteria(
+                np.asarray(criteria)[: self.n_elements],
+                b=self.amr.refine_threshold,
+                min_level=self.amr.min_level, max_level=self.amr.max_level)
+            flags = self.forest.balance_flags(flags)
+        with phase("adapt/forest-adapt"):
+            new_forest, remap = self.forest.adapt(flags)
         cap_new = bucket_capacity(new_forest.n_elements,
                                   self.amr.growth_factor)
         self.forest = new_forest
-        self.mesh = self._factory(new_forest, cap_new)
+        # host face walk + connectivity build + device upload — the part
+        # the reference does in compute_connectivity_information
+        # (mesh_manager.inl:332-481, SURVEY §3.4 "the #1 CPU bottleneck")
+        with phase("adapt/mesh-build+upload"):
+            self.mesh = self._factory(new_forest, cap_new)
         return remap
 
     def adapt(self, criteria: np.ndarray, u: jnp.ndarray) -> jnp.ndarray:
@@ -88,15 +96,20 @@ class MeshManager:
         exact mass conservation on meshes with unequal family-member
         volumes (shell prisms), identical to the plain mean on the
         Cartesian forest."""
+        from t8gpu_tpu.utils.profiling import phase
+
         w_old = np.ones(u.shape[-1], np.float32)
         vols = np.asarray(self.mesh.volumes)
         w_old[: len(vols)] = vols
         remap = self.adapt_forest(criteria)
         cap_new = self.mesh.conn.inc_slot.shape[0]
-        start, count = pad_remap(remap.src_start, remap.src_count, cap_new)
-        k = 1 << self.forest.dim
-        return apply_remap_weighted(u, start, count, jnp.asarray(w_old),
-                                    k=k, capacity=cap_new)
+        with phase("adapt/remap-dispatch"):
+            start, count = pad_remap(remap.src_start, remap.src_count,
+                                     cap_new)
+            k = 1 << self.forest.dim
+            return apply_remap_weighted(u, start, count,
+                                        jnp.asarray(w_old),
+                                        k=k, capacity=cap_new)
 
     # -- partition (multi-chip SFC rebalancing; ref mesh_manager.inl:645-723) --
 

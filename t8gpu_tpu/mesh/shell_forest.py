@@ -746,13 +746,16 @@ class PrismForest:
 
     def connectivity(self, element_capacity: Optional[int] = None
                      ) -> FaceConnectivity:
-        f = self.build_faces()
-        return build_connectivity(
-            left=f["left"], right=f["right"], normal=f["normal"],
-            area=f["area"], n_elements=self.n_elements,
-            b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
-            element_capacity=element_capacity,
-        )
+        from t8gpu_tpu.utils.profiling import phase
+        with phase("adapt/host-face-walk"):
+            f = self.build_faces()
+        with phase("adapt/conn-build+upload"):
+            return build_connectivity(
+                left=f["left"], right=f["right"], normal=f["normal"],
+                area=f["area"], n_elements=self.n_elements,
+                b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
+                element_capacity=element_capacity,
+            )
 
     def cfl_h(self) -> float:
         from t8gpu_tpu.mesh.forest import cfl_h_from_faces

@@ -198,12 +198,18 @@ class CompressibleEulerSolver:
         criteria on device, adapt + 2:1-balance the forest on host, remap the
         state by device gather, and reinstall connectivity.  Requires the
         solver to have been constructed with a MeshManager."""
+        from t8gpu_tpu.utils.profiling import phase
+
         if self.manager is None:
             raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
-        crit = refinement_criteria(self.u, self.conn, self.volume,
-                                   dim=self.manager.dim)
-        u_new = self.manager.adapt(np.asarray(crit), self.u)
-        self.install_mesh(self.manager.mesh, u_new)
+        with phase("adapt/criteria-device"):
+            crit = refinement_criteria(self.u, self.conn, self.volume,
+                                       dim=self.manager.dim)
+        with phase("adapt/criteria-fetch"):
+            crit = np.asarray(crit)          # D2H (tunnel-bound here)
+        u_new = self.manager.adapt(crit, self.u)
+        with phase("adapt/install-mesh"):
+            self.install_mesh(self.manager.mesh, u_new)
         self._max_speed = None  # speeds refer to the old mesh
 
     @property

@@ -164,10 +164,15 @@ class SubgridCompressibleEulerSolver:
     # -- AMR cycle (ref solver.inl:327-345) -------------------------------------
 
     def adapt(self):
+        from t8gpu_tpu.utils.profiling import phase
+
         if self.manager is None:
             raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
-        crit = sg.h1_criteria(self.u, self.volumes, self.spec)
-        remap = self.manager.adapt_forest(np.asarray(crit))
+        with phase("adapt/criteria-device"):
+            crit = sg.h1_criteria(self.u, self.volumes, self.spec)
+        with phase("adapt/criteria-fetch"):
+            crit = np.asarray(crit)          # D2H (tunnel-bound here)
+        remap = self.manager.adapt_forest(crit)
         mesh = self.manager.mesh
         cap = mesh.conn.element_capacity
         n = len(remap.src_start)
@@ -182,12 +187,14 @@ class SubgridCompressibleEulerSolver:
         coarsened[:n] = remap.src_count > 1
 
         from t8gpu_tpu.utils.xfer import pack_put
-        d_src, d_ref, d_child, d_coars = pack_put(
-            [src, refined, child, coarsened])
-        u_new = sg.apply_subgrid_remap(
-            self.u, d_src, d_ref > 0, d_child, d_coars > 0,
-            spec=self.spec, capacity=cap)
-        self.install_mesh(mesh, u_new)
+        with phase("adapt/remap-dispatch"):
+            d_src, d_ref, d_child, d_coars = pack_put(
+                [src, refined, child, coarsened])
+            u_new = sg.apply_subgrid_remap(
+                self.u, d_src, d_ref > 0, d_child, d_coars > 0,
+                spec=self.spec, capacity=cap)
+        with phase("adapt/install-mesh"):
+            self.install_mesh(mesh, u_new)
         self._max_speed = None
 
     # -- diagnostics -------------------------------------------------------------

@@ -58,6 +58,46 @@ def timed(fn: F) -> F:
     return wrapper  # type: ignore[return-value]
 
 
+# -- accumulating phase stats (adapt-cycle breakdown) -------------------------
+#
+# The reference's timers print one line per event (profiling.h:22-36); for
+# long AMR runs we instead accumulate wall time per named phase so a 20k-step
+# endurance run can report WHERE its adapt cycles spend time (host face walk
+# vs criteria D2H vs remap dispatch) without drowning stderr.
+
+_phase_acc: dict[str, tuple[float, int]] = {}
+
+
+@contextlib.contextmanager
+def phase(name: str):
+    """Accumulate wall time under `name` (see phase_snapshot/phase_reset)."""
+    t0 = time.perf_counter()
+    try:
+        yield
+    finally:
+        dt = time.perf_counter() - t0
+        total, count = _phase_acc.get(name, (0.0, 0))
+        _phase_acc[name] = (total + dt, count + 1)
+
+
+def phase_snapshot() -> dict[str, tuple[float, int]]:
+    """{phase: (total_seconds, n_calls)} accumulated since phase_reset()."""
+    return dict(_phase_acc)
+
+
+def phase_reset() -> None:
+    _phase_acc.clear()
+
+
+def phase_report(stream=None) -> None:
+    """Print the accumulated phase table (one line per phase) to stderr."""
+    stream = stream if stream is not None else sys.stderr
+    for name, (total, count) in sorted(_phase_acc.items(),
+                                       key=lambda kv: -kv[1][0]):
+        print(f"[t8gpu_tpu] phase {name}: {total:.3f}s / {count} calls "
+              f"({total / max(count, 1):.3f}s each)", file=stream)
+
+
 @contextlib.contextmanager
 def trace_scope(name: str):
     """Annotate a region in jax.profiler timeline captures."""
