@@ -127,11 +127,15 @@ def bench_amr():
     solver.iterate_many(50, dt)
     solver.u.block_until_ready()
 
-    steps, adapt_every = 300, 50
+    steps, adapt_every, lag = 300, 50, 5
     cells_advanced = 0
     t0 = time.perf_counter()
     for _ in range(steps // adapt_every):
-        solver.iterate_many(adapt_every, dt)
+        # AMR pipelining: criteria are computed `lag` steps before the
+        # boundary and their D2H fetch overlaps the last stepping batch
+        solver.iterate_many(adapt_every - lag, dt)
+        solver.adapt_prefetch()
+        solver.iterate_many(lag, dt)
         cells_advanced += (solver.n_elements * solver.spec.size) * adapt_every
         solver.adapt()
         dt = solver.compute_timestep_device()   # the mesh may have refined
@@ -164,11 +168,13 @@ def bench_sphere():
     solver.iterate_many(100, dt)
     solver.u.block_until_ready()
 
-    steps, adapt_every = 300, 100
+    steps, adapt_every, lag = 300, 100, 5
     elems_advanced = 0
     t0 = time.perf_counter()
     for _ in range(steps // adapt_every):
-        solver.iterate_many(adapt_every, dt)
+        solver.iterate_many(adapt_every - lag, dt)
+        solver.adapt_prefetch()     # D2H overlaps the last `lag` steps
+        solver.iterate_many(lag, dt)
         elems_advanced += solver.n_elements * adapt_every
         solver.adapt()
     solver.u.block_until_ready()

@@ -57,6 +57,10 @@ def main():
     p.add_argument("--min-level", type=int, default=0)
     p.add_argument("--max-level", type=int, default=3)
     p.add_argument("--adapt-every", type=int, default=100)
+    p.add_argument("--adapt-lag", type=int, default=0,
+                   help="[--amr] prefetch the refinement criteria N steps "
+                        "BEFORE each adapt boundary so the device->host "
+                        "fetch overlaps stepping (AMR pipelining)")
     p.add_argument("--refine-threshold", type=float, default=10.0,
                    help="criteria threshold b (ref mesh_manager.inl:141)")
     p.add_argument("--checkpoint-every", type=int, default=0,
@@ -101,13 +105,22 @@ def main():
     while done < args.steps:
         n = args.steps - done
         if args.amr:
-            n = min(n, args.adapt_every - done % args.adapt_every)
+            to_b = args.adapt_every - done % args.adapt_every
+            n = min(n, to_b)
+            if args.adapt_lag and to_b > args.adapt_lag:
+                n = min(n, to_b - args.adapt_lag)
         if args.vtk_every:
             n = min(n, args.vtk_every - done % args.vtk_every)
         if args.checkpoint_every:
             n = min(n, args.checkpoint_every - done % args.checkpoint_every)
         solver.iterate_many(n, dt)
         done += n
+        if (args.amr and args.adapt_lag
+                and done % args.adapt_every
+                    == args.adapt_every - args.adapt_lag
+                and done + args.adapt_lag < args.steps):
+            # criteria D2H rides along with the next adapt_lag steps
+            solver.adapt_prefetch()
         if args.amr and done % args.adapt_every == 0 and done < args.steps:
             t_a = time.perf_counter()
             solver.adapt()

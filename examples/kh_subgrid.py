@@ -42,6 +42,10 @@ def main():
     p.add_argument("--amr", action="store_true")
     p.add_argument("--max-level", type=int, default=0)
     p.add_argument("--adapt-every", type=int, default=50)
+    p.add_argument("--adapt-lag", type=int, default=0,
+                   help="[--amr] prefetch refinement criteria N steps "
+                        "before each adapt boundary (AMR pipelining: the "
+                        "D2H fetch overlaps stepping)")
     p.add_argument("--refine-threshold", type=float, default=0.02,
                    help="b in the adapt callback (ref subgrid_mesh_manager.inl:214)")
     p.add_argument("--vtk-every", type=int, default=0)
@@ -84,10 +88,16 @@ def run_loop(solver, args, spec):
     cadences = [c for c in (args.adapt_every if args.amr else 0,
                             args.checkpoint_every, args.vtk_every) if c]
 
+    lag = args.adapt_lag if args.amr else 0
+
     def chunk_until_event(it):
         n = args.steps - it
         for ev in cadences:
             n = min(n, ev - it % ev)
+        if lag:
+            to_b = args.adapt_every - it % args.adapt_every
+            if to_b > lag:
+                n = min(n, to_b - lag)
         return n
 
     t0 = time.perf_counter()
@@ -99,6 +109,9 @@ def run_loop(solver, args, spec):
         solver.iterate_many(n, dt)
         cell_steps += n * solver.n_elements * spec.size
         it += n
+        if (lag and it % args.adapt_every == args.adapt_every - lag
+                and it + lag < args.steps):
+            solver.adapt_prefetch()
         if args.amr and it % args.adapt_every == 0 and it < args.steps:
             solver.adapt()
             dt = solver.compute_timestep()

@@ -126,6 +126,7 @@ class CompressibleEulerSolver:
 
     def install_mesh(self, mesh, u: jnp.ndarray):
         """(Re)install connectivity + state after construction or adapt."""
+        self._crit_pending = None    # criteria refer to the previous mesh
         self.mesh = mesh
         self.conn: FaceConnectivity = mesh.conn
         cap = self.conn.inc_slot.shape[0]
@@ -202,15 +203,40 @@ class CompressibleEulerSolver:
 
         if self.manager is None:
             raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
-        with phase("adapt/criteria-device"):
-            crit = refinement_criteria(self.u, self.conn, self.volume,
-                                       dim=self.manager.dim)
+        if self._crit_pending is not None:
+            crit, self._crit_pending = self._crit_pending, None
+        else:
+            with phase("adapt/criteria-device"):
+                crit = refinement_criteria(self.u, self.conn, self.volume,
+                                           dim=self.manager.dim)
         with phase("adapt/criteria-fetch"):
             crit = np.asarray(crit)          # D2H (tunnel-bound here)
         u_new = self.manager.adapt(crit, self.u)
         with phase("adapt/install-mesh"):
             self.install_mesh(self.manager.mesh, u_new)
         self._max_speed = None  # speeds refer to the old mesh
+
+    def adapt_prefetch(self):
+        """Start the refinement-criteria computation + device->host copy
+        NOW so a later adapt() does not stall on the fetch (AMR
+        pipelining: call a few steps BEFORE the adapt boundary and keep
+        stepping — the transfer overlaps the fused step batch).  The
+        criteria then describe the state a few steps before the adapt,
+        an approximation the adapt cadence already makes (the reference
+        also adapts on a state 50-100 steps stale relative to the flow
+        features it tracks, main.cu:32-35).  D2H through this
+        environment's TPU tunnel costs seconds per fetch — hiding it
+        behind stepping is the difference between tunnel-bound and
+        compute-bound AMR cycles (BENCHMARKS.md)."""
+        if self.manager is None:
+            raise RuntimeError("adapt_prefetch() requires a MeshManager")
+        crit = refinement_criteria(self.u, self.conn, self.volume,
+                                   dim=self.manager.dim)
+        try:
+            crit.copy_to_host_async()
+        except AttributeError:    # non-jax.Array backends
+            pass
+        self._crit_pending = crit
 
     @property
     def n_elements(self) -> int:

@@ -126,6 +126,7 @@ class SubgridCompressibleEulerSolver:
     # -- mesh / state installation --------------------------------------------
 
     def install_mesh(self, mesh: SubgridMesh, u: jnp.ndarray):
+        self._crit_pending = None    # criteria refer to the previous mesh
         self.mesh = mesh
         self.conn = mesh.conn
         cap = mesh.conn.element_capacity
@@ -168,8 +169,11 @@ class SubgridCompressibleEulerSolver:
 
         if self.manager is None:
             raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
-        with phase("adapt/criteria-device"):
-            crit = sg.h1_criteria(self.u, self.volumes, self.spec)
+        if self._crit_pending is not None:
+            crit, self._crit_pending = self._crit_pending, None
+        else:
+            with phase("adapt/criteria-device"):
+                crit = sg.h1_criteria(self.u, self.volumes, self.spec)
         with phase("adapt/criteria-fetch"):
             crit = np.asarray(crit)          # D2H (tunnel-bound here)
         remap = self.manager.adapt_forest(crit)
@@ -196,6 +200,21 @@ class SubgridCompressibleEulerSolver:
         with phase("adapt/install-mesh"):
             self.install_mesh(mesh, u_new)
         self._max_speed = None
+
+    def adapt_prefetch(self):
+        """Start the H1-criteria computation + device->host copy for a
+        LATER adapt() (AMR pipelining — see
+        CompressibleEulerSolver.adapt_prefetch): call a few steps before
+        the adapt boundary so the tunnel-bound fetch overlaps the fused
+        step batch instead of stalling the cycle."""
+        if self.manager is None:
+            raise RuntimeError("adapt_prefetch() requires a MeshManager")
+        crit = sg.h1_criteria(self.u, self.volumes, self.spec)
+        try:
+            crit.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._crit_pending = crit
 
     # -- diagnostics -------------------------------------------------------------
 

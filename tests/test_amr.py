@@ -118,6 +118,43 @@ def test_solver_amr_cycle_conserves_mass():
     assert max(n_hist) > n_hist[0]
 
 
+def test_adapt_prefetch_pipelined_cycle():
+    """AMR pipelining: adapt_prefetch() at the boundary == plain adapt()
+    (identical mesh + state), and a lagged prefetch (criteria from a few
+    steps earlier, D2H overlapping stepping) still yields a valid
+    2:1-balanced cycle with conserved mass."""
+    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=2.0)
+
+    def build():
+        manager = MeshManager(Forest.uniform(4, dim=2), amr)
+        s = CompressibleEulerSolver(manager, lambda cc: kh_planar(cc, dim=2))
+        for _ in range(5):
+            s.iterate(1e-3)
+        return s
+
+    # zero-lag prefetch is exactly equivalent to a plain adapt
+    s_plain, s_pre = build(), build()
+    s_plain.adapt()
+    s_pre.adapt_prefetch()
+    s_pre.adapt()
+    assert s_plain.n_elements == s_pre.n_elements
+    np.testing.assert_array_equal(np.asarray(s_plain.conserved_state()),
+                                  np.asarray(s_pre.conserved_state()))
+
+    # lagged prefetch: criteria from 3 steps before the boundary
+    s = build()
+    m0 = s.compute_integral()
+    s.adapt_prefetch()
+    for _ in range(3):
+        s.iterate(1e-3)
+    s.adapt()
+    assert s._crit_pending is None
+    assert np.abs(
+        s.manager.forest.build_faces()["level_difference"]).max() <= 1
+    np.testing.assert_allclose(s.compute_integral(), m0, rtol=2e-4)
+    assert np.isfinite(s.conserved_state()).all()
+
+
 def test_solver_amr_cycle_3d():
     """3D plain-element AMR cycle (k=8 families, octant remaps)."""
     amr = AMRConfig(min_level=2, max_level=4, refine_threshold=1.0)

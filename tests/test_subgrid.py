@@ -200,6 +200,39 @@ def test_subgrid_full_amr_loop():
     assert np.isfinite(solver.conserved_state()).all()
 
 
+def test_subgrid_adapt_prefetch_equivalent():
+    """Subgrid AMR pipelining: a zero-lag adapt_prefetch() + adapt() is
+    bit-identical to a plain adapt(); a lagged prefetch still conserves
+    mass through the cycle."""
+    amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.05)
+
+    def build():
+        manager = subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr)
+        s = SubgridCompressibleEulerSolver(
+            manager, lambda c: kh_planar(c, dim=2))
+        for _ in range(4):
+            s.iterate(1e-3)
+        return s
+
+    s_plain, s_pre = build(), build()
+    s_plain.adapt()
+    s_pre.adapt_prefetch()
+    s_pre.adapt()
+    assert s_plain.n_elements == s_pre.n_elements
+    np.testing.assert_array_equal(np.asarray(s_plain.conserved_state()),
+                                  np.asarray(s_pre.conserved_state()))
+
+    s = build()
+    m0 = s.compute_integral()
+    s.adapt_prefetch()
+    for _ in range(3):
+        s.iterate(1e-3)
+    s.adapt()
+    assert s._crit_pending is None
+    np.testing.assert_allclose(s.compute_integral(), m0, rtol=5e-4)
+    assert np.isfinite(s.conserved_state()).all()
+
+
 def test_uniform_subgrid_ext8_matches_plain():
     """Subgrid<8,8> == plain solver at equal resolution (the larger block
     is the recommended performance configuration, BENCHMARKS.md)."""
