@@ -44,6 +44,9 @@ def main():
     p.add_argument("--level", type=int, default=0)
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--adapt-every", type=int, default=50)
+    p.add_argument("--adapt-lag", type=int, default=0,
+                   help="prefetch refinement criteria N steps before each "
+                        "adapt boundary (AMR pipelining)")
     p.add_argument("--extent", type=int, default=8)
     p.add_argument("--checkpoint", default="",
                    help="write a (sharded-portable) checkpoint at the end")
@@ -104,10 +107,17 @@ def main():
     done, adapts = 0, 0
     dt = solver.compute_timestep_device()
     while done < args.steps:
-        n = min(args.steps - done,
-                args.adapt_every - done % args.adapt_every)
+        to_b = args.adapt_every - done % args.adapt_every
+        n = min(args.steps - done, to_b)
+        if args.adapt_lag and to_b > args.adapt_lag:
+            n = min(n, to_b - args.adapt_lag)
         solver.iterate_many(n, dt)
         done += n
+        if (args.adapt_lag
+                and done % args.adapt_every
+                    == args.adapt_every - args.adapt_lag
+                and done + args.adapt_lag < args.steps):
+            solver.adapt_prefetch()
         if done % args.adapt_every == 0 and done < args.steps:
             solver.adapt()
             adapts += 1

@@ -80,6 +80,7 @@ class ShardedEulerSolver:
         """Partition the forest, build the sharded connectivity and place
         the state; exactly one of ic / u_flat supplies the state
         (u_flat: device or host [5, S*CL] already in padded-global order)."""
+        self._crit_pending = None    # criteria refer to the previous mesh
         self.forest = forest
         self._cfl_h = forest.cfl_h()
         conn, bounds = build_sharded_connectivity(
@@ -176,7 +177,11 @@ class ShardedEulerSolver:
         fresh connectivity.  Only the criteria (1 float/element) and the
         remap index plan (host-built ints) cross the host boundary; the
         state moves device-to-device through the jitted gather."""
-        crit = np.asarray(self._criteria(self.u, self.conn, self.volume))
+        if self._crit_pending is not None:
+            crit, self._crit_pending = self._crit_pending, None
+        else:
+            crit = self._criteria(self.u, self.conn, self.volume)
+        crit = np.asarray(crit)
         crit_global = _unpad_flat(crit, self.bounds, self.local_capacity)
 
         flags = self.forest.flags_from_criteria(
@@ -205,6 +210,18 @@ class ShardedEulerSolver:
                       u_flat=_device_remap(u_old, jnp.asarray(idx),
                                            jnp.asarray(w), self._sharding()))
         self._max_speed = None
+
+    def adapt_prefetch(self):
+        """Start the criteria computation + device->host copy for a LATER
+        adapt() (AMR pipelining — see CompressibleEulerSolver
+        .adapt_prefetch): the fetch overlaps subsequent fused step batches
+        instead of stalling the distributed adapt cycle."""
+        crit = self._criteria(self.u, self.conn, self.volume)
+        try:
+            crit.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._crit_pending = crit
 
     # -- diagnostics --------------------------------------------------------------
 

@@ -527,6 +527,7 @@ class ShardedSubgridEulerSolver:
         return P(*((None,) * (self.spec.dim + 1)), halo.AXIS)
 
     def _install(self, forest: Forest, u_host=None, u_dev=None):
+        self._crit_pending = None    # criteria refer to the previous mesh
         self.forest = forest
         conn, bounds = build_sharded_subgrid_connectivity(
             forest, self.spec, self.n_shards)
@@ -632,8 +633,12 @@ class ShardedSubgridEulerSolver:
         criteria and the integer index plan cross the host boundary."""
         # sg.h1_criteria is module-level jitted: its trace cache persists
         # across adapts (no per-adapt jax.jit wrappers — ADVICE r2)
-        crit_flat = np.asarray(sg.h1_criteria(self.u, self.volumes, self.spec))
-        crit = _unpad_flat(crit_flat, self.bounds, self.local_capacity)
+        if self._crit_pending is not None:
+            crit_flat, self._crit_pending = self._crit_pending, None
+        else:
+            crit_flat = sg.h1_criteria(self.u, self.volumes, self.spec)
+        crit = _unpad_flat(np.asarray(crit_flat), self.bounds,
+                           self.local_capacity)
 
         flags = self.forest.flags_from_criteria(
             crit, b=self.amr.refine_threshold,
@@ -682,6 +687,17 @@ class ShardedSubgridEulerSolver:
         u_new = _constrain(u_new, out_sh)
         self._install(new_forest, u_dev=u_new)
         self._max_speed = None
+
+    def adapt_prefetch(self):
+        """Start the H1-criteria computation + device->host copy for a
+        LATER adapt() (AMR pipelining — see CompressibleEulerSolver
+        .adapt_prefetch)."""
+        crit = sg.h1_criteria(self.u, self.volumes, self.spec)
+        try:
+            crit.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._crit_pending = crit
 
     def compute_integral(self) -> float:
         cv = self.volumes / self.spec.size            # [S*CL]

@@ -201,6 +201,8 @@ def test_sharded_shell_amr_cycle_matches_single_device():
             ref.iterate(dt)
             sharded.iterate(dt)
         ref.adapt()
+        # zero-lag prefetch == plain adapt (exercises the pipelined path)
+        sharded.adapt_prefetch()
         sharded.adapt()
     assert sharded.n_elements == ref.n_elements
     np.testing.assert_allclose(sharded.conserved_state(),

@@ -67,6 +67,8 @@ def test_sharded_subgrid_amr_cycle_matches_single():
             ref.iterate(dt)
             sh.iterate(dt)
         ref.adapt()
+        # zero-lag prefetch == plain adapt (exercises the pipelined path)
+        sh.adapt_prefetch()
         sh.adapt()
         ref_forest = ref.manager.forest
         np.testing.assert_array_equal(sh.forest.level, ref_forest.level)
