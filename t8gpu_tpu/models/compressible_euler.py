@@ -88,6 +88,17 @@ def _integral(u_rho, volume):
     return (u_rho * volume).sum()
 
 
+@functools.partial(jax.jit, static_argnames=("gamma",))
+def _entropy(u, volume, gamma: float):
+    """Total entropy function U = -rho log(p rho^-gamma) / (gamma-1),
+    integrated over the domain.  Padded slots carry zero volume."""
+    rho = u[0]
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
+    p = (gamma - 1.0) * (u[4] - ke)
+    s = jnp.log(p) - gamma * jnp.log(rho)
+    return (-rho * s / (gamma - 1.0) * volume).sum()
+
+
 class CompressibleEulerSolver:
     """Finite-volume Euler solver over a fixed (or adaptively refreshed)
     connectivity.
@@ -163,6 +174,15 @@ class CompressibleEulerSolver:
     def compute_integral(self) -> float:
         """Global conservation integral of rho dV (ref solver.cu:190-211)."""
         return float(_integral(self.u[VariableList.Rho], self.volume))
+
+    def compute_entropy(self) -> float:
+        """Total physical entropy integral of -rho s / (gamma-1) dV with
+        s = log(p rho^-gamma).  The KEPES flux is entropy-STABLE
+        (Chandrashekar 2013, the scheme the reference implements in
+        kernels.cu:38-133): this integral must be non-increasing in time
+        on periodic/wall domains — the diagnostic the reference never
+        exposes but its scheme is named after."""
+        return float(_entropy(self.u, self.volume, self.config.gamma))
 
     def compute_timestep(self) -> float:
         """CFL timestep from the last step's max wave speed

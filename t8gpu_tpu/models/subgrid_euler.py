@@ -222,6 +222,14 @@ class SubgridCompressibleEulerSolver:
         """Global integral of rho dV (ref solver.inl has the plain analogue)."""
         return float(_integral(self.u[0], self.volumes / self.spec.size))
 
+    def compute_entropy(self) -> float:
+        """Total entropy integral -rho log(p rho^-gamma)/(gamma-1) dV —
+        non-increasing under the entropy-stable KEPES flux (see
+        CompressibleEulerSolver.compute_entropy)."""
+        from t8gpu_tpu.models.compressible_euler import _entropy
+        return float(_entropy(self.u, self.volumes / self.spec.size,
+                              self.config.gamma))
+
     def compute_timestep(self) -> float:
         """CFL timestep: cfl * h_cell_min / max wave speed."""
         return float(self.compute_timestep_device())

@@ -66,6 +66,45 @@ class TestStability:
         p = 0.4 * (u[4] - ke)
         assert (p > 0).all()
 
+    def test_entropy_nonincreasing_kepes(self):
+        """The KEPES flux is entropy-stable (Chandrashekar 2013; the
+        scheme the reference implements, kernels.cu:38-133): the total
+        entropy integral must be non-increasing on a periodic domain.
+        compute_entropy exposes the diagnostic the reference names its
+        scheme after but never checks."""
+        s = make_solver(level=4)
+        dt = s.compute_timestep()
+        ent = [s.compute_entropy()]
+        for _ in range(5):
+            for _ in range(5):
+                s.iterate(dt)
+            ent.append(s.compute_entropy())
+        scale = abs(ent[0])
+        for a, b in zip(ent, ent[1:]):
+            assert b <= a + 1e-6 * scale, ent
+
+    def test_entropy_nonincreasing_subgrid(self):
+        """Same entropy-stability check through the subgrid kernels."""
+        from t8gpu_tpu.memory.subgrid import SubgridSpec
+        from t8gpu_tpu.mesh.forest import Forest
+        from t8gpu_tpu.mesh.subgrid import SubgridMesh
+        from t8gpu_tpu.models.subgrid_euler import (
+            SubgridCompressibleEulerSolver)
+
+        mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2),
+                                       SubgridSpec((8, 8)))
+        s = SubgridCompressibleEulerSolver(
+            mesh, lambda c: kh_planar(c, dim=2))
+        dt = s.compute_timestep()
+        ent = [s.compute_entropy()]
+        for _ in range(4):
+            for _ in range(5):
+                s.iterate(dt)
+            ent.append(s.compute_entropy())
+        scale = abs(ent[0])
+        for a, b in zip(ent, ent[1:]):
+            assert b <= a + 1e-6 * scale, ent
+
     def test_hll_matches_kepes_on_smooth_short_run(self):
         """On a smooth density-wave advection both schemes must agree
         closely (the KH IC is discontinuous, so it is unsuitable here)."""
