@@ -83,6 +83,18 @@ def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
     return jax.lax.fori_loop(0, n_steps, body, (u, jnp.zeros((), u.dtype)))
 
 
+def _cast_conn(conn: FaceConnectivity, dtype) -> FaceConnectivity:
+    """Promote the floating face-geometry arrays (normals, areas, incidence
+    signs) to `dtype` so the whole flux path computes in it."""
+    import dataclasses as _dc
+    return _dc.replace(
+        conn,
+        normal=conn.normal.astype(dtype), area=conn.area.astype(dtype),
+        b_normal=conn.b_normal.astype(dtype),
+        b_area=conn.b_area.astype(dtype),
+        inc_sign=conn.inc_sign.astype(dtype))
+
+
 @jax.jit
 def _integral(u_rho, volume):
     return (u_rho * volume).sum()
@@ -131,7 +143,11 @@ class CompressibleEulerSolver:
             mesh = mesh.mesh
         self.mesh = mesh
         self._max_speed = None
-        self.install_mesh(mesh, jnp.asarray(ic(mesh.centers)))
+        # float_type analogue (ref memory_manager.h:27-42 gates this behind
+        # a trait but only instantiates float; here float64 works in jax
+        # x64 mode — CPU-practical, TPU-emulated)
+        self.dtype = jnp.dtype(config.dtype)
+        self.install_mesh(mesh, jnp.asarray(ic(mesh.centers), self.dtype))
 
     # -- mesh / state installation ------------------------------------------
 
@@ -142,30 +158,37 @@ class CompressibleEulerSolver:
         self.conn: FaceConnectivity = mesh.conn
         cap = self.conn.inc_slot.shape[0]
         n = self.conn.n_elements
-        vol = np.zeros(cap, np.float32)
+        dtype = self.dtype
+        if dtype != jnp.float32:
+            # promote the face geometry so the flux math runs in `dtype`
+            self.conn = _cast_conn(self.conn, dtype)
+        vol = np.zeros(cap, dtype)
         vol[:n] = np.asarray(mesh.volumes)
         self.volume = jnp.asarray(vol)
-        inv = np.zeros(cap, np.float32)
-        inv[:n] = 1.0 / np.asarray(mesh.volumes)
+        inv = np.zeros(cap, dtype)
+        inv[:n] = 1.0 / np.asarray(mesh.volumes, dtype)
         self.inv_volume = jnp.asarray(inv)
         if u.shape[-1] != cap:
             guard = jnp.broadcast_to(
-                jnp.asarray(GUARD_STATE)[:, None], (5, cap - u.shape[-1]))
+                jnp.asarray(GUARD_STATE, dtype)[:, None],
+                (5, cap - u.shape[-1]))
             u = jnp.concatenate([u, guard], axis=1)
-        self.u = u
+        self.u = u.astype(dtype)
 
     # -- time stepping (ref solver.cu:75-175) --------------------------------
 
     def iterate(self, dt: float):
         self.u, self._max_speed = _rk3_step(
-            self.u, self.conn, self.inv_volume, jnp.float32(dt),
+            self.u, self.conn, self.inv_volume,
+            jnp.asarray(dt, self.dtype),
             gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
         self.u, self._max_speed = _rk3_multi(
-            self.u, self.conn, self.inv_volume, jnp.float32(dt),
+            self.u, self.conn, self.inv_volume,
+            jnp.asarray(dt, self.dtype),
             n_steps=n_steps, gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation)
 
@@ -210,7 +233,8 @@ class CompressibleEulerSolver:
             if level is None:
                 level = getattr(self.mesh, "level", self.amr.max_level)
             h = 0.5 ** level
-        return jnp.float32(self.config.cfl * h) / self._max_speed
+        return jnp.asarray(self.config.cfl * h,
+                           self.dtype) / self._max_speed
 
     # -- AMR cycle (ref solver.cu:243-277) -------------------------------------
 

@@ -21,6 +21,12 @@ class EulerConfig:
     gamma: float = 1.4          # ratio of specific heats (ref kernels.cu:49)
     cfl: float = 0.7            # CFL number (ref solver.h:37)
     flux: str = "kepes"         # "kepes" (entropy stable) or "hll" (ref kernels.inl:264)
+    # State dtype for the plain-element solver.  The reference gates its
+    # float type behind the variable_traits::float_type hook but only ever
+    # instantiates float (memory_manager.h:27-42); here "float64" actually
+    # works (requires jax x64 mode; CPU-practical — TPUs emulate f64).
+    # The subgrid/Pallas kernels are float32-only (Mosaic has no f64).
+    dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -19,6 +19,13 @@ def make_solver(level=4, dim=2, periodic=True, flux="kepes", mode="gather"):
         amr=AMRConfig(max_level=level), accumulation=mode)
 
 
+def make_solver_f64(level=3, dim=2):
+    mesh = uniform_mesh(level=level, dim=dim, periodic=True)
+    return CompressibleEulerSolver(
+        mesh, lambda c: kh_planar(c, dim=dim),
+        config=EulerConfig(dtype="float64"), amr=AMRConfig(max_level=level))
+
+
 class TestConservation:
     @pytest.mark.parametrize("mode", ["gather", "segment_sum"])
     def test_mass_conserved_periodic(self, mode):
@@ -42,6 +49,25 @@ class TestConservation:
         # mass & energy exactly-ish; momenta are conserved too on periodic
         scale = np.maximum(np.abs(before), 1.0)
         np.testing.assert_allclose(after / scale, before / scale, atol=2e-5)
+
+    def test_float64_solver_path(self):
+        """EulerConfig(dtype="float64") runs the whole plain path in f64
+        (the reference's variable_traits::float_type hook, which it only
+        ever instantiates as float, memory_manager.h:27-42) — mass then
+        conserves to f64 roundoff, ~7 digits past f32."""
+        import jax
+        import jax.numpy as jnp
+
+        with jax.enable_x64(True):
+            s = make_solver_f64()
+            assert s.u.dtype == jnp.float64
+            m0 = s.compute_integral()
+            dt = s.compute_timestep()
+            for _ in range(10):
+                s.iterate(dt)
+            assert s.u.dtype == jnp.float64
+            assert np.isfinite(s.conserved_state()).all()
+            assert abs(s.compute_integral() - m0) / m0 < 1e-11
 
     def test_mass_conserved_reflective(self):
         s = make_solver(level=4, periodic=False)
