@@ -106,6 +106,7 @@ class AdvectionSolver:
         self.install_mesh(mesh, jnp.asarray(u0))
 
     def install_mesh(self, mesh, u: jnp.ndarray):
+        self._crit_pending = None    # criteria refer to the previous mesh
         self.mesh = mesh
         self.conn: FaceConnectivity = mesh.conn
         cap = self.conn.inc_slot.shape[0]
@@ -155,10 +156,27 @@ class AdvectionSolver:
         the Euler solver uses (proof the mesh layer is PDE-agnostic)."""
         if self.manager is None:
             raise RuntimeError("adapt() requires an adaptive MeshManager mesh")
-        crit = refinement_criteria(self.u, self.conn, self.volume,
-                                   dim=self.manager.dim)
+        if self._crit_pending is not None:
+            crit, self._crit_pending = self._crit_pending, None
+        else:
+            crit = refinement_criteria(self.u, self.conn, self.volume,
+                                       dim=self.manager.dim)
         u_new = self.manager.adapt(np.asarray(crit), self.u)
         self.install_mesh(self.manager.mesh, u_new)
+
+    def adapt_prefetch(self):
+        """AMR pipelining (see CompressibleEulerSolver.adapt_prefetch):
+        start the criteria device->host copy early; the next adapt()
+        consumes it without stalling."""
+        if self.manager is None:
+            raise RuntimeError("adapt_prefetch() requires a MeshManager")
+        crit = refinement_criteria(self.u, self.conn, self.volume,
+                                   dim=self.manager.dim)
+        try:
+            crit.copy_to_host_async()
+        except AttributeError:
+            pass
+        self._crit_pending = crit
 
     @property
     def n_elements(self) -> int:

@@ -59,7 +59,9 @@ def test_amr_cycle_conserves_and_tracks():
     m0 = s.compute_integral()
     n0 = s.n_elements
     for _ in range(4):
-        s.iterate_many(10, 0.5 * 0.5**6)
+        s.iterate_many(8, 0.5 * 0.5**6)
+        s.adapt_prefetch()           # AMR pipelining through the same seam
+        s.iterate_many(2, 0.5 * 0.5**6)
         s.adapt()
     assert np.isfinite(s.state()).all()
     assert s.n_elements > n0             # refined around the bump
