@@ -102,6 +102,7 @@ def main():
     t0 = time.perf_counter()
     done = start
     adapts = 0
+    ck_thread = None
     while done < args.steps:
         n = args.steps - done
         if args.amr:
@@ -134,8 +135,13 @@ def main():
                   f"total_wall={time.perf_counter() - t0:.1f}s",
                   flush=True)
         if args.checkpoint_every and done % args.checkpoint_every == 0:
-            from t8gpu_tpu.io.checkpoint import save_solver
-            save_solver(args.checkpoint_path, solver, step=done)
+            # async: the D2H gather + write overlap the next step batch
+            # (atomic rename — a crash mid-write keeps the previous file)
+            from t8gpu_tpu.io.checkpoint import save_solver_async
+            if ck_thread is not None:
+                ck_thread.join()
+            ck_thread = save_solver_async(args.checkpoint_path, solver,
+                                          step=done)
         if args.vtk_every and done % args.vtk_every == 0:
             u = solver.conserved_state()
             mesh_now = solver.mesh
@@ -149,6 +155,8 @@ def main():
                 h = np.asarray(mesh_now.volumes) ** (1.0 / 3.0)
                 write_vtu(f"{args.prefix}_{done:06d}.vtu", mesh_now.centers,
                           h, fields, dim=3)
+    if ck_thread is not None:
+        ck_thread.join()
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
 

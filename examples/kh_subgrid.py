@@ -103,6 +103,7 @@ def run_loop(solver, args, spec):
     t0 = time.perf_counter()
     cell_steps = 0
     it = 0
+    ck_thread = None
     while it < args.steps:
         # fuse all steps up to the next adapt/IO event into ONE dispatch
         n = chunk_until_event(it)
@@ -116,8 +117,11 @@ def run_loop(solver, args, spec):
             solver.adapt()
             dt = solver.compute_timestep()
         if args.checkpoint_every and it % args.checkpoint_every == 0:
-            from t8gpu_tpu.io.checkpoint import save_solver
-            save_solver(f"{args.prefix}_ck.npz", solver, step=it)
+            from t8gpu_tpu.io.checkpoint import save_solver_async
+            if ck_thread is not None:
+                ck_thread.join()
+            ck_thread = save_solver_async(f"{args.prefix}_ck.npz", solver,
+                                          step=it)
         if args.vtk_every and it % args.vtk_every == 0:
             u = solver.conserved_state().reshape(5, -1)
             mesh_now = solver.mesh if solver.manager is None else solver.manager.mesh
@@ -127,6 +131,8 @@ def run_loop(solver, args, spec):
             write_vtu(f"{args.prefix}_{it:06d}.vtu", cc, h,
                       {"density": u[0], "energy": u[4], "momentum": u[1:4]},
                       dim=args.dim)
+    if ck_thread is not None:
+        ck_thread.join()
     solver.u.block_until_ready()
     wall = time.perf_counter() - t0
 

@@ -102,14 +102,21 @@ def save_checkpoint(path: str, forest, u: np.ndarray,
                     meta: dict | None = None) -> str:
     """u: unpadded state with element axis last-but-blocks
     ([5, N] plain or [5, N, *ext] subgrid).  `forest` may be any forest
-    kind (Morton quad/hex, shell prism, planar tri, tet)."""
+    kind (Morton quad/hex, shell prism, planar tri, tet).
+
+    The write is ATOMIC (tmp + rename): a crash mid-write leaves the
+    previous checkpoint intact, so retry wrappers can always resume."""
+    import os
+    tmp = f"{path}.tmp"
     np.savez_compressed(
-        path,
+        tmp,
         version=np.int64(FORMAT_VERSION),
         u=np.asarray(u, np.float32),
         meta=np.frombuffer(json.dumps(meta or {}).encode(), np.uint8),
         **_forest_payload(forest),
     )
+    # np.savez appends .npz to paths without an extension
+    os.replace(tmp if os.path.exists(tmp) else f"{tmp}.npz", path)
     return path
 
 
@@ -146,6 +153,37 @@ def save_solver(path: str, solver, step: int = 0) -> str:
     if spec is not None:
         meta["extents"] = list(spec.extents)
     return save_checkpoint(path, forest, solver.conserved_state(), meta)
+
+
+def save_solver_async(path: str, solver, step: int = 0):
+    """Checkpoint WITHOUT stalling the run: snapshot the state with one
+    cheap on-device copy, then gather + compress + write from a
+    background thread while stepping continues.  The device->host gather
+    of a multi-MB state can take minutes through a slow host link (it
+    stalled a 20k-step endurance run ~7 minutes per checkpoint when done
+    synchronously); asynchronously it overlaps the next step batch.
+
+    The snapshot is consistent: the solver object is shallow-copied so
+    later adapt()/iterate() calls rebind (never mutate) its arrays, and
+    the state buffer is duplicated on device so later donation cannot
+    invalidate it.  Returns the writer thread — join() it before process
+    exit or before reading the file."""
+    import copy
+    import threading
+
+    import jax.numpy as jnp
+
+    snap = copy.copy(solver)
+    snap.u = jnp.copy(solver.u)        # donation-proof device snapshot
+    manager = getattr(solver, "manager", None)
+    if manager is not None:
+        # capture the CURRENT forest binding (manager.forest rebinds on
+        # adapt; the shallow copy freezes this checkpoint's view)
+        snap.manager = copy.copy(manager)
+    t = threading.Thread(target=save_solver, args=(path, snap, step),
+                         daemon=True)
+    t.start()
+    return t
 
 
 def restore_solver(path: str):

@@ -55,6 +55,46 @@ def test_plain_solver_resume_identical(tmp_path):
     np.testing.assert_array_equal(s1.conserved_state(), s2.conserved_state())
 
 
+def test_async_checkpoint_consistent_under_stepping(tmp_path):
+    """save_solver_async snapshots the state at CALL time: stepping and
+    even adapting while the writer thread runs must not corrupt the
+    checkpoint (device-copy defeats buffer donation; the shallow-copied
+    manager freezes the forest binding).  The file equals a synchronous
+    save taken at the same moment, and restoring resumes exactly."""
+    from t8gpu_tpu.io.checkpoint import save_solver_async
+
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=2.0)
+    s = CompressibleEulerSolver(MeshManager(Forest.uniform(3, dim=2), amr),
+                                lambda c: kh_planar(c, dim=2))
+    dt = 1e-3
+    for _ in range(3):
+        s.iterate(dt)
+    p_sync = str(tmp_path / "sync.npz")
+    p_async = str(tmp_path / "async.npz")
+    save_solver(p_sync, s, step=3)
+    t = save_solver_async(p_async, s, step=3)
+    # keep running — donation invalidates the old buffer, adapt rebinds
+    # the forest — while the writer works
+    for _ in range(3):
+        s.iterate(dt)
+    s.adapt()
+    t.join()
+
+    f_sync, u_sync, m_sync = __import__(
+        "t8gpu_tpu.io.checkpoint", fromlist=["load_checkpoint"]
+    ).load_checkpoint(p_sync)
+    f_async, u_async, m_async = __import__(
+        "t8gpu_tpu.io.checkpoint", fromlist=["load_checkpoint"]
+    ).load_checkpoint(p_async)
+    np.testing.assert_array_equal(u_sync, u_async)
+    np.testing.assert_array_equal(f_sync.level, f_async.level)
+    assert m_sync["step"] == m_async["step"] == 3
+    # and the async checkpoint restores to a working solver
+    s2, _ = restore_solver(p_async)
+    s2.iterate(dt)
+    assert np.isfinite(s2.conserved_state()).all()
+
+
 def test_subgrid_solver_resume_identical(tmp_path):
     amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.05)
     s1 = SubgridCompressibleEulerSolver(
