@@ -1,0 +1,68 @@
+"""Sharded scalar advection: the distribution layer is PDE-agnostic.
+
+The reference's core claim is that everything below the application is
+physics-free (SURVEY §1 "Key architectural invariant") — including its
+MPI/ghost machinery, which moves opaque enum-keyed variables.  This
+module is the multi-chip counterpart of `models/advection.py`'s proof:
+`ShardedAdvectionSolver` reuses ShardedEulerSolver's entire distribution
+machinery (SFC partition, ppermute halo rounds, compiled-step cache,
+distributed AMR remap, criteria prefetch) and overrides ONLY the physics
+hook (`_flux_divergence`) plus the model constants (1 state row, zero
+guard, |v| wave speed).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from t8gpu_tpu.parallel import halo
+from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+
+
+class ShardedAdvectionSolver(ShardedEulerSolver):
+    """u_t + div(a u) = 0, first-order upwind, over a 1D device mesh.
+
+    `velocity` is the constant advection velocity (length = forest dim).
+    Walls are outflow (do-nothing), matching models/advection.py.
+    """
+
+    N_ROWS = 1
+    GUARD = np.zeros(1, np.float32)
+
+    def __init__(self, forest, ic, velocity, devices=None,
+                 amr: AMRConfig = AMRConfig(), cfl: float = 0.7):
+        self._vel_host = np.zeros(3, np.float32)
+        self._vel_host[: len(velocity)] = np.asarray(velocity, np.float32)
+        self.cfl = cfl
+        super().__init__(forest, lambda c: np.asarray(ic(c))[None, :],
+                         devices=devices,
+                         config=EulerConfig(cfl=cfl), amr=amr)
+
+    # -- the physics hook ------------------------------------------------------
+
+    def _flux_divergence(self, u, conn):
+        vel = jnp.asarray(self._vel_host)
+
+        def face_flux(u_l, u_r, normal, area):
+            v_n = vel @ normal
+            up = jnp.where(v_n > 0, u_l[0], u_r[0])
+            return (v_n * up * area)[None, :], jnp.abs(v_n)
+
+        def boundary_flux(u_own, b_normal, b_area):
+            v_n = vel @ b_normal
+            return ((jnp.maximum(v_n, 0.0) * u_own[0] * b_area)[None, :],
+                    jnp.abs(v_n))
+
+        return halo.sharded_divergence(u, conn, face_flux, boundary_flux)
+
+    # -- model-specific diagnostics -------------------------------------------
+
+    def compute_timestep_device(self):
+        speed = float(np.linalg.norm(self._vel_host))
+        return jnp.float32(self.cfl * self._cfl_h) / max(speed, 1e-30)
+
+    def state(self) -> np.ndarray:
+        """Unpadded scalar values [N] on host."""
+        return self.conserved_state()[0]

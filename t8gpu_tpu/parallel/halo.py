@@ -47,6 +47,45 @@ def halo_exchange(u_local: jnp.ndarray, conn: ShardedConnectivity) -> jnp.ndarra
     return jnp.concatenate(parts, axis=1)
 
 
+def sharded_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
+                       face_flux, boundary_flux=None):
+    """PDE-agnostic per-shard divergence (the distribution machinery the
+    reference keeps physics-free, SURVEY §1): halo exchange, raw-state
+    face gathers, a USER face flux, CSR accumulate, global pmax speed.
+
+    face_flux(u_l, u_r, normal, area) -> (f [C, Fcap] area-scaled
+    left->right flux, speed [Fcap]); boundary_flux(u_own, b_normal,
+    b_area) -> (fb [C, Fbcap], speed_b) or None for no walls.  Row count
+    C is the model's (Euler 5, scalar advection 1).  The Euler fast path
+    (precomputed cell fields, static axis-group rotations) remains in
+    sharded_flux_divergence."""
+    C = u_local.shape[0]
+    CL = u_local.shape[1]
+    u_ext = halo_exchange(u_local, conn)
+    f, speed = face_flux(gather_cols(u_ext, conn.left),
+                         gather_cols(u_ext, conn.right),
+                         conn.normal, conn.area)
+    speed = speed * (conn.area > 0)
+    if conn.boundary_capacity and boundary_flux is not None:
+        fb, speed_b = boundary_flux(gather_cols(u_ext[:, :CL], conn.b_elem),
+                                    conn.b_normal, conn.b_area)
+        speed_b = speed_b * (conn.b_area > 0)
+    else:
+        fb = jnp.zeros((C, 0), u_local.dtype)
+        speed_b = jnp.zeros((0,), u_local.dtype)
+
+    all_f = jnp.concatenate([f, fb, jnp.zeros((C, 1), f.dtype)], axis=1)
+    pad = (-all_f.shape[0]) % 8        # 32-byte-aligned gather rows
+    if pad:
+        all_f = jnp.concatenate(
+            [all_f, jnp.zeros((pad, all_f.shape[1]), all_f.dtype)], axis=0)
+    contrib = gather_cols(all_f, conn.inc_slot)[:C]      # [C, CL, D]
+    acc = (contrib * conn.inc_sign).sum(axis=-1)
+    local_max = jnp.maximum(speed.max(),
+                            speed_b.max() if speed_b.size else 0.0)
+    return acc, jax.lax.pmax(local_max, AXIS)
+
+
 def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
                             gamma: float, flux: str):
     """Per-shard surface-flux accumulation [5, CL] + GLOBAL max wave speed.

@@ -54,10 +54,19 @@ class ShardedEulerSolver:
     over the prismed icosahedral shell (main.cu:6-47): every element class
     is distributed there, so every forest kind shards here."""
 
+    # model hooks (overridden by non-Euler sharded solvers, e.g.
+    # parallel/advection.py — the distribution machinery itself is
+    # PDE-agnostic, like the reference's layers 1-4):
+    N_ROWS = 5                      # state rows
+    GUARD = None                    # padded-slot quiescent state [N_ROWS]
+
     def __init__(self, forest, ic: Callable[[np.ndarray], np.ndarray],
                  devices=None,
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig()):
+        from t8gpu_tpu.models.compressible_euler import GUARD_STATE
+        if self.GUARD is None:
+            self.GUARD = GUARD_STATE
         self.config = config
         self.amr = amr
         devices = devices if devices is not None else jax.devices()
@@ -69,6 +78,12 @@ class ShardedEulerSolver:
         self._criteria = self._build_criteria(forest.dim)
         self._speed = self._build_speed()
         self._install(forest, ic=ic)
+
+    def _flux_divergence(self, u, conn):
+        """Per-shard (divergence, global max speed) — the ONLY physics
+        hook; everything else in this class is model-agnostic."""
+        return halo.sharded_flux_divergence(u, conn, self.config.gamma,
+                                            self.config.flux)
 
     # -- installation ---------------------------------------------------------
 
@@ -94,9 +109,12 @@ class ShardedEulerSolver:
         vol = shard_array(volumes, bounds, CL).reshape(-1)
         if u_flat is None:
             u_global = np.asarray(ic(forest.centers()), np.float32)
+            if u_global.ndim == 1:           # scalar models return [N]
+                u_global = u_global[None]
             u_stacked = shard_array(u_global, bounds, CL)
-            _guard_padding(u_stacked, bounds)
-            u_flat = np.moveaxis(u_stacked, 0, 1).reshape(5, -1)
+            _guard_padding(u_stacked, bounds, np.asarray(self.GUARD,
+                                                         np.float32))
+            u_flat = np.moveaxis(u_stacked, 0, 1).reshape(self.N_ROWS, -1)
 
         conn_shard = NamedSharding(self.mesh_dev, P(halo.AXIS))
         self.conn: ShardedConnectivity = jax.device_put(conn, conn_shard)
@@ -106,7 +124,7 @@ class ShardedEulerSolver:
 
     def _build_step(self, n_steps: int = 1):
         mesh_dev = self.mesh_dev
-        gamma, flux = self.config.gamma, self.config.flux
+        divergence = self._flux_divergence
 
         @functools.partial(
             jax.shard_map, mesh=mesh_dev,
@@ -116,7 +134,7 @@ class ShardedEulerSolver:
             # only conn keeps a leading stacked shard axis; u/inv_vol are
             # sliced along their element axis by the in_specs
             conn = jax.tree.map(lambda x: x[0], conn)
-            flux_fn = lambda v: halo.sharded_flux_divergence(v, conn, gamma, flux)
+            flux_fn = lambda v: divergence(v, conn)
 
             def body(_i, carry):
                 v, _ = carry
@@ -145,14 +163,14 @@ class ShardedEulerSolver:
         return jax.jit(criteria)
 
     def _build_speed(self):
-        gamma, flux = self.config.gamma, self.config.flux
+        divergence = self._flux_divergence
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
             in_specs=(P(None, halo.AXIS), P(halo.AXIS)), out_specs=P())
         def speed(u, conn):
             conn = jax.tree.map(lambda x: x[0], conn)
-            _, sp = halo.sharded_flux_divergence(u, conn, gamma, flux)
+            _, sp = divergence(u, conn)
             return sp
 
         return jax.jit(speed)
@@ -301,13 +319,13 @@ def _remap_plan(remap, old_volumes: np.ndarray, old_bounds, old_CL: int,
     return idx, w
 
 
-def _guard_padding(u_stacked: np.ndarray, bounds: np.ndarray) -> None:
-    """Fill padded element slots with the quiescent guard state so the
-    per-cell fields (logs, 1/rho) stay finite (models/compressible_euler
-    GUARD_STATE rationale)."""
-    from t8gpu_tpu.models.compressible_euler import GUARD_STATE
+def _guard_padding(u_stacked: np.ndarray, bounds: np.ndarray,
+                   guard: np.ndarray) -> None:
+    """Fill padded element slots with the model's quiescent guard state so
+    the per-cell fields (logs, 1/rho for Euler) stay finite
+    (models/compressible_euler GUARD_STATE rationale)."""
     for s in range(len(bounds) - 1):
-        u_stacked[s, :, bounds[s + 1] - bounds[s]:] = GUARD_STATE[:, None]
+        u_stacked[s, :, bounds[s + 1] - bounds[s]:] = guard[:, None]
 
 
 def _unpad_flat(flat: np.ndarray, bounds: np.ndarray, CL: int) -> np.ndarray:
