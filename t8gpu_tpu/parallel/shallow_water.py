@@ -1,0 +1,44 @@
+"""Sharded shallow water: third model family over the device mesh.
+
+Like parallel/advection.py, this overrides ONLY the physics hook of
+ShardedEulerSolver — a nonlinear 3-row system this time — and inherits
+the whole distribution machinery (SFC partition, ppermute halo, compiled
+step cache, distributed AMR remap, criteria prefetch).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from t8gpu_tpu.models.shallow_water import (SW_GUARD, rusanov_face_flux,
+                                            wall_face_flux)
+from t8gpu_tpu.parallel import halo
+from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+
+
+class ShardedShallowWaterSolver(ShardedEulerSolver):
+    """h, hu, hv over a 1D device mesh (2D forests), Rusanov flux,
+    reflective walls."""
+
+    N_ROWS = 3
+    GUARD = SW_GUARD
+
+    def __init__(self, forest, ic, g: float = 9.81, devices=None,
+                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45):
+        # 0.45 default, not 0.7 — see ShallowWaterSolver.__init__
+        self.g = float(g)
+        super().__init__(forest, ic, devices=devices,
+                         config=EulerConfig(cfl=cfl), amr=amr)
+
+    def _flux_divergence(self, u, conn):
+        g = self.g
+        return halo.sharded_divergence(
+            u, conn,
+            lambda u_l, u_r, n, a: rusanov_face_flux(u_l, u_r, n, a, g),
+            lambda u_own, bn, ba: wall_face_flux(u_own, bn, ba, g))
+
+    def conserved_state(self) -> np.ndarray:
+        """Global unpadded [3, N] state on host."""
+        return super().conserved_state()

@@ -1,0 +1,98 @@
+"""Shallow-water model family: conservation, well-balancedness, AMR,
+sharded == single-device (the third physics through the PDE-agnostic
+seams)."""
+
+import numpy as np
+import pytest
+
+from t8gpu_tpu.mesh.forest import Forest
+from t8gpu_tpu.mesh.manager import MeshManager
+from t8gpu_tpu.mesh.uniform import uniform_mesh
+from t8gpu_tpu.models.shallow_water import ShallowWaterSolver
+from t8gpu_tpu.utils.config import AMRConfig
+
+
+def dam_break(centers):
+    """Cylindrical dam break: raised column of water at the center."""
+    r2 = ((centers[:, 0] - 0.5) ** 2 + (centers[:, 1] - 0.5) ** 2)
+    h = 1.0 + 0.5 * (r2 < 0.02)
+    return np.stack([h, np.zeros_like(h), np.zeros_like(h)])
+
+
+def lake_at_rest(centers):
+    h = np.ones(centers.shape[0])
+    return np.stack([h, np.zeros_like(h), np.zeros_like(h)])
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_lake_at_rest_stays_at_rest(periodic):
+    """Flat free surface + zero velocity is a steady state of the scheme
+    (well-balanced for a flat bottom): the pressure fluxes g h^2/2 cancel
+    around every closed cell."""
+    s = ShallowWaterSolver(uniform_mesh(level=4, dim=2, periodic=periodic),
+                           lake_at_rest, g=9.81)
+    u0 = s.conserved_state().copy()
+    for _ in range(20):
+        s.iterate(1e-3)
+    np.testing.assert_allclose(s.conserved_state(), u0, atol=5e-6)
+
+
+def test_dam_break_conserves_volume():
+    s = ShallowWaterSolver(uniform_mesh(level=4, dim=2, periodic=False),
+                           dam_break)
+    m0 = s.compute_integral()
+    dt = s.compute_timestep()
+    for _ in range(30):
+        s.iterate(dt)
+    u = s.conserved_state()
+    assert np.isfinite(u).all()
+    assert (u[0] > 0).all()                      # depth positivity
+    assert abs(s.compute_integral() - m0) / m0 < 1e-5
+    # the wave actually moved
+    assert np.abs(u[1:]).max() > 1e-3
+
+
+def test_amr_cycle_tracks_the_wave():
+    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=0.2)
+    mgr = MeshManager(Forest.uniform(4, dim=2), amr)
+    s = ShallowWaterSolver(mgr, dam_break)
+    m0 = s.compute_integral()
+    n0 = s.n_elements
+    for _ in range(3):
+        dt = s.compute_timestep()
+        s.iterate_many(8, dt)
+        s.adapt_prefetch()
+        s.iterate_many(2, dt)
+        s.adapt()
+        assert np.abs(
+            mgr.forest.build_faces()["level_difference"]).max() <= 1
+    assert s.n_elements > n0                     # refined around the wave
+    assert abs(s.compute_integral() - m0) / abs(m0) < 1e-4
+    assert np.isfinite(s.conserved_state()).all()
+
+
+def test_sharded_matches_single_device():
+    """ShardedShallowWaterSolver (physics hook only) == single-device
+    through stepping and a distributed AMR cycle."""
+    import jax
+
+    from t8gpu_tpu.parallel.shallow_water import ShardedShallowWaterSolver
+
+    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=1.0)
+    ref = ShallowWaterSolver(MeshManager(Forest.uniform(4, dim=2), amr),
+                             dam_break)
+    sh = ShardedShallowWaterSolver(Forest.uniform(4, dim=2), dam_break,
+                                   devices=jax.devices(), amr=amr)
+    dt = 1e-3
+    m0 = sh.compute_integral()
+    for _ in range(2):
+        for _ in range(5):
+            ref.iterate(dt)
+            sh.iterate(dt)
+        ref.adapt()
+        sh.adapt_prefetch()
+        sh.adapt()
+        assert sh.n_elements == ref.n_elements
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(sh.compute_integral(), m0, rtol=1e-5)
