@@ -73,8 +73,9 @@ def main():
     done = 0
     lag = args.adapt_lag if args.amr else 0
     while done < args.steps:
-        dt = float(solver.compute_timestep()
-                   if not args.sharded else solver.compute_timestep_device())
+        # device scalar straight into iterate_many — a float() here would
+        # pay a D2H fetch per chunk (CLAUDE.md: keep CFL dt on device)
+        dt = solver.compute_timestep_device()
         to_b = args.adapt_every - done % args.adapt_every
         n = min(args.steps - done, to_b if args.amr else args.steps - done)
         if lag and to_b > lag:

@@ -70,6 +70,10 @@ def main():
     cadences = [c for c in ((args.adapt_every if args.amr else 0),
                             args.vtk_every) if c]
 
+    if args.vtk_every:
+        from t8gpu_tpu.io.vtk import VTKSeries
+        vtk_series = VTKSeries(f"{args.prefix}.pvd")
+
     t0 = time.perf_counter()
     it = 0
     while it < args.steps:
@@ -85,9 +89,11 @@ def main():
             u = solver.conserved_state()
             mesh_now = solver.mesh
             h = np.asarray(mesh_now.volumes) ** (1.0 / args.dim)
-            write_vtu(f"{args.prefix}_{it:06d}.vtu", mesh_now.centers, h,
-                      {"density": u[0], "energy": u[4], "momentum": u[1:4]},
-                      dim=args.dim)
+            vtk_series.add(
+                write_vtu(f"{args.prefix}_{it:06d}.vtu", mesh_now.centers, h,
+                          {"density": u[0], "energy": u[4],
+                           "momentum": u[1:4]}, dim=args.dim),
+                time=it * dt)
     solver.u.block_until_ready()
     dt_wall = time.perf_counter() - t0
 

@@ -103,6 +103,9 @@ def main():
     done = start
     adapts = 0
     ck_thread = None
+    if args.vtk_every:
+        from t8gpu_tpu.io.vtk import VTKSeries
+        vtk_series = VTKSeries(f"{args.prefix}.pvd")
     while done < args.steps:
         n = args.steps - done
         if args.amr:
@@ -149,12 +152,13 @@ def main():
             forest = getattr(mesh_now, "forest", None)
             if forest is not None:
                 # true prism geometry (VTK wedges), ref mesh_manager.inl:561
-                write_forest_vtu(f"{args.prefix}_{done:06d}.vtu", forest,
-                                 fields)
+                f = write_forest_vtu(f"{args.prefix}_{done:06d}.vtu", forest,
+                                     fields)
             else:
                 h = np.asarray(mesh_now.volumes) ** (1.0 / 3.0)
-                write_vtu(f"{args.prefix}_{done:06d}.vtu", mesh_now.centers,
-                          h, fields, dim=3)
+                f = write_vtu(f"{args.prefix}_{done:06d}.vtu",
+                              mesh_now.centers, h, fields, dim=3)
+            vtk_series.add(f, time=done * dt)
     if ck_thread is not None:
         ck_thread.join()
     solver.u.block_until_ready()

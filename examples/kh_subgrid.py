@@ -100,6 +100,10 @@ def run_loop(solver, args, spec):
                 n = min(n, to_b - lag)
         return n
 
+    if args.vtk_every:
+        from t8gpu_tpu.io.vtk import VTKSeries
+        vtk_series = VTKSeries(f"{args.prefix}.pvd")
+
     t0 = time.perf_counter()
     cell_steps = 0
     it = 0
@@ -128,9 +132,11 @@ def run_loop(solver, args, spec):
             cc = mesh_now.cell_centers()
             h = np.repeat((mesh_now.volumes ** (1 / args.dim)) / spec.extent,
                           spec.size)
-            write_vtu(f"{args.prefix}_{it:06d}.vtu", cc, h,
-                      {"density": u[0], "energy": u[4], "momentum": u[1:4]},
-                      dim=args.dim)
+            vtk_series.add(
+                write_vtu(f"{args.prefix}_{it:06d}.vtu", cc, h,
+                          {"density": u[0], "energy": u[4],
+                           "momentum": u[1:4]}, dim=args.dim),
+                time=it * dt)
     if ck_thread is not None:
         ck_thread.join()
     solver.u.block_until_ready()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import threading
 from typing import Tuple
 
 import numpy as np
@@ -111,7 +112,7 @@ def save_checkpoint(path: str, forest, u: np.ndarray,
     np.savez_compressed(
         tmp,
         version=np.int64(FORMAT_VERSION),
-        u=np.asarray(u, np.float32),
+        u=np.asarray(u),   # keep the solver dtype: f64 restarts stay exact
         meta=np.frombuffer(json.dumps(meta or {}).encode(), np.uint8),
         **_forest_payload(forest),
     )
@@ -167,9 +168,9 @@ def save_solver_async(path: str, solver, step: int = 0):
     later adapt()/iterate() calls rebind (never mutate) its arrays, and
     the state buffer is duplicated on device so later donation cannot
     invalidate it.  Returns the writer thread — join() it before process
-    exit or before reading the file."""
+    exit or before reading the file; a failed write is reported to stderr
+    at failure time and re-raised by join() so it cannot pass silently."""
     import copy
-    import threading
 
     import jax.numpy as jnp
 
@@ -180,10 +181,34 @@ def save_solver_async(path: str, solver, step: int = 0):
         # capture the CURRENT forest binding (manager.forest rebinds on
         # adapt; the shallow copy freezes this checkpoint's view)
         snap.manager = copy.copy(manager)
-    t = threading.Thread(target=save_solver, args=(path, snap, step),
-                         daemon=True)
+    t = _CheckpointThread(target=save_solver, args=(path, snap, step),
+                          daemon=True)
     t.start()
     return t
+
+
+class _CheckpointThread(threading.Thread):
+    """Writer thread whose failure is loud: the exception is printed when
+    it happens and re-raised from join(), so a run that 'checkpointed'
+    into a ValueError or a full disk finds out instead of resuming from
+    nothing."""
+
+    exc: BaseException | None = None
+
+    def run(self):
+        import sys
+        import traceback
+        try:
+            super().run()
+        except BaseException as e:           # noqa: BLE001 — must not die silently
+            self.exc = e
+            print("async checkpoint FAILED:", file=sys.stderr)
+            traceback.print_exc()
+
+    def join(self, timeout=None):
+        super().join(timeout)
+        if self.exc is not None and not self.is_alive():
+            raise RuntimeError("async checkpoint write failed") from self.exc
 
 
 def restore_solver(path: str):

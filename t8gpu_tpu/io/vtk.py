@@ -143,6 +143,44 @@ def write_pvtu(path: str, piece_paths, cell_data_names, vector_names=()) -> str:
     return path
 
 
+class VTKSeries:
+    """ParaView `.pvd` time-series index over .vtu/.pvtu dumps.
+
+    The reference's acceptance workflow is ParaView inspection of periodic
+    VTK dumps (README.md:3-6; main.cu:35-37), but it never writes a
+    time-series index — scrubbing a 200-dump run means loading the files
+    by hand.  Register each dump with its simulation time and the .pvd is
+    REWRITTEN after every add, so the index is valid mid-run and survives
+    a crash (same always-consistent philosophy as the atomic checkpoints).
+
+        series = VTKSeries("run.pvd")
+        series.add(write_vtu(f"run_{i:06d}.vtu", ...), time=i * dt)
+    """
+
+    def __init__(self, path: str):
+        self.path = str(path)
+        self._entries: list = []
+
+    def add(self, file: str, time: float) -> str:
+        import os
+
+        base = os.path.dirname(self.path) or "."
+        self._entries.append((float(time), os.path.relpath(file, base)))
+        parts = ['<?xml version="1.0"?>',
+                 '<VTKFile type="Collection" version="0.1" '
+                 'byte_order="LittleEndian">',
+                 '<Collection>']
+        for t, f in self._entries:
+            parts.append(f'<DataSet timestep="{t:.9g}" group="" part="0" '
+                         f'file="{_xml_attr(f)}"/>')
+        parts.append('</Collection></VTKFile>')
+        tmp = f"{self.path}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(parts))
+        os.replace(tmp, self.path)
+        return file
+
+
 def write_sharded_vtu(prefix: str, centers: np.ndarray, sizes: np.ndarray,
                       cell_data: Mapping[str, np.ndarray], dim: int,
                       bounds: np.ndarray) -> str:

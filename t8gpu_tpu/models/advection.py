@@ -67,7 +67,8 @@ def advection_divergence(u: jnp.ndarray, conn: FaceConnectivity,
     return accumulate(f, bf, conn)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",))
+@functools.partial(jax.jit, static_argnames=("n_steps",),
+                   donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, velocity,
                n_steps: int):
     def body(_i, v):

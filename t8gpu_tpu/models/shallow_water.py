@@ -191,6 +191,12 @@ class ShallowWaterSolver:
         return float((self.u[0] * self.volume).sum())
 
     def compute_timestep(self) -> float:
+        return float(self.compute_timestep_device())
+
+    def compute_timestep_device(self):
+        """CFL timestep as a DEVICE scalar — feed it straight into
+        iterate_many so adapt loops never pay a per-chunk D2H fetch
+        (same contract as CompressibleEulerSolver.compute_timestep_device)."""
         if self._max_speed is None:
             _, speed = sw_divergence(self.u, self.conn, self.g)
             self._max_speed = speed
@@ -200,7 +206,7 @@ class ShallowWaterSolver:
             if level is None:
                 level = getattr(self.mesh, "level", self.amr.max_level)
             h = 0.5 ** level
-        return self.cfl * float(h) / float(self._max_speed)
+        return jnp.asarray(self.cfl * float(h), jnp.float32) / self._max_speed
 
     # -- AMR -------------------------------------------------------------------
 

@@ -8,9 +8,6 @@ step cache, distributed AMR remap, criteria prefetch).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-import numpy as np
-
 from t8gpu_tpu.models.shallow_water import (SW_GUARD, rusanov_face_flux,
                                             wall_face_flux)
 from t8gpu_tpu.parallel import halo
@@ -38,7 +35,3 @@ class ShardedShallowWaterSolver(ShardedEulerSolver):
             u, conn,
             lambda u_l, u_r, n, a: rusanov_face_flux(u_l, u_r, n, a, g),
             lambda u_own, bn, ba: wall_face_flux(u_own, bn, ba, g))
-
-    def conserved_state(self) -> np.ndarray:
-        """Global unpadded [3, N] state on host."""
-        return super().conserved_state()

@@ -130,7 +130,7 @@ def build_sharded_subgrid_connectivity(
         arr = np.zeros((n_shards, H_r[r]), np.int32)
         for s, lst in enumerate(round_lists[r]):
             arr[s, : len(lst)] = lst - starts[s]
-        send_rounds.append(jnp.asarray(arr))
+        send_rounds.append(arr)
 
     # per-dest extended-index translation table over global element ids
     ext_of = np.zeros((n_shards, n), np.int64)
@@ -153,20 +153,20 @@ def build_sharded_subgrid_connectivity(
             rel_s[s, : hi - lo] = g_rel[k][lo:hi]
             bit_s[s, : hi - lo] = g_bits[k][lo:hi]
             msk_s[s, : hi - lo] = g_mask[k][lo:hi]
-        nbrs.append(jnp.asarray(nbr_s))
-        rels.append(jnp.asarray(rel_s))
-        bitss.append(jnp.asarray(bit_s))
-        masks.append(jnp.asarray(msk_s))
+        nbrs.append(nbr_s)
+        rels.append(rel_s)
+        bitss.append(bit_s)
+        masks.append(msk_s)
 
     # compact hanging-fine tables per side, K common across shards
     fine_idxs, fine_invs = [], []
     for k in range(2 * dim):
-        rel_s = np.asarray(rels[k])
+        rel_s = rels[k]
         per = [np.flatnonzero(rel_s[s] == 1) for s in range(n_shards)]
         mx = max(len(p) for p in per)
         if mx == 0:
-            fine_idxs.append(jnp.zeros((n_shards, 0), jnp.int32))
-            fine_invs.append(jnp.zeros((n_shards, 0), jnp.int32))
+            fine_idxs.append(np.zeros((n_shards, 0), np.int32))
+            fine_invs.append(np.zeros((n_shards, 0), np.int32))
             continue
         K = bucket_capacity(mx, base=16)
         fi = np.zeros((n_shards, K), np.int32)
@@ -176,8 +176,8 @@ def build_sharded_subgrid_connectivity(
                 fi[s] = pos[0]
                 fi[s, : len(pos)] = pos
                 inv[s, pos] = np.arange(len(pos))
-        fine_idxs.append(jnp.asarray(fi))
-        fine_invs.append(jnp.asarray(inv))
+        fine_idxs.append(fi)
+        fine_invs.append(inv)
 
     # --- boundary subfaces per (shard, axis, sign) --------------------------
     b_cells, b_areas, b_groups, b_recvs = [], [], [], []
@@ -225,10 +225,23 @@ def build_sharded_subgrid_connectivity(
                     brs[s] = build_recv_map(
                         bc, CL, spec, axis, 1, sentinel=Kb,
                         n_elems_decode=CL + H)[:, 0]
-                b_cells.append(jnp.asarray(bs))
-                b_areas.append(jnp.asarray(ars))
-                b_recvs.append(jnp.asarray(brs))
+                b_cells.append(bs)
+                b_areas.append(ars)
+                b_recvs.append(brs)
                 b_groups.append((axis, sign))
+
+    # ONE batched host->device upload for every table built above — the
+    # per-array jnp.asarray alternative pays tunnel latency per table on
+    # every distributed adapt (utils/xfer.pack_put; mirrors the
+    # single-device builder in mesh/subgrid.py)
+    from t8gpu_tpu.utils.xfer import pack_put
+    groups = [send_rounds, nbrs, rels, bitss, masks, fine_idxs, fine_invs,
+              b_cells, b_areas, b_recvs]
+    flat_dev = pack_put([a for g in groups for a in g])
+    it = iter(flat_dev)
+    (send_rounds, nbrs, rels, bitss, masks, fine_idxs, fine_invs,
+     b_cells, b_areas, b_recvs) = (
+        [next(it) for _ in g] for g in groups)
 
     conn = ShardedSubgridConnectivity(
         nbr=tuple(nbrs), rel=tuple(rels), bits=tuple(bitss),

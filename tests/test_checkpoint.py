@@ -223,3 +223,45 @@ def test_sharded_solver_checkpoint_roundtrip(tmp_path):
     sg2.iterate(dt)
     np.testing.assert_allclose(sg2.conserved_state(), sg.conserved_state(),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_checkpoint_preserves_float64(tmp_path):
+    """EulerConfig(dtype="float64") checkpoints must not truncate to f32:
+    a save/restore roundtrip stays bit-identical in f64 (the exact-restart
+    contract holds for every supported dtype)."""
+    import jax
+    import jax.numpy as jnp
+
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=2.0)
+    with jax.enable_x64(True):
+        s = CompressibleEulerSolver(
+            MeshManager(Forest.uniform(3, dim=2), amr),
+            lambda c: kh_planar(c, dim=2),
+            config=EulerConfig(dtype="float64"))
+        for _ in range(3):
+            s.iterate(1e-3)
+        p = str(tmp_path / "f64.npz")
+        save_solver(p, s, step=3)
+        _, u, _ = load_checkpoint(p)
+        assert u.dtype == np.float64
+        np.testing.assert_array_equal(u, s.conserved_state())
+        s2, _ = restore_solver(p)
+        assert s2.u.dtype == jnp.float64
+        np.testing.assert_array_equal(s2.conserved_state(),
+                                      s.conserved_state())
+
+
+def test_async_checkpoint_failure_is_raised(tmp_path):
+    """A failed async write must be LOUD: join() re-raises, so a run can
+    never believe it checkpointed when the writer thread died."""
+    import pytest
+
+    from t8gpu_tpu.io.checkpoint import save_solver_async
+
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=2.0)
+    s = CompressibleEulerSolver(MeshManager(Forest.uniform(3, dim=2), amr),
+                                lambda c: kh_planar(c, dim=2))
+    bad = str(tmp_path / "no_such_dir" / "ck.npz")
+    t = save_solver_async(bad, s, step=0)
+    with pytest.raises(RuntimeError, match="async checkpoint"):
+        t.join()

@@ -256,3 +256,27 @@ def test_sharded_forest_vtu_pieces(tmp_path):
     assert total == n
     np.testing.assert_array_equal(np.concatenate(vals), rho)
     assert "sh_p0003.vtu" in open(pvtu).read()
+
+
+def test_pvd_series_index(tmp_path):
+    """VTKSeries writes a valid ParaView collection: entries in insertion
+    order, times preserved, file refs relative to the .pvd location, and
+    the index stays parseable after EVERY add (mid-run validity)."""
+    from t8gpu_tpu.io.vtk import VTKSeries
+
+    n = 4
+    centers = np.random.default_rng(1).uniform(0, 1, (n, 2)).astype(np.float32)
+    sizes = np.full(n, 0.25, np.float32)
+    series = VTKSeries(str(tmp_path / "run.pvd"))
+    for i, t in enumerate((0.0, 5e-4, 1e-3)):
+        f = write_vtu(str(tmp_path / f"run_{i:06d}.vtu"), centers, sizes,
+                      {"rho": np.ones(n, np.float32)}, dim=2)
+        series.add(f, time=t)
+        root = ET.parse(str(tmp_path / "run.pvd")).getroot()
+        assert root.get("type") == "Collection"
+        sets = root.findall(".//DataSet")
+        assert len(sets) == i + 1
+        assert [float(d.get("timestep")) for d in sets] == (
+            [0.0, 5e-4, 1e-3][: i + 1])
+        for d in sets:
+            assert (tmp_path / d.get("file")).exists()
