@@ -234,4 +234,124 @@ void t8f_balance_flags(const int64_t* anchor, const int8_t* level,
   }
 }
 
+// Face-record matching for the non-brick forests (prism shell, planar
+// tri, tet) — the hot core of PrismForest._match_records
+// (t8gpu_tpu/mesh/shell_forest.py).  Replaces the reference's
+// t8_forest_leaf_face_neighbors walk for non-brick element classes
+// (mesh_manager.inl:332-481, "the #1 CPU bottleneck") with an O(N)
+// hash match instead of the NumPy sort-based grouping.
+//
+// Inputs are the stacked face records as 4 int64 key columns (row-major
+// [4, n]): own-granularity records and one-level-finer quarter records.
+// Outputs reproduce the NumPy implementation's order EXACTLY:
+//   eq pairs sorted by key (the lexsort-adjacency order), first = lower
+//   stacked index; hang/rest in ascending own stacked index; hang
+//   partner = the lowest-index sub row with an equal key.
+// Returns 0, or -1 if any key is shared by >2 own rows (broken mesh).
+int t8f_match_records(const int64_t* k, int64_t n_own,
+                      const int64_t* sk, int64_t n_sub,
+                      int64_t* eq_a, int64_t* eq_b, int64_t* n_eq,
+                      int64_t* hang_own, int64_t* hang_sub, int64_t* n_hang,
+                      int64_t* rest_idx, int64_t* n_rest) {
+  const int64_t* k1 = k;
+  const int64_t* k2 = k + n_own;
+  const int64_t* g1 = k + 2 * n_own;
+  const int64_t* g2 = k + 3 * n_own;
+  const int64_t* s1 = sk;
+  const int64_t* s2 = sk + n_sub;
+  const int64_t* t1 = sk + 2 * n_sub;
+  const int64_t* t2 = sk + 3 * n_sub;
+
+  uint64_t cap = 16;
+  while (cap < (uint64_t)(2 * n_own + 2)) cap <<= 1;
+  const uint64_t mask = cap - 1;
+  std::vector<int64_t> slot_idx(cap, -1);   // first own row with this key
+  std::vector<int8_t> slot_n(cap, 0);       // 1 = single, 2 = paired
+  std::vector<int64_t> slot_cand(cap, INT64_MAX);  // lowest matching sub row
+  std::vector<uint64_t> own_slot(n_own);
+
+  auto mix = [](uint64_t x) {
+    x += 0x9e3779b97f4a7c15ull;
+    x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+    x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+    return x ^ (x >> 31);
+  };
+  auto hash4 = [&](int64_t a, int64_t b, int64_t c, int64_t d) {
+    return mix((uint64_t)a ^ mix((uint64_t)b ^ mix((uint64_t)c ^
+                                                   mix((uint64_t)d))));
+  };
+
+  // phase 1: insert own rows, detect equal-key pairs
+  std::vector<std::pair<int64_t, int64_t>> pairs;
+  pairs.reserve((size_t)(n_own / 2 + 1));
+  for (int64_t i = 0; i < n_own; ++i) {
+    uint64_t h = hash4(k1[i], k2[i], g1[i], g2[i]) & mask;
+    for (;;) {
+      int64_t j = slot_idx[h];
+      if (j < 0) {
+        slot_idx[h] = i;
+        slot_n[h] = 1;
+        break;
+      }
+      if (k1[j] == k1[i] && k2[j] == k2[i] && g1[j] == g1[i] &&
+          g2[j] == g2[i]) {
+        if (slot_n[h] >= 2) return -1;  // key shared by >2 leaves
+        slot_n[h] = 2;
+        pairs.emplace_back(j, i);       // first-seen = lower index
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+    own_slot[i] = h;
+  }
+  // eq pairs in global key-sorted order (keys unique per pair)
+  std::sort(pairs.begin(), pairs.end(),
+            [&](const std::pair<int64_t, int64_t>& x,
+                const std::pair<int64_t, int64_t>& y) {
+              const int64_t a = x.first, b = y.first;
+              if (k1[a] != k1[b]) return k1[a] < k1[b];
+              if (k2[a] != k2[b]) return k2[a] < k2[b];
+              if (g1[a] != g1[b]) return g1[a] < g1[b];
+              return g2[a] < g2[b];
+            });
+  *n_eq = (int64_t)pairs.size();
+  for (size_t p = 0; p < pairs.size(); ++p) {
+    eq_a[p] = pairs[p].first;
+    eq_b[p] = pairs[p].second;
+  }
+
+  // phase 2: probe sub rows against unmatched own rows; ascending sub
+  // index, first hit wins (== NumPy's stable-argsort + searchsorted)
+  for (int64_t s = 0; s < n_sub; ++s) {
+    uint64_t h = hash4(s1[s], s2[s], t1[s], t2[s]) & mask;
+    for (;;) {
+      int64_t j = slot_idx[h];
+      if (j < 0) break;
+      if (k1[j] == s1[s] && k2[j] == s2[s] && g1[j] == t1[s] &&
+          g2[j] == t2[s]) {
+        if (slot_n[h] == 1 && slot_cand[h] == INT64_MAX) slot_cand[h] = s;
+        break;
+      }
+      h = (h + 1) & mask;
+    }
+  }
+
+  // phase 3: emit hang / rest in ascending own stacked index
+  int64_t nh = 0, nr = 0;
+  for (int64_t i = 0; i < n_own; ++i) {
+    const uint64_t h = own_slot[i];
+    if (slot_n[h] != 1 || slot_idx[h] != i) continue;  // matched eq
+    if (slot_cand[h] != INT64_MAX) {
+      hang_own[nh] = i;
+      hang_sub[nh] = slot_cand[h];
+      ++nh;
+    } else {
+      rest_idx[nr++] = i;
+    }
+  }
+  *n_hang = nh;
+  *n_rest = nr;
+  return 0;
+}
+
 }  // extern "C"

@@ -40,6 +40,10 @@ def _load():
     lib.t8f_balance_flags.argtypes = [
         _I64, _I8, _U64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,
         ctypes.c_int, _I8]
+    lib.t8f_match_records.argtypes = [
+        _I64, ctypes.c_int64, _I64, ctypes.c_int64,
+        _I64, _I64, _I64, _I64, _I64, _I64, _I64, _I64]
+    lib.t8f_match_records.restype = ctypes.c_int
     _LIB = lib
     return _LIB
 
@@ -86,3 +90,31 @@ def balance_flags(anchor: np.ndarray, level: np.ndarray, codes: np.ndarray,
         np.ascontiguousarray(codes, np.uint64),
         len(level), dim, L, int(periodic), out)
     return out
+
+
+def match_records(own_cols: np.ndarray, sub_cols: np.ndarray):
+    """Native face-record matching (PrismForest._match_records hot core).
+
+    own_cols / sub_cols are C-contiguous [4, n] int64 key columns
+    (k1, k2, g1, g2 — most significant first).  Returns index arrays
+    (eq_a, eq_b, hang_own, hang_sub, rest) into the stacked rows, in the
+    exact order of the NumPy sort-based implementation."""
+    lib = _load()
+    n = own_cols.shape[1]
+    ns = sub_cols.shape[1]
+    eq_a = np.empty(n // 2 + 1, np.int64)
+    eq_b = np.empty(n // 2 + 1, np.int64)
+    hang_own = np.empty(n, np.int64)
+    hang_sub = np.empty(n, np.int64)
+    rest = np.empty(n, np.int64)
+    counts = np.zeros(3, np.int64)
+    rc = lib.t8f_match_records(
+        np.ascontiguousarray(own_cols, np.int64), n,
+        np.ascontiguousarray(sub_cols, np.int64), ns,
+        eq_a, eq_b, counts[0:1], hang_own, hang_sub, counts[1:2],
+        rest, counts[2:3])
+    if rc != 0:
+        raise AssertionError("face key shared by >2 leaves")
+    ne, nh, nr = int(counts[0]), int(counts[1]), int(counts[2])
+    return (eq_a[:ne].copy(), eq_b[:ne].copy(),
+            hang_own[:nh].copy(), hang_sub[:nh].copy(), rest[:nr].copy())

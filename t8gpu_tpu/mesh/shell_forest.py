@@ -47,6 +47,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from t8gpu_tpu.mesh import _native
 from t8gpu_tpu.mesh.connectivity import FaceConnectivity, build_connectivity
 from t8gpu_tpu.mesh.forest import RemapSpec
 from t8gpu_tpu.mesh.shell import _icosahedron, _subdivide
@@ -587,55 +588,28 @@ class PrismForest:
             return cols, elem, side
 
         (k1, k2, g1, g2), elem, side = stack(own_rec)
-        pc = _pack_cols((np.asarray(k1, np.int64), k2, g1, g2))
-        order = np.lexsort(pc[::-1])
-        same = np.ones(len(order) - 1, bool)
-        for c in pc:
-            cs = c[order]
-            same &= cs[1:] == cs[:-1]
-        # keys are unique per leaf-face and shared by at most 2 leaves
-        assert not (same[1:] & same[:-1]).any(), "face key shared by >2 leaves"
-        m0 = np.flatnonzero(same)
-        eq_l = elem[order[m0]]
-        eq_r = elem[order[m0 + 1]]
-        eq_side_l = side[order[m0]]
-        eq_side_r = side[order[m0 + 1]]
-        matched = np.zeros(len(elem), bool)
-        matched[order[m0]] = True
-        matched[order[m0 + 1]] = True
-
-        # unmatched own records vs one-level-finer quarters of other leaves:
-        # group identical rectangles into dense ids, then match each
-        # unmatched own row to the sub row in its group (at most one: a
-        # rectangle has exactly two sides, and the own side's own quarters
-        # are strictly smaller).  Grouping is lexsort + adjacency — the
-        # void-view argsort inside np.unique(axis=0) measured ~10x slower
-        # (22 of 30 s of the whole face walk at 450k prisms).
-        un = np.flatnonzero(~matched)
         (sk1, sk2, sg1, sg2), selem, sside = stack(sub_rec)
-        nu = len(un)
-        inv = _group_rows((np.concatenate([np.asarray(k1[un], np.int64),
-                                           np.asarray(sk1, np.int64)]),
-                           np.concatenate([k2[un], sk2]),
-                           np.concatenate([g1[un], sg1]),
-                           np.concatenate([g2[un], sg2])))
-        uinv = inv[:nu]
-        sinv = inv[nu:]
-        so = np.argsort(sinv, kind="stable")
-        pos = np.searchsorted(sinv[so], uinv)
-        pos_c = np.clip(pos, 0, max(len(so) - 1, 0))
-        hit = np.zeros(len(un), bool)
-        if len(so):
-            hit = sinv[so[pos_c]] == uinv
-        hang_f = elem[un[hit]]
-        hang_side_f = side[un[hit]]
-        hang_c = selem[so[pos_c[hit]]]
-        hang_side_c = sside[so[pos_c[hit]]]
-
-        # remaining own records: the COARSE sides of hanging interfaces
-        # (their quarters were matched by finer leaves' own records above),
-        # or genuine boundary faces (shell caps, radial only).
-        rest = un[~hit]
+        own_cols = np.ascontiguousarray(
+            np.stack([np.asarray(k1, np.int64), k2, g1, g2]))
+        sub_cols = np.ascontiguousarray(
+            np.stack([np.asarray(sk1, np.int64), sk2, sg1, sg2]))
+        if _native.available():
+            # O(N) hash match (native/forest.cc t8f_match_records) — same
+            # index arrays in the same order as the NumPy path below,
+            # enforced bit-identical by tests/test_native.py
+            eq_a, eq_b, hang_o, hang_s, rest = _native.match_records(
+                own_cols, sub_cols)
+        else:
+            eq_a, eq_b, hang_o, hang_s, rest = (
+                PrismForest._match_core_numpy(own_cols, sub_cols))
+        eq_l = elem[eq_a]
+        eq_r = elem[eq_b]
+        eq_side_l = side[eq_a]
+        eq_side_r = side[eq_b]
+        hang_f = elem[hang_o]
+        hang_side_f = side[hang_o]
+        hang_c = selem[hang_s]
+        hang_side_c = sside[hang_s]
         covered = np.zeros(len(rest), bool)
         if len(rest) and len(hang_c):
             pair_rest = elem[rest] * 8 + side[rest]
@@ -656,6 +630,53 @@ class PrismForest:
                     hang_f=hang_f, hang_c=hang_c, hang_side_f=hang_side_f,
                     hang_side_c=hang_side_c,
                     bnd_elem=bnd_elem, bnd_side=bnd_side)
+
+    @staticmethod
+    def _match_core_numpy(own_cols, sub_cols):
+        """NumPy fallback for the native hash match: returns the same
+        (eq_a, eq_b, hang_own, hang_sub, rest) index arrays in the same
+        order.  eq pairs come from lexsort + adjacency over the own rows
+        (keys are unique per leaf-face and shared by at most 2 leaves);
+        unmatched rows are grouped with the one-level-finer quarter rows
+        into dense ids — the void-view argsort inside np.unique(axis=0)
+        measured ~10x slower (22 of 30 s of the walk at 450k prisms)."""
+        k1, k2, g1, g2 = own_cols
+        sk1, sk2, sg1, sg2 = sub_cols
+        pc = _pack_cols((k1, k2, g1, g2))
+        order = np.lexsort(pc[::-1])
+        same = np.ones(len(order) - 1, bool)
+        for c in pc:
+            cs = c[order]
+            same &= cs[1:] == cs[:-1]
+        assert not (same[1:] & same[:-1]).any(), "face key shared by >2 leaves"
+        m0 = np.flatnonzero(same)
+        eq_a = order[m0]
+        eq_b = order[m0 + 1]
+        matched = np.zeros(own_cols.shape[1], bool)
+        matched[eq_a] = True
+        matched[eq_b] = True
+
+        # unmatched own rows match at most one sub row each (a face has
+        # exactly two sides, and the own side's own quarters are strictly
+        # smaller); the partner is the lowest-index sub row with the key
+        un = np.flatnonzero(~matched)
+        nu = len(un)
+        inv = _group_rows((np.concatenate([k1[un], sk1]),
+                           np.concatenate([k2[un], sk2]),
+                           np.concatenate([g1[un], sg1]),
+                           np.concatenate([g2[un], sg2])))
+        uinv = inv[:nu]
+        sinv = inv[nu:]
+        so = np.argsort(sinv, kind="stable")
+        pos = np.searchsorted(sinv[so], uinv)
+        pos_c = np.clip(pos, 0, max(len(so) - 1, 0))
+        hit = np.zeros(nu, bool)
+        if len(so):
+            hit = sinv[so[pos_c]] == uinv
+        # remaining own rows: the COARSE sides of hanging interfaces
+        # (their quarters were matched by finer leaves' rows above), or
+        # genuine boundary faces (shell caps / domain hull)
+        return eq_a, eq_b, un[hit], so[pos_c[hit]], un[~hit]
 
     def build_faces(self):
         if self._face_dict is None:
