@@ -49,6 +49,11 @@ def main():
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh_sphere")
+    p.add_argument("--blocked", action="store_true",
+                   help="uniform-shell lattice fast path "
+                        "(models/blocked_shell.py): intra-root fluxes as "
+                        "stencil passes, only cross-root faces gathered; "
+                        "static meshes only (incompatible with --amr)")
     # dynamic AMR on the shell (ref main.cu:32-35: adapt every 100 steps)
     p.add_argument("--amr", action="store_true",
                    help="adaptive prism forest with criteria-driven AMR")
@@ -71,6 +76,9 @@ def main():
     p.add_argument("--resume", default="",
                    help="checkpoint to resume from (continues to --steps)")
     args = p.parse_args()
+    if args.blocked and (args.amr or args.checkpoint_every or args.resume):
+        p.error("--blocked is a static-mesh fast path: incompatible with "
+                "--amr / --checkpoint-every / --resume")
 
     start = 0
     if args.resume:
@@ -88,13 +96,25 @@ def main():
             r_in=args.r_in, thickness=args.thickness, n_layers=args.layers)
         solver = CompressibleEulerSolver(mgr, kh_sphere,
                                          config=EulerConfig(flux=args.flux))
+    elif args.blocked:
+        from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+        from t8gpu_tpu.models.blocked_shell import BlockedShellEulerSolver
+        roots = shell_roots(subdiv=args.subdiv, r_in=args.r_in,
+                            thickness=args.thickness, n_layers=args.layers)
+        solver = BlockedShellEulerSolver(
+            PrismForest.uniform(roots, args.level), kh_sphere,
+            config=EulerConfig(flux=args.flux))
+        print(f"blocked lattice path: {solver.n_external_faces} "
+              "cross-root/cap faces gathered, the rest stenciled")
     else:
         mesh = shell_mesh(subdiv=args.subdiv, r_in=args.r_in,
                           thickness=args.thickness, n_layers=args.layers)
         solver = CompressibleEulerSolver(mesh, kh_sphere,
                                          config=EulerConfig(flux=args.flux))
-    print(f"elements={solver.n_elements} faces={solver.conn.n_faces} "
-          f"boundary={solver.conn.n_boundary_faces}")
+    conn = getattr(solver, "conn", None)
+    print(f"elements={solver.n_elements}" + (
+        f" faces={conn.n_faces} boundary={conn.n_boundary_faces}"
+        if conn is not None else ""))
     m0 = solver.compute_integral()
     dt = args.dt or solver.compute_timestep()
     print(f"initial integral={m0:.6f} dt={dt:.3e}")

@@ -190,3 +190,67 @@ class TestShellSolverAMR:
         m_before = (u[0] * f_c.volumes()).sum()
         m_after = (np.asarray(u2)[0] * f.volumes()).sum()
         np.testing.assert_allclose(m_after, m_before, rtol=1e-6)
+
+
+def test_blocked_shell_matches_gather_path():
+    """BlockedShellEulerSolver (uniform-shell lattice fast path) == the
+    general gather path cell-for-cell: same state after stepping, same
+    integral, same CFL dt — the config-4 counterpart of the brick blocked
+    equivalence (tests/test_solver_euler.py)."""
+    from t8gpu_tpu.mesh.shell_forest import (PrismForest, ShellForestMesh,
+                                             shell_roots)
+    from t8gpu_tpu.models.blocked_shell import (BlockedShellEulerSolver,
+                                                can_block_shell)
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    for subdiv, level, layers in ((1, 2, 2), (1, 1, 1)):
+        forest = PrismForest.uniform(shell_roots(subdiv=subdiv,
+                                                 n_layers=layers), level)
+        assert can_block_shell(forest)
+        ref = CompressibleEulerSolver(ShellForestMesh.from_forest(forest),
+                                      kh_sphere)
+        blk = BlockedShellEulerSolver(forest, kh_sphere)
+        assert blk.n_elements == ref.n_elements
+        np.testing.assert_allclose(blk.conserved_state(),
+                                   ref.conserved_state(),
+                                   rtol=1e-6, atol=1e-7)
+        dt = 2e-4
+        for _ in range(3):
+            ref.iterate(dt)
+            blk.iterate(dt)
+        np.testing.assert_allclose(blk.conserved_state(),
+                                   ref.conserved_state(),
+                                   rtol=2e-5, atol=1e-6)
+        np.testing.assert_allclose(blk.compute_integral(),
+                                   ref.compute_integral(), rtol=1e-5)
+        np.testing.assert_allclose(blk.compute_timestep(),
+                                   ref.compute_timestep(), rtol=1e-4)
+
+    # AMR / non-uniform shells must be rejected
+    f = PrismForest.uniform(shell_roots(subdiv=1), 1)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[0] = 1
+    f2, _ = f.adapt(f.balance_flags(flags))
+    assert not can_block_shell(f2)
+
+
+def test_blocked_shell_conservation_and_batching():
+    """iterate_many == repeated iterate; mass conserved to fp roundoff
+    (the shell is closed: caps are walls, laterals interior)."""
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+    from t8gpu_tpu.models.blocked_shell import BlockedShellEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    forest = PrismForest.uniform(shell_roots(subdiv=1), 1)
+    a = BlockedShellEulerSolver(forest, kh_sphere)
+    b = BlockedShellEulerSolver(forest, kh_sphere)
+    m0 = a.compute_integral()
+    dt = 2e-4
+    for _ in range(4):
+        a.iterate(dt)
+    b.iterate_many(4, dt)
+    np.testing.assert_allclose(a.conserved_state(), b.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+    assert abs(a.compute_integral() - m0) / abs(m0) < 1e-5
+    assert np.isfinite(a.conserved_state()).all()
