@@ -14,14 +14,29 @@ neighbor relation is a constant lattice offset:
     radial  <-> rg +- 1       (same footprint, neighboring radial cell)
 
 This module steps a uniform shell as a dense lattice
-[5, 2^l, 2^l, 2, Rg, n_tris] where all intra-root fluxes are four full-array
-stencil passes (XLA fuses them; no gathers, no CSR), and only the O(N^(2/3))
-cross-root + cap faces go through the general gather/accumulate machinery.
+[5, 2^l, 2^l, 2, Rg, n_tris] where
+
+  * all intra-root interior fluxes are four full-array stencil passes
+    (XLA fuses them; no gathers, no CSR);
+  * the shell-cap WALLS are two more stencil rows (reflective flux on the
+    rg=0 / rg=Rg-1 slices with outward radial normals);
+  * only the O(N^(2/3)) cross-root lateral faces are gathered — and only
+    from a compact PACKED boundary array (the union lattice-edge pattern
+    of every root), with a lattice-shaped incidence table accumulating
+    the results.
+
 The per-face math is IDENTICAL to the gather path (same `face_basis`
 rotation, same KEPES flux, same areas from the same face walk), so the two
 paths agree cell-for-cell up to summation order — tested like the brick
 blocked path (models/blocked_euler.py, BASELINE config 1's lever applied to
 config 4).
+
+Multi-chip: everything except the packed-boundary exchange is elementwise
+over the root axis (minor, lane-aligned), so `ShardedBlockedShellEulerSolver`
+shards the root axis across a device mesh with `jax.sharding` annotations
+and lets GSPMD insert ONE all-gather of the packed boundary columns per
+flux evaluation — the lattice analogue of the ghost-layer exchange
+(ref mesh_manager.h:189-229).
 
 Lattice slots with i+j beyond the triangular footprint hold GUARD_STATE and
 zero face areas; unclaimed normals are unit-x so `face_basis` stays finite
@@ -42,26 +57,39 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from t8gpu_tpu.mesh.connectivity import FaceConnectivity, build_connectivity
 from t8gpu_tpu.mesh.shell_forest import PrismForest, _decode_paths
 from t8gpu_tpu.models.compressible_euler import GUARD_STATE
-from t8gpu_tpu.ops import euler, fluxes, rk
+from t8gpu_tpu.ops import euler, rk
+from t8gpu_tpu.ops.fluxes import gather_cols
 from t8gpu_tpu.utils.config import EulerConfig
 
 
 class ShellLatticeGeometry(NamedTuple):
-    """Static per-face geometry of the lattice stencil (a jit pytree).
+    """Static per-face geometry + topology of the lattice step (a pytree).
 
     Lateral arrays are indexed by the UP slot of each of the 3 intra-root
-    directions; radial arrays by the LOWER slot of each radial pair.
-    Zero area marks "no face here" (footprint guard slots, root borders,
-    shell caps); their normals are unit-x placeholders.
+    directions; cap arrays by the (rg=0, rg=Rg-1) slices with OUTWARD
+    normals.  Zero area marks "no face here"; placeholder normals are
+    unit-x.  `pat_i/pat_j` select the packed boundary columns (the union
+    lattice-edge pattern, identical for every root); `ext_*` describe the
+    cross-root faces over packed positions; `inc/inc_sign` accumulate the
+    external fluxes back onto lattice slots.
     """
 
     lat_area: tuple    # 3 x [Ei, Ej, Rg, T]
     lat_normal: tuple  # 3 x [3, Ei, Ej, Rg, T], oriented UP -> DOWN
     rad_area: jnp.ndarray    # [Ei, Ej, 2, Rg, T]
     rad_normal: jnp.ndarray  # [3, Ei, Ej, 2, Rg, T], oriented low -> high
+    cap_area: jnp.ndarray    # [Ei, Ej, 2, 2, T]  (rg=0 row, rg=Rg-1 row)
+    cap_normal: jnp.ndarray  # [3, Ei, Ej, 2, 2, T], outward
+    pat_i: jnp.ndarray       # i32 [P] boundary-pattern lattice rows
+    pat_j: jnp.ndarray       # i32 [P]
+    ext_l: jnp.ndarray       # i32 [M] packed position of the left slot
+    ext_r: jnp.ndarray       # i32 [M]
+    ext_normal: jnp.ndarray  # f32 [3, M], left -> right
+    ext_area: jnp.ndarray    # f32 [M]
+    inc: jnp.ndarray         # i32 [Ei, Ej, 2, Rg, T, D] -> column of all_f
+    inc_sign: jnp.ndarray    # f32 [Ei, Ej, 2, Rg, T, D]
 
 
 def can_block_shell(forest) -> bool:
@@ -89,11 +117,10 @@ def _decode_slots(forest: PrismForest):
 
 
 def _build_lattice(forest: PrismForest):
-    """Classify every face of the uniform shell into the 4 stencil
-    directions (scattered into dense per-direction area/normal arrays) or
-    the external gather list (cross-root laterals + caps)."""
+    """Classify every face of the uniform shell: the 3 lateral stencil
+    directions, radial-internal, cap walls (all scattered into dense
+    lattice arrays), or the cross-root external list (packed positions)."""
     (tt, i, j, o, rg), flat, (E, Rg, T) = _decode_slots(forest)
-    S = E * E * 2 * Rg * T
     f = forest.build_faces()
     l, r = np.asarray(f["left"]), np.asarray(f["right"])
     normal = np.asarray(f["normal"], np.float64)  # [3, F]
@@ -140,22 +167,77 @@ def _build_lattice(forest: PrismForest):
     for c in range(3):
         rn[c][sl] = normal[c, idx] * sgn
 
+    # cap walls (the only boundary of a shell) as the rg=0 / rg=Rg-1 rows
+    ca = np.zeros((E, E, 2, 2, T))
+    cn = np.zeros((3, E, E, 2, 2, T))
+    cn[0] = 1.0
+    be = np.asarray(f["b_elem"])
+    bn = np.asarray(f["b_normal"], np.float64)
+    ba = np.asarray(f["b_area"], np.float64)
+    assert ((rg[be] == 0) | (rg[be] == Rg - 1)).all(), \
+        "shell boundary faces must be radial caps"
+    cap_row = (rg[be] == Rg - 1).astype(np.int64)
+    sl = (i[be], j[be], o[be], cap_row, tt[be])
+    ca[sl] = ba
+    for c in range(3):
+        cn[c][sl] = bn[c]
+
+    # cross-root lateral faces over the packed boundary pattern
     ext = np.flatnonzero(~claimed)
-    conn_ext = build_connectivity(
-        left=flat[l[ext]], right=flat[r[ext]],
-        normal=np.asarray(normal[:, ext], np.float32),
-        area=np.asarray(area[ext], np.float32), n_elements=S,
-        b_elem=flat[np.asarray(f["b_elem"])],
-        b_normal=np.asarray(f["b_normal"], np.float32),
-        b_area=np.asarray(f["b_area"], np.float32),
-        element_capacity=S)
+    el, er = l[ext], r[ext]
+    assert (o[el] == 0).all() and (o[er] == 0).all(), \
+        "cross-root faces touch UP lattice-edge cells only"
+    pat = np.unique(np.stack([np.concatenate([i[el], i[er]]),
+                              np.concatenate([j[el], j[er]])], 1), axis=0)
+    pat_of = {(int(a), int(b)): k for k, (a, b) in enumerate(pat)}
+    P = len(pat)
+
+    def packed(e):
+        pk = np.array([pat_of[(int(a), int(b))] for a, b in
+                       zip(i[e], j[e])], np.int64)
+        return (pk * Rg + rg[e]) * T + tt[e]
+
+    M = len(ext)
+    S = E * E * 2 * Rg * T
+    slot_of = lambda e: (((i[e] * E + j[e]) * 2 + o[e]) * Rg + rg[e]) * T \
+        + tt[e]
+    slots = np.concatenate([slot_of(el), slot_of(er)])
+    signs = np.concatenate([np.full(M, -1.0, np.float32),
+                            np.full(M, 1.0, np.float32)])
+    fids = np.concatenate([np.arange(M), np.arange(M)])
+    # depth = rank within equal-slot group (a corner cell is the endpoint
+    # of up to 3 cross-root faces); (slot, depth) pairs are then unique
+    order = np.argsort(slots, kind="stable")
+    ss = slots[order]
+    new = np.r_[True, ss[1:] != ss[:-1]]
+    depth = np.arange(len(ss)) - np.maximum.accumulate(
+        np.where(new, np.arange(len(ss)), 0))
+    D = int(depth.max(initial=-1)) + 1 if len(ss) else 1
+    assert D <= 3, f"cross-root faces per slot: {D}"
+    D = max(D, 1)
+    inc = np.full((S, D), M, np.int64)                  # M -> sentinel col
+    inc_sign = np.zeros((S, D), np.float32)
+    inc[ss, depth] = fids[order]
+    inc_sign[ss, depth] = signs[order]
+    inc = inc.reshape(E, E, 2, Rg, T, D)
+    inc_sign = inc_sign.reshape(E, E, 2, Rg, T, D)
 
     geo = ShellLatticeGeometry(
         lat_area=tuple(jnp.asarray(a, jnp.float32) for a in lat_area),
         lat_normal=tuple(jnp.asarray(nn, jnp.float32) for nn in lat_normal),
         rad_area=jnp.asarray(ra, jnp.float32),
-        rad_normal=jnp.asarray(rn, jnp.float32))
-    return geo, conn_ext, flat, (E, Rg, T), len(ext)
+        rad_normal=jnp.asarray(rn, jnp.float32),
+        cap_area=jnp.asarray(ca, jnp.float32),
+        cap_normal=jnp.asarray(cn, jnp.float32),
+        pat_i=jnp.asarray(pat[:, 0], jnp.int32),
+        pat_j=jnp.asarray(pat[:, 1], jnp.int32),
+        ext_l=jnp.asarray(packed(el), jnp.int32),
+        ext_r=jnp.asarray(packed(er), jnp.int32),
+        ext_normal=jnp.asarray(normal[:, ext], jnp.float32),
+        ext_area=jnp.asarray(area[ext], jnp.float32),
+        inc=jnp.asarray(inc, jnp.int32),
+        inc_sign=jnp.asarray(inc_sign, jnp.float32))
+    return geo, flat, (E, Rg, T), M, P
 
 
 def _dir_flux(q_l, q_r, normal, area, gamma, flux):
@@ -168,14 +250,15 @@ def _dir_flux(q_l, q_r, normal, area, gamma, flux):
             (sp * (area > 0)).max())
 
 
-def _lattice_divergence(u, geo: ShellLatticeGeometry,
-                        conn_ext: FaceConnectivity, gamma: float, flux: str):
+def _lattice_divergence(u, geo: ShellLatticeGeometry, gamma: float,
+                        flux: str, replicate=None):
     """Signed flux accumulation per lattice slot [5, Ei, Ej, 2, Rg, T]
-    (accumulate convention: acc[left] -= F, acc[right] += F) + max speed.
+    (plain-path convention: acc[left] -= F, acc[right] += F) + max speed.
 
     Axes: 1=i, 2=j, 3=o(up/down), 4=rg, 5=tri.  All intra-root neighbor
     access is rolls (concat-of-slices under XLA); rolled-in garbage rows
-    always carry zero area.
+    always carry zero area.  `replicate` (sharded path) pins the packed
+    boundary array to a replicated sharding — the ONE collective.
     """
     q = euler.maybe_barrier(euler.cell_fields(u, gamma, flux))
     q_up = q[:, :, :, 0]                         # [C, Ei, Ej, Rg, T]
@@ -207,29 +290,53 @@ def _lattice_divergence(u, geo: ShellLatticeGeometry,
     acc = acc - F + jnp.roll(F, 1, axis=4)       # lower side is left
     speed = jnp.maximum(speed, sp)
 
-    # cross-root + cap faces: the general gather path over flat slots
-    q_flat = q.reshape(q.shape[0], -1)
-    f, sp_f = fluxes.interior_face_fluxes_fields(q_flat, conn_ext,
-                                                 gamma, flux)
-    fb, sp_b = fluxes.boundary_face_fluxes_fields(q_flat, conn_ext,
-                                                  gamma, flux)
-    acc = acc + fluxes.accumulate(f, fb, conn_ext).reshape(acc.shape)
-    speed = jnp.maximum(speed, jnp.maximum(sp_f.max(), sp_b.max()))
+    # cap walls: reflective flux on the two radial boundary rows
+    Rg = u.shape[4]
+    q_cap = q[:, :, :, :, (0, Rg - 1)]           # [C, Ei, Ej, 2, 2, T]
+    basis = euler.face_basis(geo.cap_normal)
+    q_rot = euler.fields_rotate(q_cap, *basis)
+    f_rot, sp = euler.fields_flux(q_rot, euler.fields_mirror(q_rot),
+                                  gamma=gamma, flux=flux)
+    Fc = euler.inverse_rotate_state(f_rot, *basis) * geo.cap_area
+    acc = acc.at[:, :, :, :, 0].add(-Fc[:, :, :, :, 0])
+    acc = acc.at[:, :, :, :, Rg - 1].add(-Fc[:, :, :, :, 1])
+    speed = jnp.maximum(speed, (sp * (geo.cap_area > 0)).max())
+
+    # cross-root faces over the packed boundary columns [C, P, Rg, T]
+    q_bnd = q[:, geo.pat_i, geo.pat_j, 0]
+    q_bnd = q_bnd.reshape(q.shape[0], -1)
+    if replicate is not None:
+        q_bnd = replicate(q_bnd)
+    basis = euler.face_basis(geo.ext_normal)
+    f_rot, sp = euler.fields_flux(
+        euler.fields_rotate(q_bnd[:, geo.ext_l], *basis),
+        euler.fields_rotate(q_bnd[:, geo.ext_r], *basis),
+        gamma=gamma, flux=flux)
+    f_ext = euler.inverse_rotate_state(f_rot, *basis) * geo.ext_area
+    speed = jnp.maximum(speed, (sp * (geo.ext_area > 0)).max())
+    all_f = jnp.concatenate(
+        [f_ext, jnp.zeros((f_ext.shape[0], 1), f_ext.dtype)], axis=1)
+    pad = -all_f.shape[0] % 8                    # 32-byte-aligned rows
+    if pad:
+        all_f = jnp.concatenate(
+            [all_f, jnp.zeros((pad, all_f.shape[1]), all_f.dtype)])
+    contrib = gather_cols(all_f, geo.inc)[:f_ext.shape[0]]
+    acc = acc + (contrib * geo.inc_sign).sum(axis=-1)
     return acc, speed
 
 
 @functools.partial(jax.jit, static_argnames=("gamma", "flux"),
                    donate_argnames=("u",))
-def _rk3_step(u, geo, conn_ext, inv_volume, dt, *, gamma: float, flux: str):
-    fn = lambda v: _lattice_divergence(v, geo, conn_ext, gamma, flux)
+def _rk3_step(u, geo, inv_volume, dt, *, gamma: float, flux: str):
+    fn = lambda v: _lattice_divergence(v, geo, gamma, flux)
     return rk.ssp_rk3(u, fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit, static_argnames=("gamma", "flux", "n_steps"),
                    donate_argnames=("u",))
-def _rk3_multi(u, geo, conn_ext, inv_volume, dt, *, n_steps: int,
+def _rk3_multi(u, geo, inv_volume, dt, *, n_steps: int,
                gamma: float, flux: str):
-    fn = lambda v: _lattice_divergence(v, geo, conn_ext, gamma, flux)
+    fn = lambda v: _lattice_divergence(v, geo, gamma, flux)
 
     def body(_i, carry):
         v, _ = carry
@@ -255,11 +362,11 @@ class BlockedShellEulerSolver:
         self.config = config
         self.forest = forest
         self._n = forest.n_elements
-        geo, conn_ext, flat, (E, Rg, T), n_ext = _build_lattice(forest)
+        geo, flat, (E, Rg, T), n_ext, n_pat = _build_lattice(forest)
         self._geo = geo
-        self._conn_ext = conn_ext
         self._perm = flat                       # element k -> flat slot
         self.n_external_faces = n_ext
+        self.n_boundary_columns = n_pat * Rg * T
         self._shape = (E, E, 2, Rg, T)
         S = E * E * 2 * Rg * T
 
@@ -283,13 +390,13 @@ class BlockedShellEulerSolver:
 
     def iterate(self, dt: float):
         self.u, self._max_speed = _rk3_step(
-            self.u, self._geo, self._conn_ext, self.inv_volume,
+            self.u, self._geo, self.inv_volume,
             jnp.asarray(dt, jnp.float32),
             gamma=self.config.gamma, flux=self.config.flux)
 
     def iterate_many(self, n_steps: int, dt: float):
         self.u, self._max_speed = _rk3_multi(
-            self.u, self._geo, self._conn_ext, self.inv_volume,
+            self.u, self._geo, self.inv_volume,
             jnp.asarray(dt, jnp.float32), n_steps=n_steps,
             gamma=self.config.gamma, flux=self.config.flux)
 
@@ -303,8 +410,7 @@ class BlockedShellEulerSolver:
         CompressibleEulerSolver.compute_timestep_device)."""
         if self._max_speed is None:
             _, self._max_speed = _lattice_divergence(
-                self.u, self._geo, self._conn_ext,
-                self.config.gamma, self.config.flux)
+                self.u, self._geo, self.config.gamma, self.config.flux)
         return jnp.asarray(self.config.cfl * self._cfl_h,
                            jnp.float32) / self._max_speed
 
@@ -328,3 +434,71 @@ class BlockedShellEulerSolver:
         """[5, N] in the forest's SFC element order."""
         flat = np.asarray(self.u).reshape(5, -1)
         return flat[:, self._perm]
+
+
+# -----------------------------------------------------------------------------
+# Multi-chip: shard the root-triangle axis
+# -----------------------------------------------------------------------------
+
+def _shard_geo(geo: ShellLatticeGeometry, mesh, P):
+    """Place the lattice geometry on the device mesh: every lattice-shaped
+    array shards its root axis (minor-most before the incidence depth);
+    the packed external-face tables replicate."""
+    from jax.sharding import NamedSharding
+
+    def S(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    lat = lambda nd: S(*((None,) * (nd - 1) + ("roots",)))
+    rep = S()
+    return ShellLatticeGeometry(
+        lat_area=tuple(jax.device_put(a, lat(4)) for a in geo.lat_area),
+        lat_normal=tuple(jax.device_put(a, lat(5)) for a in geo.lat_normal),
+        rad_area=jax.device_put(geo.rad_area, lat(5)),
+        rad_normal=jax.device_put(geo.rad_normal, lat(6)),
+        cap_area=jax.device_put(geo.cap_area, lat(5)),
+        cap_normal=jax.device_put(geo.cap_normal, lat(6)),
+        pat_i=jax.device_put(geo.pat_i, rep),
+        pat_j=jax.device_put(geo.pat_j, rep),
+        ext_l=jax.device_put(geo.ext_l, rep),
+        ext_r=jax.device_put(geo.ext_r, rep),
+        ext_normal=jax.device_put(geo.ext_normal, rep),
+        ext_area=jax.device_put(geo.ext_area, rep),
+        inc=jax.device_put(geo.inc, S(None, None, None, None, "roots",
+                                      None)),
+        inc_sign=jax.device_put(geo.inc_sign,
+                                S(None, None, None, None, "roots", None)))
+
+
+class ShardedBlockedShellEulerSolver(BlockedShellEulerSolver):
+    """The blocked shell fast path over a device mesh: the root-triangle
+    axis (minor, lane-aligned) is sharded; the stencil passes partition
+    trivially (they are elementwise over roots) and the packed boundary
+    columns replicate per flux evaluation — GSPMD inserts that one
+    all-gather, the ghost exchange of this formulation.
+
+    Same surface as the single-device solver; conserved_state() gathers.
+    """
+
+    def __init__(self, forest: PrismForest,
+                 ic: Callable[[np.ndarray], np.ndarray],
+                 devices=None, config: EulerConfig = EulerConfig()):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        super().__init__(forest, ic, config=config)
+        if devices is None:
+            devices = jax.devices()
+        T = self._shape[-1]
+        assert T % len(devices) == 0, \
+            f"root count {T} must divide evenly over {len(devices)} devices"
+        self.n_shards = len(devices)
+        mesh = Mesh(np.array(devices), ("roots",))
+        self._mesh = mesh
+        P = PartitionSpec
+        lat6 = NamedSharding(mesh, P(None, None, None, None, None, "roots"))
+        lat5 = NamedSharding(mesh, P(None, None, None, None, "roots"))
+        self._repl = NamedSharding(mesh, P())
+        self.u = jax.device_put(self.u, lat6)
+        self.volume = jax.device_put(self.volume, lat5)
+        self.inv_volume = jax.device_put(self.inv_volume, lat5)
+        self._geo = _shard_geo(self._geo, mesh, P)

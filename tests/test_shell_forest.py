@@ -254,3 +254,29 @@ def test_blocked_shell_conservation_and_batching():
                                rtol=1e-6, atol=1e-7)
     assert abs(a.compute_integral() - m0) / abs(m0) < 1e-5
     assert np.isfinite(a.conserved_state()).all()
+
+
+def test_sharded_blocked_shell_matches_single_device():
+    """ShardedBlockedShellEulerSolver (root axis over the device mesh,
+    packed-boundary all-gather as the ghost exchange) == single device —
+    multi-chip config 4 on the lattice fast path."""
+    import jax
+
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+    from t8gpu_tpu.models.blocked_shell import (
+        BlockedShellEulerSolver, ShardedBlockedShellEulerSolver)
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    forest = PrismForest.uniform(shell_roots(subdiv=1, n_layers=2), 2)
+    single = BlockedShellEulerSolver(forest, kh_sphere)
+    sharded = ShardedBlockedShellEulerSolver(forest, kh_sphere,
+                                             devices=jax.devices())
+    assert sharded.n_shards == len(jax.devices())
+    dt = 2e-4
+    single.iterate_many(3, dt)
+    sharded.iterate_many(3, dt)
+    np.testing.assert_allclose(sharded.conserved_state(),
+                               single.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(sharded.compute_timestep(),
+                               single.compute_timestep(), rtol=1e-5)
