@@ -251,14 +251,14 @@ def _dir_flux(q_l, q_r, normal, area, gamma, flux):
 
 
 def _lattice_divergence(u, geo: ShellLatticeGeometry, gamma: float,
-                        flux: str, replicate=None):
+                        flux: str):
     """Signed flux accumulation per lattice slot [5, Ei, Ej, 2, Rg, T]
     (plain-path convention: acc[left] -= F, acc[right] += F) + max speed.
 
     Axes: 1=i, 2=j, 3=o(up/down), 4=rg, 5=tri.  All intra-root neighbor
     access is rolls (concat-of-slices under XLA); rolled-in garbage rows
-    always carry zero area.  `replicate` (sharded path) pins the packed
-    boundary array to a replicated sharding — the ONE collective.
+    always carry zero area.  Under the sharded solver GSPMD replicates the
+    packed boundary array (one all-gather) — no explicit collective here.
     """
     q = euler.maybe_barrier(euler.cell_fields(u, gamma, flux))
     q_up = q[:, :, :, 0]                         # [C, Ei, Ej, Rg, T]
@@ -305,8 +305,6 @@ def _lattice_divergence(u, geo: ShellLatticeGeometry, gamma: float,
     # cross-root faces over the packed boundary columns [C, P, Rg, T]
     q_bnd = q[:, geo.pat_i, geo.pat_j, 0]
     q_bnd = q_bnd.reshape(q.shape[0], -1)
-    if replicate is not None:
-        q_bnd = replicate(q_bnd)
     basis = euler.face_basis(geo.ext_normal)
     f_rot, sp = euler.fields_flux(
         euler.fields_rotate(q_bnd[:, geo.ext_l], *basis),
