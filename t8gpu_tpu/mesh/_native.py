@@ -33,6 +33,13 @@ def _load():
     if not path.exists():
         return None
     lib = ctypes.CDLL(str(path))
+    for sym in ("t8f_morton_encode", "t8f_build_faces", "t8f_balance_flags",
+                "t8f_match_records"):
+        if not hasattr(lib, sym):
+            # a .so built before this revision: fall back to NumPy
+            # everywhere rather than AttributeError mid-walk (rebuild
+            # with native/build.sh to restore the fast paths)
+            return None
     lib.t8f_morton_encode.argtypes = [_I64, ctypes.c_int64, ctypes.c_int, _U64]
     lib.t8f_build_faces.argtypes = [
         _I64, _I8, _U64, ctypes.c_int64, ctypes.c_int, ctypes.c_int,

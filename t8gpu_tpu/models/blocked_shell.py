@@ -199,9 +199,7 @@ def _build_lattice(forest: PrismForest):
 
     M = len(ext)
     S = E * E * 2 * Rg * T
-    slot_of = lambda e: (((i[e] * E + j[e]) * 2 + o[e]) * Rg + rg[e]) * T \
-        + tt[e]
-    slots = np.concatenate([slot_of(el), slot_of(er)])
+    slots = np.concatenate([flat[el], flat[er]])
     signs = np.concatenate([np.full(M, -1.0, np.float32),
                             np.full(M, 1.0, np.float32)])
     fids = np.concatenate([np.arange(M), np.arange(M)])
@@ -222,21 +220,21 @@ def _build_lattice(forest: PrismForest):
     inc = inc.reshape(E, E, 2, Rg, T, D)
     inc_sign = inc_sign.reshape(E, E, 2, Rg, T, D)
 
-    geo = ShellLatticeGeometry(
-        lat_area=tuple(jnp.asarray(a, jnp.float32) for a in lat_area),
-        lat_normal=tuple(jnp.asarray(nn, jnp.float32) for nn in lat_normal),
-        rad_area=jnp.asarray(ra, jnp.float32),
-        rad_normal=jnp.asarray(rn, jnp.float32),
-        cap_area=jnp.asarray(ca, jnp.float32),
-        cap_normal=jnp.asarray(cn, jnp.float32),
-        pat_i=jnp.asarray(pat[:, 0], jnp.int32),
-        pat_j=jnp.asarray(pat[:, 1], jnp.int32),
-        ext_l=jnp.asarray(packed(el), jnp.int32),
-        ext_r=jnp.asarray(packed(er), jnp.int32),
-        ext_normal=jnp.asarray(normal[:, ext], jnp.float32),
-        ext_area=jnp.asarray(area[ext], jnp.float32),
-        inc=jnp.asarray(inc, jnp.int32),
-        inc_sign=jnp.asarray(inc_sign, jnp.float32))
+    geo = ShellLatticeGeometry(            # host arrays; placed by _install
+        lat_area=tuple(np.asarray(a, np.float32) for a in lat_area),
+        lat_normal=tuple(np.asarray(nn, np.float32) for nn in lat_normal),
+        rad_area=np.asarray(ra, np.float32),
+        rad_normal=np.asarray(rn, np.float32),
+        cap_area=np.asarray(ca, np.float32),
+        cap_normal=np.asarray(cn, np.float32),
+        pat_i=np.asarray(pat[:, 0], np.int32),
+        pat_j=np.asarray(pat[:, 1], np.int32),
+        ext_l=np.asarray(packed(el), np.int32),
+        ext_r=np.asarray(packed(er), np.int32),
+        ext_normal=np.asarray(normal[:, ext], np.float32),
+        ext_area=np.asarray(area[ext], np.float32),
+        inc=np.asarray(inc, np.int32),
+        inc_sign=np.asarray(inc_sign, np.float32))
     return geo, flat, (E, Rg, T), M, P
 
 
@@ -357,11 +355,13 @@ class BlockedShellEulerSolver:
                  config: EulerConfig = EulerConfig()):
         assert can_block_shell(forest), \
             "blocked shell path needs a uniform PrismForest (level >= 1)"
+        assert config.dtype == "float32", \
+            "the blocked shell path computes in float32 (use " \
+            "CompressibleEulerSolver for EulerConfig(dtype='float64'))"
         self.config = config
         self.forest = forest
         self._n = forest.n_elements
-        geo, flat, (E, Rg, T), n_ext, n_pat = _build_lattice(forest)
-        self._geo = geo
+        geo_np, flat, (E, Rg, T), n_ext, n_pat = _build_lattice(forest)
         self._perm = flat                       # element k -> flat slot
         self.n_external_faces = n_ext
         self.n_boundary_columns = n_pat * Rg * T
@@ -373,16 +373,40 @@ class BlockedShellEulerSolver:
         u0 = np.asarray(ic(centers), np.float32)        # [5, N]
         u_flat = np.broadcast_to(GUARD_STATE[:, None], (5, S)).copy()
         u_flat[:, flat] = u0
-        self.u = jnp.asarray(u_flat.reshape((5,) + self._shape))
-
         vol = np.zeros(S, np.float32)
         vol[flat] = volumes
-        self.volume = jnp.asarray(vol.reshape(self._shape))
         inv = np.zeros(S, np.float32)                   # guard slots frozen
         inv[flat] = 1.0 / volumes
-        self.inv_volume = jnp.asarray(inv.reshape(self._shape))
+        self._install(geo_np, u_flat.reshape((5,) + self._shape),
+                      vol.reshape(self._shape), inv.reshape(self._shape))
         self._cfl_h = forest.cfl_h()
         self._max_speed = None
+
+    def _install(self, geo_np: ShellLatticeGeometry, u, vol, inv):
+        """Place the host-built arrays on device: ONE batched upload
+        (utils/xfer.pack_put — per-array transfers pay tunnel latency
+        each).  The sharded subclass overrides this to place each array
+        directly with its target sharding instead."""
+        from t8gpu_tpu.utils.xfer import pack_put
+
+        n_lat = len(geo_np.lat_area)
+        flat_list = (list(geo_np.lat_area) + list(geo_np.lat_normal)
+                     + [geo_np.rad_area, geo_np.rad_normal, geo_np.cap_area,
+                        geo_np.cap_normal, geo_np.pat_i, geo_np.pat_j,
+                        geo_np.ext_l, geo_np.ext_r, geo_np.ext_normal,
+                        geo_np.ext_area, geo_np.inc, geo_np.inc_sign,
+                        u, vol, inv])
+        dev = list(pack_put(flat_list))
+        self._geo = ShellLatticeGeometry(
+            lat_area=tuple(dev[:n_lat]),
+            lat_normal=tuple(dev[n_lat:2 * n_lat]),
+            rad_area=dev[2 * n_lat], rad_normal=dev[2 * n_lat + 1],
+            cap_area=dev[2 * n_lat + 2], cap_normal=dev[2 * n_lat + 3],
+            pat_i=dev[2 * n_lat + 4], pat_j=dev[2 * n_lat + 5],
+            ext_l=dev[2 * n_lat + 6], ext_r=dev[2 * n_lat + 7],
+            ext_normal=dev[2 * n_lat + 8], ext_area=dev[2 * n_lat + 9],
+            inc=dev[2 * n_lat + 10], inc_sign=dev[2 * n_lat + 11])
+        self.u, self.volume, self.inv_volume = dev[-3], dev[-2], dev[-1]
 
     # -- time stepping --------------------------------------------------------
 
@@ -481,22 +505,26 @@ class ShardedBlockedShellEulerSolver(BlockedShellEulerSolver):
     def __init__(self, forest: PrismForest,
                  ic: Callable[[np.ndarray], np.ndarray],
                  devices=None, config: EulerConfig = EulerConfig()):
-        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+        from jax.sharding import Mesh
 
-        super().__init__(forest, ic, config=config)
         if devices is None:
             devices = jax.devices()
-        T = self._shape[-1]
-        assert T % len(devices) == 0, \
-            f"root count {T} must divide evenly over {len(devices)} devices"
         self.n_shards = len(devices)
-        mesh = Mesh(np.array(devices), ("roots",))
-        self._mesh = mesh
-        P = PartitionSpec
+        self._mesh = Mesh(np.array(devices), ("roots",))
+        # _install (called by the base constructor) places every array
+        # with its target sharding directly — no unsharded staging copy
+        super().__init__(forest, ic, config=config)
+
+    def _install(self, geo_np: ShellLatticeGeometry, u, vol, inv):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        T = self._shape[-1]
+        assert T % self.n_shards == 0, \
+            f"root count {T} must divide evenly over {self.n_shards} devices"
+        mesh = self._mesh
+        self._geo = _shard_geo(geo_np, mesh, P)
         lat6 = NamedSharding(mesh, P(None, None, None, None, None, "roots"))
         lat5 = NamedSharding(mesh, P(None, None, None, None, "roots"))
-        self._repl = NamedSharding(mesh, P())
-        self.u = jax.device_put(self.u, lat6)
-        self.volume = jax.device_put(self.volume, lat5)
-        self.inv_volume = jax.device_put(self.inv_volume, lat5)
-        self._geo = _shard_geo(self._geo, mesh, P)
+        self.u = jax.device_put(u, lat6)
+        self.volume = jax.device_put(vol, lat5)
+        self.inv_volume = jax.device_put(inv, lat5)

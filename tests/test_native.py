@@ -17,13 +17,15 @@ LIB = REPO / "native" / "libt8forest.so"
 
 @pytest.fixture(scope="module")
 def native_lib():
-    if not LIB.exists():
+    from t8gpu_tpu.mesh import _native
+    if not _native.available():
+        # missing OR stale (built before a symbol was added): (re)build
         try:
             subprocess.run(["sh", str(REPO / "native" / "build.sh")],
                            check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError) as e:
             pytest.skip(f"native build unavailable: {e}")
-    from t8gpu_tpu.mesh import _native
+        _native._LIB, _native._TRIED = None, False
     if not _native.available():
         pytest.skip("native lib not loadable")
     return _native
