@@ -206,6 +206,35 @@ def bench_sphere():
     }))
 
 
+def _arm_stall_guard(seconds: float = 900.0):
+    """Abort (stderr + exit 3, stdout untouched) if the first device op
+    hasn't completed within `seconds`.  The container's TPU relay can wedge
+    a client forever before its first transfer (CLAUDE.md measurement
+    protocol); a clean fast failure beats an eternal hang — and beats
+    printing a bogus number.  Disarmed once the device answers."""
+    import os
+    import sys
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(seconds):
+            print(f"bench.py: no device response in {seconds:.0f}s — "
+                  "TPU tunnel down, aborting", file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+    def probe():
+        import jax.numpy as jnp
+        float(jnp.arange(4.0).sum())     # first transfer + trivial compile
+        done.set()
+
+    threading.Thread(target=probe, daemon=True).start()
+    return done
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
@@ -214,6 +243,7 @@ def main():
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
     enable_persistent_cache()
+    _arm_stall_guard()
 
     if args.config in ("flagship", "all"):
         bench_flagship()
