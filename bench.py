@@ -44,8 +44,13 @@ def _slope_per_step(run_and_fetch, n1=10, n2=210, trials=3):
     pos = [s for s in slopes if s > 0]
     if pos:
         return min(pos)
-    # a tunnel stall swamped every delta: widen the batch spread once
-    return max(one(n1, n1 + 4 * (n2 - n1)), 1e-12)
+    # a tunnel stall swamped every delta: widen the batch spread once.
+    # Warm the wide program FIRST — a fresh static-n_steps batch size
+    # means a fresh XLA compile (30-300 s) that must stay out of the
+    # timed region.
+    wide = n1 + 4 * (n2 - n1)
+    run_and_fetch(wide)
+    return max(one(n1, wide), 1e-12)
 
 
 def bench_flagship():

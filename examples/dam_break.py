@@ -80,6 +80,9 @@ def main():
         n = min(args.steps - done, to_b if args.amr else args.steps - done)
         if lag and to_b > lag:
             n = min(n, to_b - lag)
+        if args.vtk_every:
+            # chunks must land on VTK boundaries or frames are skipped
+            n = min(n, args.vtk_every - done % args.vtk_every)
         solver.iterate_many(n, dt)
         done += n
         if (lag and done % args.adapt_every == args.adapt_every - lag

@@ -121,6 +121,7 @@ def main():
 
     t0 = time.perf_counter()
     done = start
+    sim_t = start * dt       # exact for fixed --dt; monotone under --dt 0
     adapts = 0
     ck_thread = None
     if args.vtk_every:
@@ -139,6 +140,7 @@ def main():
             n = min(n, args.checkpoint_every - done % args.checkpoint_every)
         solver.iterate_many(n, dt)
         done += n
+        sim_t += n * dt
         if (args.amr and args.adapt_lag
                 and done % args.adapt_every
                     == args.adapt_every - args.adapt_lag
@@ -178,7 +180,7 @@ def main():
                 h = np.asarray(mesh_now.volumes) ** (1.0 / 3.0)
                 f = write_vtu(f"{args.prefix}_{done:06d}.vtu",
                               mesh_now.centers, h, fields, dim=3)
-            vtk_series.add(f, time=done * dt)
+            vtk_series.add(f, time=sim_t)
     if ck_thread is not None:
         ck_thread.join()
     solver.u.block_until_ready()

@@ -148,12 +148,29 @@ def save_solver(path: str, solver, step: int = 0) -> str:
     if forest is None:
         raise ValueError("checkpointing requires a forest-backed mesh "
                          "(ForestMesh / MeshManager), not a UniformMesh")
-    meta = _config_meta(solver.config, solver.amr)
+    meta = _model_meta(solver)
     meta["step"] = step
     spec = getattr(solver, "spec", None)
     if spec is not None:
         meta["extents"] = list(spec.extents)
-    return save_checkpoint(path, forest, solver.conserved_state(), meta)
+    u = solver.conserved_state() if hasattr(solver, "conserved_state") \
+        else np.asarray(solver.state())[None]
+    return save_checkpoint(path, forest, u, meta)
+
+
+def _model_meta(solver) -> dict:
+    """Model tag + the parameters needed to rebuild the solver class —
+    restore_solver dispatches on `model` (the Euler solvers carry the full
+    EulerConfig; the other families carry their own physics constants)."""
+    name = type(solver).__name__
+    if "ShallowWater" in name:
+        return {"model": "shallow_water", "g": solver.g, "cfl": solver.cfl,
+                "amr": dataclasses.asdict(solver.amr)}
+    if "Advection" in name:
+        vel = np.asarray(getattr(solver, "_vel_host"))
+        return {"model": "advection", "velocity": [float(v) for v in vel],
+                "cfl": solver.cfl, "amr": dataclasses.asdict(solver.amr)}
+    return dict(_config_meta(solver.config, solver.amr), model="euler")
 
 
 def save_solver_async(path: str, solver, step: int = 0):
@@ -218,9 +235,22 @@ def restore_solver(path: str):
     from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
     forest, u, meta = load_checkpoint(path)
-    config = EulerConfig(**meta["config"])
     amr = AMRConfig(**meta["amr"])
+    model = meta.get("model", "euler")
 
+    if model == "shallow_water":
+        from t8gpu_tpu.models.shallow_water import ShallowWaterSolver
+        manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
+        return ShallowWaterSolver(manager, lambda _c: u, g=meta["g"],
+                                  cfl=meta["cfl"]), meta
+    if model == "advection":
+        from t8gpu_tpu.models.advection import AdvectionSolver
+        manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
+        return AdvectionSolver(manager, lambda _c: u[0],
+                               velocity=meta["velocity"],
+                               cfl=meta["cfl"]), meta
+
+    config = EulerConfig(**meta["config"])
     if "extents" in meta:
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.models.subgrid_euler import (
@@ -246,9 +276,21 @@ def restore_sharded_solver(path: str, devices=None):
     from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
     forest, u, meta = load_checkpoint(path)
-    config = EulerConfig(**meta["config"])
     amr = AMRConfig(**meta["amr"])
+    model = meta.get("model", "euler")
 
+    if model == "shallow_water":
+        from t8gpu_tpu.parallel.shallow_water import ShardedShallowWaterSolver
+        return ShardedShallowWaterSolver(
+            forest, lambda _c: u, g=meta["g"], devices=devices, amr=amr,
+            cfl=meta["cfl"]), meta
+    if model == "advection":
+        from t8gpu_tpu.parallel.advection import ShardedAdvectionSolver
+        return ShardedAdvectionSolver(
+            forest, lambda _c: u[0], velocity=meta["velocity"],
+            devices=devices, amr=amr, cfl=meta["cfl"]), meta
+
+    config = EulerConfig(**meta["config"])
     if "extents" in meta:
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver

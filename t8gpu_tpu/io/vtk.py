@@ -160,6 +160,17 @@ class VTKSeries:
     def __init__(self, path: str):
         self.path = str(path)
         self._entries: list = []
+        # resumed runs keep their pre-resume frames: reload an existing
+        # index instead of truncating it on the first add()
+        import os
+        if os.path.exists(self.path):
+            import xml.etree.ElementTree as ET
+            try:
+                root = ET.parse(self.path).getroot()
+                self._entries = [(float(d.get("timestep")), d.get("file"))
+                                 for d in root.findall(".//DataSet")]
+            except ET.ParseError:
+                pass                      # corrupt index: start fresh
 
     def add(self, file: str, time: float) -> str:
         import os

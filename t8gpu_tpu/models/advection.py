@@ -123,7 +123,7 @@ class AdvectionSolver:
         self.velocity = jnp.asarray(vel)
         if u.shape[-1] < cap:
             u = jnp.concatenate(
-                [u, jnp.zeros((1, cap - u.shape[-1]), u.dtype)], axis=1)
+                [u, jnp.ones((1, cap - u.shape[-1]), u.dtype)], axis=1)
         self.u = u
 
     # -- stepping -------------------------------------------------------------

@@ -60,7 +60,7 @@ import numpy as np
 from t8gpu_tpu.mesh.shell_forest import PrismForest, _decode_paths
 from t8gpu_tpu.models.compressible_euler import GUARD_STATE
 from t8gpu_tpu.ops import euler, rk
-from t8gpu_tpu.ops.fluxes import gather_cols
+from t8gpu_tpu.ops.fluxes import accumulate_inc
 from t8gpu_tpu.utils.config import EulerConfig
 
 
@@ -310,14 +310,9 @@ def _lattice_divergence(u, geo: ShellLatticeGeometry, gamma: float,
         gamma=gamma, flux=flux)
     f_ext = euler.inverse_rotate_state(f_rot, *basis) * geo.ext_area
     speed = jnp.maximum(speed, (sp * (geo.ext_area > 0)).max())
-    all_f = jnp.concatenate(
-        [f_ext, jnp.zeros((f_ext.shape[0], 1), f_ext.dtype)], axis=1)
-    pad = -all_f.shape[0] % 8                    # 32-byte-aligned rows
-    if pad:
-        all_f = jnp.concatenate(
-            [all_f, jnp.zeros((pad, all_f.shape[1]), all_f.dtype)])
-    contrib = gather_cols(all_f, geo.inc)[:f_ext.shape[0]]
-    acc = acc + (contrib * geo.inc_sign).sum(axis=-1)
+    acc = acc + accumulate_inc(f_ext,
+                               jnp.zeros((f_ext.shape[0], 0), f_ext.dtype),
+                               geo.inc, geo.inc_sign)
     return acc, speed
 
 

@@ -29,7 +29,8 @@ class ShardedAdvectionSolver(ShardedEulerSolver):
     """
 
     N_ROWS = 1
-    GUARD = np.zeros(1, np.float32)
+    GUARD = np.ones(1, np.float32)   # CLAUDE.md: guard padded
+    #                                  slots, never zeros
 
     def __init__(self, forest, ic, velocity, devices=None,
                  amr: AMRConfig = AMRConfig(), cfl: float = 0.7):

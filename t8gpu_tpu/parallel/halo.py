@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from t8gpu_tpu.ops import euler
-from t8gpu_tpu.ops.fluxes import gather_cols
+from t8gpu_tpu.ops.fluxes import accumulate_inc, gather_cols
 from t8gpu_tpu.parallel.partition import ShardedConnectivity
 
 AXIS = "sfc"
@@ -74,13 +74,7 @@ def sharded_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
         fb = jnp.zeros((C, 0), u_local.dtype)
         speed_b = jnp.zeros((0,), u_local.dtype)
 
-    all_f = jnp.concatenate([f, fb, jnp.zeros((C, 1), f.dtype)], axis=1)
-    pad = (-all_f.shape[0]) % 8        # 32-byte-aligned gather rows
-    if pad:
-        all_f = jnp.concatenate(
-            [all_f, jnp.zeros((pad, all_f.shape[1]), all_f.dtype)], axis=0)
-    contrib = gather_cols(all_f, conn.inc_slot)[:C]      # [C, CL, D]
-    acc = (contrib * conn.inc_sign).sum(axis=-1)
+    acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
     local_max = jnp.maximum(speed.max(),
                             speed_b.max() if speed_b.size else 0.0)
     return acc, jax.lax.pmax(local_max, AXIS)
@@ -147,12 +141,7 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
         fb = jnp.zeros((5, 0), u_local.dtype)
         speed_b = jnp.zeros((0,), u_local.dtype)
 
-    all_f = jnp.concatenate([f, fb, jnp.zeros((5, 1), f.dtype)], axis=1)
-    # pad to 8 rows: 32-byte-aligned gather rows (ops/fluxes.accumulate)
-    all_f = jnp.concatenate(
-        [all_f, jnp.zeros((3, all_f.shape[1]), all_f.dtype)], axis=0)
-    contrib = gather_cols(all_f, conn.inc_slot)[:5]      # [5, CL, D]
-    acc = (contrib * conn.inc_sign).sum(axis=-1)
+    acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
 
     local_max = jnp.maximum(speed.max(), speed_b.max() if speed_b.size else 0.0)
     return acc, jax.lax.pmax(local_max, AXIS)

@@ -265,3 +265,60 @@ def test_async_checkpoint_failure_is_raised(tmp_path):
     t = save_solver_async(bad, s, step=0)
     with pytest.raises(RuntimeError, match="async checkpoint"):
         t.join()
+
+
+def test_shallow_water_checkpoint_roundtrip(tmp_path):
+    """The non-Euler families checkpoint too: a ShallowWaterSolver
+    save/restore resumes exactly (model dispatch via the meta tag)."""
+    from t8gpu_tpu.mesh.manager import MeshManager as MM
+    from t8gpu_tpu.models.shallow_water import ShallowWaterSolver
+
+    def dam(c):
+        h = 1.0 + 0.5 * (((c[:, 0] - 0.5) ** 2 + (c[:, 1] - 0.5) ** 2) < 0.02)
+        return np.stack([h, np.zeros_like(h), np.zeros_like(h)])
+
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=0.2)
+    s = ShallowWaterSolver(MM(Forest.uniform(3, dim=2), amr), dam, g=9.81)
+    s.iterate_many(3, 1e-3)
+    s.adapt()
+    s.iterate(1e-3)
+    p = str(tmp_path / "sw.npz")
+    save_solver(p, s, step=4)
+    s2, meta = restore_solver(p)
+    assert meta["model"] == "shallow_water" and meta["step"] == 4
+    assert type(s2).__name__ == "ShallowWaterSolver"
+    np.testing.assert_allclose(s2.conserved_state(), s.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+    s.iterate(1e-3)
+    s2.iterate(1e-3)
+    np.testing.assert_allclose(s2.conserved_state(), s.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_advection_checkpoint_roundtrip(tmp_path):
+    """AdvectionSolver roundtrip incl. the velocity in the metadata;
+    the sharded restore rebuilds a ShardedAdvectionSolver."""
+    import jax
+
+    from t8gpu_tpu.io.checkpoint import restore_sharded_solver
+    from t8gpu_tpu.mesh.manager import MeshManager as MM
+    from t8gpu_tpu.models.advection import AdvectionSolver
+
+    bump = lambda c: np.exp(-80.0 * ((c[:, 0] - 0.4) ** 2
+                                     + (c[:, 1] - 0.5) ** 2))
+    amr = AMRConfig(min_level=2, max_level=4, refine_threshold=1.0)
+    s = AdvectionSolver(MM(Forest.uniform(3, dim=2), amr), bump, (1.0, 0.25))
+    s.iterate_many(3, 1e-3)
+    p = str(tmp_path / "adv.npz")
+    save_solver(p, s, step=3)
+    s2, meta = restore_solver(p)
+    assert meta["model"] == "advection"
+    assert meta["velocity"][:2] == [1.0, 0.25]
+    np.testing.assert_allclose(s2.state(), s.state(), rtol=1e-6, atol=1e-7)
+
+    sh, _ = restore_sharded_solver(p, devices=jax.devices())
+    assert type(sh).__name__ == "ShardedAdvectionSolver"
+    np.testing.assert_allclose(sh.state(), s.state(), rtol=1e-6, atol=1e-7)
+    s2.iterate(1e-3)
+    sh.iterate(1e-3)
+    np.testing.assert_allclose(sh.state(), s2.state(), rtol=1e-5, atol=1e-6)

@@ -280,3 +280,26 @@ def test_pvd_series_index(tmp_path):
             [0.0, 5e-4, 1e-3][: i + 1])
         for d in sets:
             assert (tmp_path / d.get("file")).exists()
+
+
+def test_pvd_series_survives_resume(tmp_path):
+    """A resumed run's VTKSeries keeps the pre-resume frames: the index is
+    reloaded from disk, not truncated by the first post-resume add()."""
+    from t8gpu_tpu.io.vtk import VTKSeries
+
+    n = 3
+    centers = np.random.default_rng(2).uniform(0, 1, (n, 2)).astype(np.float32)
+    sizes = np.full(n, 0.5, np.float32)
+    pvd = str(tmp_path / "run.pvd")
+    s1 = VTKSeries(pvd)
+    for i in range(2):
+        s1.add(write_vtu(str(tmp_path / f"run_{i:06d}.vtu"), centers, sizes,
+                         {"rho": np.ones(n, np.float32)}, dim=2),
+               time=i * 0.5)
+    # "resume": a fresh process constructs a new series over the same path
+    s2 = VTKSeries(pvd)
+    s2.add(write_vtu(str(tmp_path / "run_000002.vtu"), centers, sizes,
+                     {"rho": np.ones(n, np.float32)}, dim=2), time=1.0)
+    sets = ET.parse(pvd).getroot().findall(".//DataSet")
+    assert [float(d.get("timestep")) for d in sets] == [0.0, 0.5, 1.0]
+    assert len({d.get("file") for d in sets}) == 3
