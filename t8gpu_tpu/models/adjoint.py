@@ -1,0 +1,121 @@
+"""Differentiable rollouts: reverse-mode AD (adjoints) through the solvers.
+
+A capability the reference architecture cannot express: its time step is a
+sequence of in-place CUDA kernel launches with atomicAdd flux scatters and
+MPI barriers between them (examples/compressible_euler/solver.cu:75-175),
+so there is no adjoint short of hand-deriving one.  Here every step is a
+pure function of the state, so `jax.grad` applies directly — enabling
+sensitivity analysis, initial-condition/data assimilation, and
+parameter-estimation workflows on top of the same flux/RK code the forward
+solver runs.
+
+Design notes
+------------
+- Rollouts are built with `lax.scan` (reverse-differentiable), NOT the
+  `lax.fori_loop` the forward-only `iterate_many` uses (fori_loop has no
+  reverse-mode rule).
+- Each step is wrapped in `jax.checkpoint` by default so the backward pass
+  rematerializes per-step intermediates: memory stays O(state + n_steps
+  checkpoints) instead of O(n_steps x per-step flux temporaries).  Pass
+  ``remat=False`` for short horizons where storing everything is faster.
+- The fused Pallas kernels define no VJP; differentiable subgrid rollouts
+  therefore force the XLA stencil path (``use_pallas=False``), which is
+  equivalence-tested against the kernels (tests/test_pallas.py) so the
+  primal trajectory matches the production path to fp tolerance.
+- Gradients flow to ``u0`` and ``dt`` (and any closure parameter via
+  standard JAX composition).  Padded capacity slots hold GUARD_STATE and
+  do not couple to real elements, so their cotangents are discardable.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from t8gpu_tpu.ops import rk
+
+__all__ = [
+    "rollout_plain",
+    "rollout_subgrid",
+    "rollout",
+    "loss_and_grad",
+]
+
+
+def _scan_rollout(step, u0, n_steps: int, remat: bool):
+    if remat:
+        step = jax.checkpoint(step)
+
+    u_final, _ = jax.lax.scan(step, u0, xs=None, length=n_steps)
+    return u_final
+
+
+def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
+                  gamma: float = 1.4, flux: str = "kepes",
+                  mode: str = "gather", remat: bool = True):
+    """Differentiable n-step SSP-RK3 rollout on plain elements.
+
+    Same flux path as CompressibleEulerSolver.iterate_many
+    (ops/fluxes.flux_divergence); returns the final state [5, capacity].
+    Differentiable wrt ``u0`` and ``dt``.
+    """
+    from t8gpu_tpu.ops.fluxes import flux_divergence
+
+    def step(u, _):
+        flux_fn = lambda v: flux_divergence(v, conn, gamma=gamma,
+                                            flux=flux, mode=mode)
+        u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_volume)
+        return u_next, None
+
+    return _scan_rollout(step, u0, n_steps, remat)
+
+
+def rollout_subgrid(u0, dt, n_steps: int, volumes, conn, spec,
+                    inv_cell_volume, *, gamma: float = 1.4,
+                    flux: str = "kepes", remat: bool = True):
+    """Differentiable n-step rollout on subgrid elements ([5, *ext, Ecap]).
+
+    Forces the XLA stencil path (the Pallas kernels have no VJP); the
+    stencil is cell-exact against the kernels on the same mesh.
+    """
+    from t8gpu_tpu.ops import subgrid as sg
+
+    def step(u, _):
+        flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
+                                               gamma, flux, use_pallas=False)
+        u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
+        return u_next, None
+
+    return _scan_rollout(step, u0, n_steps, remat)
+
+
+def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
+    """Differentiable rollout using a live solver's mesh/connectivity.
+
+    ``solver`` is a CompressibleEulerSolver or SubgridCompressibleEulerSolver;
+    its current state is the default ``u0``.  The solver itself is NOT
+    mutated — this returns the final state as a value.
+    """
+    u0 = solver.u if u0 is None else u0
+    cfg = solver.config
+    if hasattr(solver, "spec"):          # subgrid solver
+        return rollout_subgrid(
+            u0, dt, n_steps, solver.volumes, solver.conn, solver.spec,
+            solver.inv_cell_volume, gamma=cfg.gamma, flux=cfg.flux,
+            remat=remat)
+    return rollout_plain(
+        u0, dt, n_steps, solver.conn, solver.inv_volume,
+        gamma=cfg.gamma, flux=cfg.flux, remat=remat)
+
+
+def loss_and_grad(solver, loss_fn, dt, n_steps: int, remat: bool = True):
+    """(loss, d loss/d u0) for ``loss_fn(u_final) -> scalar`` after an
+    n-step rollout from the solver's current state.  Jit-compiled; reuse
+    the returned callable pattern by calling again with the same static
+    arguments (JAX caches the trace).
+    """
+
+    def objective(u0):
+        return loss_fn(rollout(solver, dt, n_steps, u0=u0, remat=remat))
+
+    return jax.value_and_grad(objective)(solver.u)
