@@ -47,6 +47,8 @@ def main():
     p.add_argument("--dt", type=float, default=5e-4,
                    help="fixed timestep (ref main.cu:30); 0 = CFL")
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="2 = MUSCL reconstruction (ops/reconstruct.py)")
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh_sphere")
     p.add_argument("--blocked", action="store_true",
@@ -95,22 +97,25 @@ def main():
                           refine_threshold=args.refine_threshold),
             r_in=args.r_in, thickness=args.thickness, n_layers=args.layers)
         solver = CompressibleEulerSolver(mgr, kh_sphere,
-                                         config=EulerConfig(flux=args.flux))
+                                         config=EulerConfig(flux=args.flux, order=args.order))
     elif args.blocked:
+        if args.order != 1:
+            raise SystemExit("--blocked is a first-order fast path; "
+                             "use the gather path for --order 2")
         from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
         from t8gpu_tpu.models.blocked_shell import BlockedShellEulerSolver
         roots = shell_roots(subdiv=args.subdiv, r_in=args.r_in,
                             thickness=args.thickness, n_layers=args.layers)
         solver = BlockedShellEulerSolver(
             PrismForest.uniform(roots, args.level), kh_sphere,
-            config=EulerConfig(flux=args.flux))
+            config=EulerConfig(flux=args.flux, order=args.order))
         print(f"blocked lattice path: {solver.n_external_faces} "
               "cross-root/cap faces gathered, the rest stenciled")
     else:
         mesh = shell_mesh(subdiv=args.subdiv, r_in=args.r_in,
                           thickness=args.thickness, n_layers=args.layers)
         solver = CompressibleEulerSolver(mesh, kh_sphere,
-                                         config=EulerConfig(flux=args.flux))
+                                         config=EulerConfig(flux=args.flux, order=args.order))
     conn = getattr(solver, "conn", None)
     print(f"elements={solver.n_elements}" + (
         f" faces={conn.n_faces} boundary={conn.n_boundary_faces}"

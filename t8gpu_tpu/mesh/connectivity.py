@@ -77,6 +77,15 @@ class FaceConnectivity:
     b_axis_ranges: Optional[tuple] = dataclasses.field(
         default=None, metadata=dict(static=True))
 
+    # MUSCL reconstruction geometry (ops/reconstruct.py): displacement from
+    # each adjacent element's centroid to the face centroid, [3, Fcap] /
+    # [3, Fbcap].  None when the mesh builder supplied no face centroids
+    # (then only first-order flux paths are available).  Periodic meshes
+    # store the wrapped (minimal-image) displacement.
+    d_left: Optional[jnp.ndarray] = None
+    d_right: Optional[jnp.ndarray] = None
+    d_b: Optional[jnp.ndarray] = None
+
     @property
     def face_capacity(self) -> int:
         return self.left.shape[0]
@@ -101,6 +110,10 @@ def build_connectivity(
     sign: Optional[np.ndarray] = None,      # i8 [F]: +-1 normal orientation
     b_axis: Optional[np.ndarray] = None,    # i8 [Fb]
     b_sign: Optional[np.ndarray] = None,    # i8 [Fb]
+    face_center: Optional[np.ndarray] = None,    # [3, F] face centroids
+    b_face_center: Optional[np.ndarray] = None,  # [3, Fb]
+    centers: Optional[np.ndarray] = None,        # [N, dim<=3] element centroids
+    wrap: Optional[float] = None,    # periodic domain period (unit box: 1.0)
 ) -> FaceConnectivity:
     """Assemble a FaceConnectivity from host face lists (NumPy, unpadded).
 
@@ -126,6 +139,8 @@ def build_connectivity(
         left, right, area, axis = (left[order], right[order], area[order],
                                    axis[order])
         normal = normal[:, order]
+        if face_center is not None:
+            face_center = np.asarray(face_center)[:, order]
     if b_axis is not None and b_elem is not None and len(b_elem):
         b_axis = np.asarray(b_axis, np.int64)
         b_sign = np.asarray(b_sign, np.int64)
@@ -134,6 +149,8 @@ def build_connectivity(
         b_normal = np.asarray(b_normal, dtype)[:, b_order]
         b_area = np.asarray(b_area, dtype)[b_order]
         b_axis, b_sign = b_axis[b_order], b_sign[b_order]
+        if b_face_center is not None:
+            b_face_center = np.asarray(b_face_center)[:, b_order]
     F = len(left)
     if b_elem is None:
         b_elem = np.zeros(0, np.int32)
@@ -213,13 +230,40 @@ def build_connectivity(
     inc_slot[elems, offsets] = slots
     inc_sign[elems, offsets] = signs
 
+    # MUSCL displacement geometry: face centroid minus adjacent element
+    # centroid, minimal-image-wrapped on periodic meshes.  Padded faces get
+    # zero displacement (-> zero extrapolation -> first-order, harmless).
+    recon = None
+    if face_center is not None and centers is not None:
+        centers = np.asarray(centers, np.float64)
+        c3 = np.zeros((len(centers), 3))
+        c3[:, : centers.shape[1]] = centers
+        fc = np.asarray(face_center, np.float64)
+
+        def disp(fcent, elem):
+            d = fcent - c3[elem].T
+            if wrap is not None:
+                d -= wrap * np.round(d / wrap)
+            return d
+
+        dl = np.zeros((3, cap_f), dtype)
+        dr = np.zeros((3, cap_f), dtype)
+        dl[:, :F] = disp(fc, left[:F])
+        dr[:, :F] = disp(fc, right[:F])
+        db = np.zeros((3, cap_b), dtype)
+        if cap_b and b_face_center is not None:
+            db[:, :Fb] = disp(np.asarray(b_face_center, np.float64),
+                              np.asarray(b_elem[:Fb], np.int64))
+        recon = (dl, dr, db)
+
     # ONE host->device transfer for the whole connectivity (per-array
     # uploads are latency-bound through slow interconnects; see utils/xfer)
     from t8gpu_tpu.utils.xfer import pack_put
+    arrays = [left_p, right_p, normal_p, area_p, b_elem_p, b_normal_p,
+              b_area_p, inc_slot, inc_sign] + (list(recon) if recon else [])
+    out = pack_put(arrays)
     (d_left, d_right, d_normal, d_area, d_b_elem, d_b_normal, d_b_area,
-     d_inc_slot, d_inc_sign) = pack_put(
-        [left_p, right_p, normal_p, area_p, b_elem_p, b_normal_p, b_area_p,
-         inc_slot, inc_sign])
+     d_inc_slot, d_inc_sign) = out[:9]
     return FaceConnectivity(
         left=d_left,
         right=d_right,
@@ -235,4 +279,7 @@ def build_connectivity(
         n_elements=n_elements,
         axis_ranges=axis_ranges,
         b_axis_ranges=b_axis_ranges,
+        d_left=out[9] if recon else None,
+        d_right=out[10] if recon else None,
+        d_b=out[11] if recon else None,
     )

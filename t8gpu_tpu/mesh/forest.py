@@ -478,10 +478,19 @@ class Forest:
         normal = np.zeros((3, F), np.float32)
         normal[axis, np.arange(F)] = sign
         area = ((size[left] * h) ** (self.dim - 1)).astype(np.float32)
+        # Face centroids from the EMITTING (left, finer-on-hanging) element:
+        # exact for equal-level and 2:1 faces (the emitter's face IS the
+        # shared face).  Used for MUSCL displacement geometry.
+        centers = self.centers()
+        c3 = np.zeros((len(centers), 3))
+        c3[:, : self.dim] = centers
+        face_center = c3[left].T + 0.5 * (size[left] * h) * normal
         if B:
             b_normal = np.zeros((3, B), np.float32)
             b_normal[b_axis, np.arange(B)] = b_sign
             b_area = ((size[b_elem] * h) ** (self.dim - 1)).astype(np.float32)
+            b_face_center = (c3[b_elem].T
+                             + 0.5 * (size[b_elem] * h) * b_normal)
 
         return dict(
             left=left, right=right, normal=normal, area=area,
@@ -492,6 +501,8 @@ class Forest:
             b_area=b_area if B else None,
             b_axis=b_axis if B else None,
             b_sign=b_sign if B else None,
+            face_center=face_center,
+            b_face_center=b_face_center if B else None,
         )
 
     def connectivity(self, element_capacity: Optional[int] = None) -> FaceConnectivity:
@@ -503,6 +514,10 @@ class Forest:
             element_capacity=element_capacity,
             axis=f["axis"], sign=f["sign"],
             b_axis=f["b_axis"], b_sign=f["b_sign"],
+            face_center=f["face_center"],
+            b_face_center=f["b_face_center"],
+            centers=self.centers(),
+            wrap=1.0 if self.periodic else None,
         )
 
 

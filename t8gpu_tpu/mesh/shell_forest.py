@@ -716,6 +716,8 @@ class PrismForest:
             cent = p.mean(axis=1)
             return nvec, cent
 
+        f_cents, b_cents = [], []
+
         def emit(le, ri, nvec, cent):
             out = cent - centers[le]
             s = np.sign((nvec * out).sum(axis=1))         # orient left->right
@@ -725,6 +727,7 @@ class PrismForest:
             rights.append(ri)
             normals.append((nvec / area[:, None]).T)
             areas.append(area)
+            f_cents.append(cent.T)
 
         def emit_boundary(el, nvec, cent):
             out = cent - centers[el]
@@ -734,6 +737,7 @@ class PrismForest:
             b_elems.append(el)
             b_normals.append((nvec / area[:, None]).T)
             b_areas.append(area)
+            b_cents.append(cent.T)
 
         if len(lat["eq_l"]):
             nvec, cent = lateral_geom(lat["eq_l"], lat["eq_side_l"])
@@ -763,6 +767,9 @@ class PrismForest:
             b_area=(np.concatenate(b_areas).astype(np.float32)
                     if b_elems else None),
             axis=None, sign=None, b_axis=None, b_sign=None,
+            face_center=np.concatenate(f_cents, axis=1),
+            b_face_center=(np.concatenate(b_cents, axis=1)
+                           if b_elems else None),
         )
 
     def connectivity(self, element_capacity: Optional[int] = None
@@ -776,6 +783,9 @@ class PrismForest:
                 area=f["area"], n_elements=self.n_elements,
                 b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
                 element_capacity=element_capacity,
+                face_center=f["face_center"],
+                b_face_center=f["b_face_center"],
+                centers=self.centers(),
             )
 
     def cfl_h(self) -> float:

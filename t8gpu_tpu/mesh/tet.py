@@ -456,6 +456,7 @@ class TetForest:
 
         lefts, rights, normals, areas = [], [], [], []
         b_elems, b_normals, b_areas = [], [], []
+        f_cents, b_cents = [], []
 
         def orient(el, nvec, cent):
             s = np.sign(((cent - centers[el]) * nvec).sum(axis=1))
@@ -469,6 +470,7 @@ class TetForest:
             rights.append(ri)
             normals.append((nvec / area[:, None]).T)
             areas.append(area)
+            f_cents.append(cent.T)
 
         if len(m["eq_l"]):
             emit(m["eq_l"], m["eq_r"], m["eq_side_l"])
@@ -482,6 +484,7 @@ class TetForest:
             b_elems.append(el)
             b_normals.append((nvec / area[:, None]).T)
             b_areas.append(area)
+            b_cents.append(cent.T)
 
         has_b = bool(b_elems)
         return dict(
@@ -495,6 +498,9 @@ class TetForest:
             b_area=(np.concatenate(b_areas).astype(np.float32)
                     if has_b else None),
             axis=None, sign=None, b_axis=None, b_sign=None,
+            face_center=np.concatenate(f_cents, axis=1),
+            b_face_center=(np.concatenate(b_cents, axis=1)
+                           if has_b else None),
         )
 
     def connectivity(self, element_capacity: Optional[int] = None
@@ -505,6 +511,9 @@ class TetForest:
             area=f["area"], n_elements=self.n_elements,
             b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
             element_capacity=element_capacity,
+            face_center=f["face_center"],
+            b_face_center=f["b_face_center"],
+            centers=self.centers(),
         )
 
     def cfl_h(self) -> float:

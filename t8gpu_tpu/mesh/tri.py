@@ -369,6 +369,7 @@ class TriForest:
 
         lefts, rights, normals, lens = [], [], [], []
         b_elems, b_normals, b_lens = [], [], []
+        f_cents, b_cents = [], []
 
         def emit(le, ri, side):
             nrm, length, cent = edge_geom(le, side)
@@ -380,6 +381,9 @@ class TriForest:
             n3[:2] = nrm.T
             normals.append(n3)
             lens.append(length)
+            c3 = np.zeros((3, len(le)))
+            c3[:2] = cent.T
+            f_cents.append(c3)
 
         if len(m["eq_l"]):
             emit(m["eq_l"], m["eq_r"], m["eq_side_l"])
@@ -395,6 +399,9 @@ class TriForest:
             n3[:2] = nrm.T
             b_normals.append(n3)
             b_lens.append(length)
+            c3 = np.zeros((3, len(el)))
+            c3[:2] = cent.T
+            b_cents.append(c3)
 
         has_b = bool(b_elems)
         return dict(
@@ -408,6 +415,9 @@ class TriForest:
             b_area=(np.concatenate(b_lens).astype(np.float32)
                     if has_b else None),
             axis=None, sign=None, b_axis=None, b_sign=None,
+            face_center=np.concatenate(f_cents, axis=1),
+            b_face_center=(np.concatenate(b_cents, axis=1)
+                           if has_b else None),
         )
 
     def connectivity(self, element_capacity: Optional[int] = None
@@ -418,6 +428,9 @@ class TriForest:
             area=f["area"], n_elements=self.n_elements,
             b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
             element_capacity=element_capacity,
+            face_center=f["face_center"],
+            b_face_center=f["b_face_center"],
+            centers=self.centers(),
         )
 
     def cfl_h(self) -> float:

@@ -57,6 +57,9 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
 
     lefts, rights, normals, areas, axes_ = [], [], [], [], []
     b_elems, b_normals, b_areas, b_axes, b_signs = [], [], [], [], []
+    f_centers, b_centers = [], []
+    centers3 = np.zeros((n, 3))
+    centers3[:, :dim] = centers
     face_area = h ** (dim - 1)
 
     for axis in range(dim):
@@ -73,6 +76,7 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
             normals.append(nrm)
             areas.append(np.full(n, face_area, dtype))
             axes_.append(np.full(n, axis, np.int8))
+            f_centers.append(centers3[codes.astype(np.int64)].T + 0.5 * h * nrm)
         else:
             inner = ~wrap
             nb_codes = morton_encode(nb[inner], dim)
@@ -83,6 +87,8 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
             normals.append(nrm)
             areas.append(np.full(inner.sum(), face_area, dtype))
             axes_.append(np.full(inner.sum(), axis, np.int8))
+            f_centers.append(
+                centers3[codes[inner].astype(np.int64)].T + 0.5 * h * nrm)
             # two walls per axis
             for side, sel in ((1.0, wrap), (-1.0, coords[:, axis] == 0)):
                 b_elems.append(codes[sel])
@@ -92,6 +98,8 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
                 b_areas.append(np.full(sel.sum(), face_area, dtype))
                 b_axes.append(np.full(sel.sum(), axis, np.int8))
                 b_signs.append(np.full(sel.sum(), int(side), np.int8))
+                b_centers.append(
+                    centers3[codes[sel].astype(np.int64)].T + 0.5 * h * nrmb)
 
     conn = build_connectivity(
         left=np.concatenate(lefts).astype(np.int32),
@@ -107,6 +115,10 @@ def uniform_mesh(level: int, dim: int = 2, periodic: bool = True,
         sign=np.ones(sum(len(x) for x in axes_), np.int8),
         b_axis=(np.concatenate(b_axes) if b_elems else None),
         b_sign=(np.concatenate(b_signs) if b_elems else None),
+        face_center=np.concatenate(f_centers, axis=1),
+        b_face_center=(np.concatenate(b_centers, axis=1) if b_elems else None),
+        centers=centers,
+        wrap=1.0 if periodic else None,
     )
     return UniformMesh(dim=dim, level=level, periodic=periodic,
                        centers=centers.astype(dtype) * 1.0,

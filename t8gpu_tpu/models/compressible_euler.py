@@ -58,23 +58,43 @@ class StepList(enum.IntEnum):
     Next = 1
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "flux", "mode"),
+def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter):
+    """The (state -> (divergence, max_speed)) closure for the RK stages:
+    first order (the reference scheme) or MUSCL second order
+    (ops/reconstruct.py, beyond-reference)."""
+    if order == 2:
+        from t8gpu_tpu.ops.reconstruct import flux_divergence_muscl
+        return lambda v: flux_divergence_muscl(
+            v, conn, inv_volume, gamma=gamma, flux=flux, mode=mode,
+            limiter=limiter)
+    return lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
+                                     mode=mode)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "mode", "order",
+                                    "limiter"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
-              *, gamma: float, flux: str, mode: str):
+              *, gamma: float, flux: str, mode: str, order: int = 1,
+              limiter: str = "bj"):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
-    flux_fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux, mode=mode)
+    flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
+                            mode=mode, order=order, limiter=limiter)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("gamma", "flux", "mode", "n_steps"),
+                   static_argnames=("gamma", "flux", "mode", "n_steps",
+                                    "order", "limiter"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
-               *, n_steps: int, gamma: float, flux: str, mode: str):
+               *, n_steps: int, gamma: float, flux: str, mode: str,
+               order: int = 1, limiter: str = "bj"):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
-    flux_fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux, mode=mode)
+    flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
+                            mode=mode, order=order, limiter=limiter)
 
     def body(_i, carry):
         v, _ = carry
@@ -92,7 +112,11 @@ def _cast_conn(conn: FaceConnectivity, dtype) -> FaceConnectivity:
         normal=conn.normal.astype(dtype), area=conn.area.astype(dtype),
         b_normal=conn.b_normal.astype(dtype),
         b_area=conn.b_area.astype(dtype),
-        inc_sign=conn.inc_sign.astype(dtype))
+        inc_sign=conn.inc_sign.astype(dtype),
+        d_left=(None if conn.d_left is None else conn.d_left.astype(dtype)),
+        d_right=(None if conn.d_right is None
+                 else conn.d_right.astype(dtype)),
+        d_b=(None if conn.d_b is None else conn.d_b.astype(dtype)))
 
 
 @jax.jit
@@ -182,7 +206,8 @@ class CompressibleEulerSolver:
             self.u, self.conn, self.inv_volume,
             jnp.asarray(dt, self.dtype),
             gamma=self.config.gamma, flux=self.config.flux,
-            mode=self.accumulation)
+            mode=self.accumulation, order=self.config.order,
+            limiter=self.config.limiter)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -190,7 +215,8 @@ class CompressibleEulerSolver:
             self.u, self.conn, self.inv_volume,
             jnp.asarray(dt, self.dtype),
             n_steps=n_steps, gamma=self.config.gamma, flux=self.config.flux,
-            mode=self.accumulation)
+            mode=self.accumulation, order=self.config.order,
+            limiter=self.config.limiter)
 
     # -- diagnostics ---------------------------------------------------------
 

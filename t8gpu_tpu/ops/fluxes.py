@@ -70,6 +70,16 @@ def interior_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
     the raw state and derives fields per gathered face side."""
     q_l = _fields_of(gather_cols(q, conn.left), gamma, flux, derive)
     q_r = _fields_of(gather_cols(q, conn.right), gamma, flux, derive)
+    return face_fluxes_from_sides(q_l, q_r, conn, gamma, flux)
+
+
+def face_fluxes_from_sides(q_l: jnp.ndarray, q_r: jnp.ndarray,
+                           conn: FaceConnectivity,
+                           gamma: float = 1.4, flux: str = "kepes"):
+    """Interior face fluxes from per-face-side FIELD rows [C, Fcap] (one
+    per side) — the shared back half of interior_face_fluxes_fields, also
+    the entry point for reconstructed interface states
+    (ops/reconstruct.py)."""
     if conn.axis_ranges is not None:
         fs, sps = [], []
         for a, s0, s1 in conn.axis_ranges:
@@ -106,6 +116,16 @@ def boundary_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
     if conn.boundary_capacity == 0:
         return jnp.zeros((5, 0), q.dtype), jnp.zeros((0,), q.dtype)
     q_in = _fields_of(gather_cols(q, conn.b_elem), gamma, flux, derive)
+    return boundary_fluxes_from_side(q_in, conn, gamma, flux)
+
+
+def boundary_fluxes_from_side(q_in: jnp.ndarray, conn: FaceConnectivity,
+                              gamma: float = 1.4, flux: str = "kepes"):
+    """Reflective-wall fluxes from the owner-side FIELD rows [C, Fbcap]
+    (mirror ghost built in the face frame) — shared back half of
+    boundary_face_fluxes_fields; also the reconstruction entry point."""
+    if conn.boundary_capacity == 0:
+        return jnp.zeros((5, 0), q_in.dtype), jnp.zeros((0,), q_in.dtype)
     if conn.b_axis_ranges is not None:
         fs, sps = [], []
         for a, sgn, s0, s1 in conn.b_axis_ranges:

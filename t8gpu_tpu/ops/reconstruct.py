@@ -1,0 +1,197 @@
+"""Second-order MUSCL reconstruction for the plain-element path.
+
+Beyond-reference capability: the reference is strictly first order (its
+face kernels consume the two adjacent CELL states directly,
+examples/compressible_euler/kernels.cu:150-172).  Here interface states
+are linearly reconstructed from per-element Green-Gauss gradients with a
+Barth-Jespersen limiter, giving second-order accuracy in smooth regions on
+ANY element class (bricks, prisms, triangles, tets) while remaining
+monotone at shocks.  Everything is built from the same TPU-friendly
+primitives as the first-order path: transposed column gathers + the CSR
+incidence accumulate (no scatters, deterministic).
+
+Scheme
+------
+1. grad(u)_e = (1/V_e) sum_f  u_bar_f A_f n_f^out   (Green-Gauss; the mean
+   u_bar_f = (u_L + u_R)/2 is exact for linear fields when the face
+   centroid bisects the centroid segment — true on uniform bricks, an
+   O(h) consistent approximation on distorted/hanging meshes).
+2. Barth-Jespersen: alpha_e = min over faces of the largest fraction of
+   the extrapolation du_{e,f} = grad_e . (x_f - x_e) that keeps
+   u_e + alpha du within [min, max] over the face neighbors.
+3. Interface states u_{L,f} = u_L + alpha_L du_{L,f} (ditto right); a
+   positivity guard falls back to the first-order state on any face side
+   whose reconstructed density or pressure is non-positive.
+4. The reconstructed states feed the SAME numerical fluxes (KEPES/HLL)
+   through ops/fluxes.face_fluxes_from_sides.
+
+The face-centroid displacements (x_f - x_e for both sides, wrapped on
+periodic meshes) are host-built per mesh install and live on
+FaceConnectivity.d_left / d_right / d_b (mesh/connectivity.py).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from t8gpu_tpu.mesh.connectivity import FaceConnectivity
+from t8gpu_tpu.ops import euler
+from t8gpu_tpu.ops.fluxes import (accumulate, boundary_fluxes_from_side,
+                                  face_fluxes_from_sides, gather_cols)
+
+
+def _require_geometry(conn: FaceConnectivity):
+    if conn.d_left is None:
+        raise ValueError(
+            "order-2 reconstruction needs face-centroid geometry on the "
+            "connectivity (FaceConnectivity.d_left is None) — the mesh "
+            "builder did not supply face_center/centers to "
+            "build_connectivity")
+
+
+def green_gauss_gradients(u: jnp.ndarray, conn: FaceConnectivity,
+                          inv_volume: jnp.ndarray, mode: str = "gather"):
+    """Per-element gradient of each conserved variable: [5, 3, capacity].
+
+    Same incidence machinery as the flux accumulate (signs give the
+    outward orientation per side); boundary faces use the owner state
+    (mirror ghosts share every component's face-normal mean except the
+    normal momentum — the O(h) wall error is limited away)."""
+    u_l = gather_cols(u, conn.left)
+    u_r = gather_cols(u, conn.right)
+    mean = 0.5 * (u_l + u_r)                               # [5, F]
+    an = conn.normal * conn.area                           # [3, F]
+    c = (mean[:, None, :] * an[None]).reshape(15, -1)      # [15, F]
+    if conn.boundary_capacity:
+        u_b = gather_cols(u, conn.b_elem)
+        cb = (u_b[:, None, :] * (conn.b_normal * conn.b_area)[None]
+              ).reshape(15, -1)
+    else:
+        cb = jnp.zeros((15, 0), u.dtype)
+    acc = accumulate(c, cb, conn, mode)                    # [15, cap]
+    # accumulate is signed for flux divergence (emitter -, receiver +);
+    # Green-Gauss wants the OUTWARD surface integral, which is its negation.
+    return (-acc * inv_volume).reshape(5, 3, -1)
+
+
+def _side_values(val_left, val_right, val_bowner, conn: FaceConnectivity):
+    """[C, capacity, D]: for each element and incidence slot, the per-face
+    quantity as seen from THAT element's side.  Empty slots land on the
+    zero sentinel column (mask with conn.inc_sign != 0)."""
+    C = val_left.shape[0]
+    zero = jnp.zeros((C, 1), val_left.dtype)
+    a = jnp.concatenate([val_left, val_bowner, zero], axis=1)
+    b = jnp.concatenate([val_right, jnp.zeros_like(val_bowner), zero],
+                        axis=1)
+    ga = gather_cols(a, conn.inc_slot)
+    gb = gather_cols(b, conn.inc_slot)
+    return jnp.where(conn.inc_sign < 0, ga, gb)
+
+
+def _neighbor_minmax(u, u_l, u_r, u_b, conn: FaceConnectivity):
+    """Per-element min/max of {self} U {face neighbors}: two [5, capacity]
+    arrays (the Barth-Jespersen bounds)."""
+    nbr = _side_values(u_r, u_l, u_b, conn)    # the OTHER side per slot
+    m = conn.inc_sign != 0
+    u_min = jnp.minimum(u, jnp.where(m, nbr, jnp.inf).min(axis=-1))
+    u_max = jnp.maximum(u, jnp.where(m, nbr, -jnp.inf).max(axis=-1))
+    return u_min, u_max
+
+
+def _bj_ratio(du, dmax, dmin):
+    """Barth-Jespersen face-side limiter candidate in [0, 1]."""
+    tiny = 1e-12
+    denom = jnp.where(jnp.abs(du) > tiny, du, 1.0)
+    r = jnp.where(du > tiny, dmax / denom,
+                  jnp.where(du < -tiny, dmin / denom, 1.0))
+    return jnp.clip(r, 0.0, 1.0)
+
+
+def _positivity_guard(u_rec, u_first, gamma: float):
+    """Fall back to the first-order state wherever the reconstructed
+    density or pressure is non-positive (per face side, all 5 rows)."""
+    _, p = euler.primitives(u_rec, gamma)
+    ok = (u_rec[0] > 0.0) & (p > 0.0)
+    return jnp.where(ok[None], u_rec, u_first)
+
+
+def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
+                      inv_volume: jnp.ndarray, gamma: float,
+                      mode: str = "gather", limiter: str = "bj"):
+    """Limited MUSCL interface states: (u_Lf [5,F], u_Rf [5,F], u_Bf [5,Fb]).
+
+    limiter: "bj" (Barth-Jespersen, production) or "none" (unlimited —
+    clean second order on smooth fields, for convergence studies)."""
+    _require_geometry(conn)
+    cap_b = conn.boundary_capacity
+
+    grad = green_gauss_gradients(u, conn, inv_volume, mode)   # [5,3,cap]
+    gflat = grad.reshape(15, -1)
+
+    u_l = gather_cols(u, conn.left)
+    u_r = gather_cols(u, conn.right)
+    u_b = (gather_cols(u, conn.b_elem) if cap_b
+           else jnp.zeros((5, 0), u.dtype))
+
+    du_l = (gather_cols(gflat, conn.left).reshape(5, 3, -1)
+            * conn.d_left[None]).sum(axis=1)                  # [5, F]
+    du_r = (gather_cols(gflat, conn.right).reshape(5, 3, -1)
+            * conn.d_right[None]).sum(axis=1)
+    du_b = ((gather_cols(gflat, conn.b_elem).reshape(5, 3, -1)
+             * conn.d_b[None]).sum(axis=1) if cap_b
+            else jnp.zeros((5, 0), u.dtype))
+
+    if limiter == "bj":
+        u_min, u_max = _neighbor_minmax(u, u_l, u_r, u_b, conn)
+        dmax, dmin = u_max - u, u_min - u
+        a_l = _bj_ratio(du_l, gather_cols(dmax, conn.left),
+                        gather_cols(dmin, conn.left))
+        a_r = _bj_ratio(du_r, gather_cols(dmax, conn.right),
+                        gather_cols(dmin, conn.right))
+        a_b = (_bj_ratio(du_b, gather_cols(dmax, conn.b_elem),
+                         gather_cols(dmin, conn.b_elem)) if cap_b
+               else jnp.zeros((5, 0), u.dtype))
+        # one alpha per ELEMENT: the min over its face-side candidates
+        side = _side_values(a_l, a_r, a_b, conn)
+        alpha = jnp.where(conn.inc_sign != 0, side, 1.0).min(axis=-1)
+        al_f = gather_cols(alpha, conn.left)
+        ar_f = gather_cols(alpha, conn.right)
+        ab_f = (gather_cols(alpha, conn.b_elem) if cap_b
+                else jnp.zeros((5, 0), u.dtype))
+    elif limiter == "none":
+        al_f = ar_f = 1.0
+        ab_f = 1.0
+    else:
+        raise ValueError(f"unknown limiter: {limiter!r}")
+
+    u_lf = _positivity_guard(u_l + al_f * du_l, u_l, gamma)
+    u_rf = _positivity_guard(u_r + ar_f * du_r, u_r, gamma)
+    u_bf = (_positivity_guard(u_b + ab_f * du_b, u_b, gamma) if cap_b
+            else u_b)
+    return u_lf, u_rf, u_bf
+
+
+def flux_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity,
+                          inv_volume: jnp.ndarray, gamma: float = 1.4,
+                          flux: str = "kepes", mode: str = "gather",
+                          limiter: str = "bj"):
+    """Second-order counterpart of ops/fluxes.flux_divergence: limited
+    MUSCL interface states feeding the same KEPES/HLL numerical flux and
+    the same deterministic accumulate.  Returns (accum [5, capacity],
+    max_speed scalar)."""
+    u_lf, u_rf, u_bf = reconstruct_sides(u, conn, inv_volume, gamma,
+                                         mode, limiter)
+    q_l = euler.cell_fields(u_lf, gamma, flux)
+    q_r = euler.cell_fields(u_rf, gamma, flux)
+    f, speed = face_fluxes_from_sides(q_l, q_r, conn, gamma, flux)
+    if conn.boundary_capacity:
+        q_b = euler.cell_fields(u_bf, gamma, flux)
+        fb, speed_b = boundary_fluxes_from_side(q_b, conn, gamma, flux)
+    else:
+        fb = jnp.zeros((5, 0), u.dtype)
+        speed_b = jnp.zeros((0,), u.dtype)
+    acc = accumulate(f, fb, conn, mode)
+    max_speed = jnp.maximum(
+        speed.max() if speed.size else 0.0,
+        speed_b.max() if speed_b.size else 0.0)
+    return acc, max_speed

@@ -27,6 +27,14 @@ class EulerConfig:
     # works (requires jax x64 mode; CPU-practical — TPUs emulate f64).
     # The subgrid/Pallas kernels are float32-only (Mosaic has no f64).
     dtype: str = "float32"
+    # Spatial order of the plain-element scheme: 1 = cell states at faces
+    # (the reference scheme, kernels.cu:150-172); 2 = MUSCL reconstruction
+    # from Green-Gauss gradients with a Barth-Jespersen limiter
+    # (ops/reconstruct.py; beyond-reference).
+    order: int = 1
+    # Slope limiter for order=2: "bj" (production) or "none" (unlimited,
+    # convergence studies only).
+    limiter: str = "bj"
 
 
 @dataclasses.dataclass(frozen=True)
