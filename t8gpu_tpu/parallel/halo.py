@@ -93,8 +93,26 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
     u_ext = halo_exchange(u_local, conn)
     q = euler.maybe_barrier(euler.cell_fields(u_ext, gamma, flux))
 
-    q_l = gather_cols(q, conn.left)
-    q_r = gather_cols(q, conn.right)
+    f, speed = _fields_interior_flux(gather_cols(q, conn.left),
+                                     gather_cols(q, conn.right),
+                                     conn, gamma, flux)
+    if conn.boundary_capacity:
+        q_in = gather_cols(q[:, : u_local.shape[1]], conn.b_elem)
+        fb, speed_b = _fields_boundary_flux(q_in, conn, gamma, flux)
+    else:
+        fb = jnp.zeros((5, 0), u_local.dtype)
+        speed_b = jnp.zeros((0,), u_local.dtype)
+
+    acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
+
+    local_max = jnp.maximum(speed.max(), speed_b.max() if speed_b.size else 0.0)
+    return acc, jax.lax.pmax(local_max, AXIS)
+
+
+def _fields_interior_flux(q_l, q_r, conn: ShardedConnectivity,
+                          gamma: float, flux: str):
+    """Interior face fluxes from per-side FIELD rows [C, Fcap]: static
+    axis-group rotations on Cartesian meshes, per-face basis otherwise."""
     if conn.axis_ranges is not None:
         # axis-grouped segments (common static ranges across shards):
         # static row-permutation rotations, no per-face basis math
@@ -115,33 +133,117 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
             euler.fields_rotate(q_r, *basis), gamma=gamma, flux=flux)
         f = euler.inverse_rotate_state(f_rot, *basis) * conn.area
         speed = speed * (conn.area > 0)
+    return f, speed
 
+
+def _fields_boundary_flux(q_in, conn: ShardedConnectivity,
+                          gamma: float, flux: str):
+    """Reflective-wall fluxes from the owner-side FIELD rows [C, Bcap]."""
+    if conn.b_axis_ranges is not None:
+        fs, sps = [], []
+        for a, sgn, s0, s1 in conn.b_axis_ranges:
+            q_own = euler.fields_axis_rotate(q_in[:, s0:s1], a)
+            q_ghost = euler.fields_mirror(q_own)
+            pair = (q_own, q_ghost) if sgn > 0 else (q_ghost, q_own)
+            fb_rot, sp = euler.fields_flux(*pair, gamma=gamma, flux=flux)
+            f_a = euler.flux_axis_unrotate(fb_rot, a)
+            fs.append(f_a if sgn > 0 else -f_a)
+            sps.append(sp)
+        fb = jnp.concatenate(fs, axis=1) * conn.b_area
+        speed_b = jnp.concatenate(sps) * (conn.b_area > 0)
+    else:
+        basis_b = euler.face_basis(conn.b_normal)
+        q_rot = euler.fields_rotate(q_in, *basis_b)
+        fb_rot, speed_b = euler.fields_flux(
+            q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
+        fb = euler.inverse_rotate_state(fb_rot, *basis_b) * conn.b_area
+        speed_b = speed_b * (conn.b_area > 0)
+    return fb, speed_b
+
+
+def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
+                                  conn: ShardedConnectivity,
+                                  inv_volume: jnp.ndarray,
+                                  gamma: float, flux: str,
+                                  limiter: str = "bj"):
+    """Second-order (MUSCL) per-shard divergence — the multi-chip
+    counterpart of ops/reconstruct.flux_divergence_muscl.
+
+    Distribution design: cross-shard faces are DUPLICATED on both shards
+    (partition.py builds every face incident to an owned element), so the
+    Green-Gauss gradient and Barth-Jespersen alpha of every OWNED element
+    are computable locally after the round-1 state halo.  A SECOND halo
+    round then ships concat([grad (15 rows), alpha (5 rows)]) so both
+    sides of a shard-boundary face reconstruct the IDENTICAL interface
+    states — conservation holds exactly, like the first-order duplicated
+    faces."""
+    from t8gpu_tpu.ops.reconstruct import (_bj_ratio, _positivity_guard,
+                                           _side_values)
+
+    CL = u_local.shape[1]
+    u_ext = halo_exchange(u_local, conn)
+
+    # Green-Gauss over this shard's faces (all faces of owned elements)
+    u_l = gather_cols(u_ext, conn.left)
+    u_r = gather_cols(u_ext, conn.right)
+    mean = 0.5 * (u_l + u_r)
+    c = (mean[:, None, :] * (conn.normal * conn.area)[None]).reshape(15, -1)
     if conn.boundary_capacity:
-        q_in = gather_cols(q[:, : u_local.shape[1]], conn.b_elem)
-        if conn.b_axis_ranges is not None:
-            fs, sps = [], []
-            for a, sgn, s0, s1 in conn.b_axis_ranges:
-                q_own = euler.fields_axis_rotate(q_in[:, s0:s1], a)
-                q_ghost = euler.fields_mirror(q_own)
-                pair = (q_own, q_ghost) if sgn > 0 else (q_ghost, q_own)
-                fb_rot, sp = euler.fields_flux(*pair, gamma=gamma, flux=flux)
-                f_a = euler.flux_axis_unrotate(fb_rot, a)
-                fs.append(f_a if sgn > 0 else -f_a)
-                sps.append(sp)
-            fb = jnp.concatenate(fs, axis=1) * conn.b_area
-            speed_b = jnp.concatenate(sps) * (conn.b_area > 0)
-        else:
-            basis_b = euler.face_basis(conn.b_normal)
-            q_rot = euler.fields_rotate(q_in, *basis_b)
-            fb_rot, speed_b = euler.fields_flux(
-                q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
-            fb = euler.inverse_rotate_state(fb_rot, *basis_b) * conn.b_area
-            speed_b = speed_b * (conn.b_area > 0)
+        u_b = gather_cols(u_local, conn.b_elem)
+        cb = (u_b[:, None, :] * (conn.b_normal * conn.b_area)[None]
+              ).reshape(15, -1)
+    else:
+        u_b = jnp.zeros((5, 0), u_local.dtype)
+        cb = jnp.zeros((15, 0), u_local.dtype)
+    grad = (-accumulate_inc(c, cb, conn.inc_slot, conn.inc_sign)
+            * inv_volume).reshape(5, 3, CL)
+
+    if limiter == "bj":
+        nbr = _side_values(u_r, u_l, u_b, conn)          # [5, CL, D]
+        m = conn.inc_sign != 0
+        u_min = jnp.minimum(u_local, jnp.where(m, nbr, jnp.inf).min(-1))
+        u_max = jnp.maximum(u_local, jnp.where(m, nbr, -jnp.inf).max(-1))
+        # extrapolation per incidence slot, from the owned element's side
+        d_slots = _side_values(conn.d_left, conn.d_right, conn.d_b, conn)
+        du = jnp.einsum("vkc,kcd->vcd", grad, d_slots)   # [5, CL, D]
+        r = _bj_ratio(du, (u_max - u_local)[..., None],
+                      (u_min - u_local)[..., None])
+        alpha = jnp.where(m, r, 1.0).min(-1)             # [5, CL]
+    elif limiter == "none":
+        alpha = jnp.ones_like(u_local)
+    else:
+        raise ValueError(f"unknown limiter: {limiter!r}")
+
+    # round 2: owners publish gradients + alpha for their halo elements
+    ga_ext = halo_exchange(
+        jnp.concatenate([grad.reshape(15, CL), alpha]), conn)
+    grad_ext = ga_ext[:15]                               # [15, CL+H]
+    alpha_ext = ga_ext[15:]
+
+    du_l = (gather_cols(grad_ext, conn.left).reshape(5, 3, -1)
+            * conn.d_left[None]).sum(axis=1)
+    du_r = (gather_cols(grad_ext, conn.right).reshape(5, 3, -1)
+            * conn.d_right[None]).sum(axis=1)
+    u_lf = _positivity_guard(
+        u_l + gather_cols(alpha_ext, conn.left) * du_l, u_l, gamma)
+    u_rf = _positivity_guard(
+        u_r + gather_cols(alpha_ext, conn.right) * du_r, u_r, gamma)
+
+    f, speed = _fields_interior_flux(euler.cell_fields(u_lf, gamma, flux),
+                                     euler.cell_fields(u_rf, gamma, flux),
+                                     conn, gamma, flux)
+    if conn.boundary_capacity:
+        du_b = (gather_cols(grad.reshape(15, CL), conn.b_elem)
+                .reshape(5, 3, -1) * conn.d_b[None]).sum(axis=1)
+        u_bf = _positivity_guard(
+            u_b + gather_cols(alpha, conn.b_elem) * du_b, u_b, gamma)
+        fb, speed_b = _fields_boundary_flux(
+            euler.cell_fields(u_bf, gamma, flux), conn, gamma, flux)
     else:
         fb = jnp.zeros((5, 0), u_local.dtype)
         speed_b = jnp.zeros((0,), u_local.dtype)
 
     acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
-
-    local_max = jnp.maximum(speed.max(), speed_b.max() if speed_b.size else 0.0)
+    local_max = jnp.maximum(speed.max(),
+                            speed_b.max() if speed_b.size else 0.0)
     return acc, jax.lax.pmax(local_max, AXIS)

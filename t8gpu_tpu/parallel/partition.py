@@ -77,6 +77,14 @@ class ShardedConnectivity:
     b_axis_ranges: Optional[tuple] = dataclasses.field(
         default=None, metadata=dict(static=True))
 
+    # MUSCL displacement geometry (face centroid minus adjacent element
+    # centroid, from each side; parallel counterpart of
+    # FaceConnectivity.d_left/d_right/d_b).  None when the face dict
+    # carries no centroids — then only first-order sharded paths exist.
+    d_left: Optional[jnp.ndarray] = None    # f32 [S, 3, Fcap]
+    d_right: Optional[jnp.ndarray] = None   # f32 [S, 3, Fcap]
+    d_b: Optional[jnp.ndarray] = None       # f32 [S, 3, Bcap]
+
     @property
     def face_capacity(self) -> int:
         return self.left.shape[-1]
@@ -94,10 +102,17 @@ def partition_elements(n: int, n_shards: int) -> np.ndarray:
 
 def build_sharded_connectivity(
         faces: dict, n_elements: int, n_shards: int,
-        local_capacity: Optional[int] = None) -> Tuple[ShardedConnectivity, np.ndarray]:
+        local_capacity: Optional[int] = None,
+        centers: Optional[np.ndarray] = None,
+        wrap: Optional[float] = None) -> Tuple[ShardedConnectivity, np.ndarray]:
     """Partition global face lists (a Forest.build_faces() dict) into a
     ShardedConnectivity.  Returns (conn, bounds) with bounds the element
-    split points."""
+    split points.
+
+    When the face dict carries `face_center` and element `centers` are
+    given, per-shard MUSCL displacement arrays (d_left/d_right/d_b) are
+    built alongside — minimal-image wrapped with period `wrap` on
+    periodic meshes."""
     bounds = partition_elements(n_elements, n_shards)
     starts = bounds[:-1]
     owner = np.searchsorted(bounds, np.arange(n_elements), side="right") - 1
@@ -108,6 +123,24 @@ def build_sharded_connectivity(
     g_area = faces["area"]
     has_b = faces.get("b_elem") is not None
     gb = faces["b_elem"].astype(np.int64) if has_b else np.zeros(0, np.int64)
+
+    # global MUSCL displacements (both sides per face, wrapped)
+    g_fc = faces.get("face_center")
+    have_geom = g_fc is not None and centers is not None
+    if have_geom:
+        centers = np.asarray(centers, np.float64)
+        c3 = np.zeros((n_elements, 3))
+        c3[:, : centers.shape[1]] = centers
+
+        def _wrapd(d):
+            return d - wrap * np.round(d / wrap) if wrap is not None else d
+
+        g_fc64 = np.asarray(g_fc, np.float64)
+        g_dl = _wrapd(g_fc64 - c3[gl].T)
+        g_dr = _wrapd(g_fc64 - c3[gr].T)
+        g_bfc = faces.get("b_face_center")
+        g_db = (_wrapd(np.asarray(g_bfc, np.float64) - c3[gb].T)
+                if has_b and g_bfc is not None else None)
 
     CL = local_capacity or bucket_capacity(
         int((bounds[1:] - bounds[:-1]).max()))
@@ -250,6 +283,10 @@ def build_sharded_connectivity(
     b_areas = np.zeros((n_shards, b_elems.shape[1]), np.float32)
     inc_slot = np.full((n_shards, CL, D), sentinel, np.int32)
     inc_sign = np.zeros((n_shards, CL, D), np.float32)
+    if have_geom:
+        d_lefts = np.zeros((n_shards, 3, Fcap), np.float32)
+        d_rights = np.zeros((n_shards, 3, Fcap), np.float32)
+        d_bs = np.zeros((n_shards, 3, b_elems.shape[1]), np.float32)
 
     for s, (sel, l_ext, r_ext, bsel) in enumerate(per_shard):
         F = len(sel)
@@ -270,6 +307,17 @@ def build_sharded_connectivity(
         else:
             normals[s, :, :F] = g_normal[:, sel]
         areas[s, pos] = g_area[sel]
+        if have_geom:
+            dl_s = g_dl[:, sel].copy()
+            dr_s = g_dr[:, sel].copy()
+            if grouped:
+                # the side swap above exchanged the elements' roles;
+                # their displacements swap with them
+                sw = np.asarray(g_sign, np.int64)[sel] < 0
+                dl_s[:, sw], dr_s[:, sw] = (dr_s[:, sw].copy(),
+                                            dl_s[:, sw].copy())
+            d_lefts[s][:, pos] = dl_s
+            d_rights[s][:, pos] = dr_s
         Fb = len(bsel)
         if has_b and Fb:
             if b_grouped:
@@ -282,6 +330,8 @@ def build_sharded_connectivity(
             b_elems[s, bpos] = gb[bsel] - starts[s]
             b_normals[s, :, bpos] = faces["b_normal"][:, bsel].T
             b_areas[s, bpos] = faces["b_area"][bsel]
+            if have_geom and g_db is not None:
+                d_bs[s][:, bpos] = g_db[:, bsel]
 
         # local incidence: -1 for emitter/owner side, +1 for receiver
         elems = []
@@ -318,7 +368,10 @@ def build_sharded_connectivity(
         inc_slot=jnp.asarray(inc_slot), inc_sign=jnp.asarray(inc_sign),
         send_rounds=tuple(send_rounds), halo_rounds=halo_rounds,
         n_shards=n_shards, local_capacity=CL, halo_size=H,
-        axis_ranges=axis_ranges, b_axis_ranges=b_axis_ranges)
+        axis_ranges=axis_ranges, b_axis_ranges=b_axis_ranges,
+        d_left=jnp.asarray(d_lefts) if have_geom else None,
+        d_right=jnp.asarray(d_rights) if have_geom else None,
+        d_b=jnp.asarray(d_bs) if have_geom else None)
     return conn, bounds
 
 

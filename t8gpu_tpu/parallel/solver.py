@@ -85,6 +85,16 @@ class ShardedEulerSolver:
         return halo.sharded_flux_divergence(u, conn, self.config.gamma,
                                             self.config.flux)
 
+    def _flux_divergence_vol(self, u, conn, inv_vol):
+        """Volume-aware variant used by the step: second-order MUSCL needs
+        1/V for the Green-Gauss gradients (EulerConfig(order=2)); models
+        without an `order` knob fall through to the plain hook."""
+        if getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5:
+            return halo.sharded_flux_divergence_muscl(
+                u, conn, inv_vol, self.config.gamma, self.config.flux,
+                getattr(self.config, "limiter", "bj"))
+        return self._flux_divergence(u, conn)
+
     # -- installation ---------------------------------------------------------
 
     def _sharding(self, element_axis_only: bool = False) -> NamedSharding:
@@ -99,7 +109,9 @@ class ShardedEulerSolver:
         self.forest = forest
         self._cfl_h = forest.cfl_h()
         conn, bounds = build_sharded_connectivity(
-            forest.build_faces(), forest.n_elements, self.n_shards)
+            forest.build_faces(), forest.n_elements, self.n_shards,
+            centers=forest.centers(),
+            wrap=1.0 if getattr(forest, "periodic", False) else None)
         self.bounds = bounds
         CL = conn.local_capacity
         self.local_capacity = CL
@@ -124,7 +136,7 @@ class ShardedEulerSolver:
 
     def _build_step(self, n_steps: int = 1):
         mesh_dev = self.mesh_dev
-        divergence = self._flux_divergence
+        divergence = self._flux_divergence_vol
 
         @functools.partial(
             jax.shard_map, mesh=mesh_dev,
@@ -134,7 +146,7 @@ class ShardedEulerSolver:
             # only conn keeps a leading stacked shard axis; u/inv_vol are
             # sliced along their element axis by the in_specs
             conn = jax.tree.map(lambda x: x[0], conn)
-            flux_fn = lambda v: divergence(v, conn)
+            flux_fn = lambda v: divergence(v, conn, inv_vol)
 
             def body(_i, carry):
                 v, _ = carry
