@@ -30,7 +30,7 @@ enable_persistent_cache()
 
 import jax
 
-from t8gpu_tpu.utils.config import AMRConfig
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 
 
 def main():
@@ -48,6 +48,8 @@ def main():
                    help="prefetch refinement criteria N steps before each "
                         "adapt boundary (AMR pipelining)")
     p.add_argument("--extent", type=int, default=8)
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="2 = sharded MUSCL (plain solver only)")
     p.add_argument("--checkpoint", default="",
                    help="write a (sharded-portable) checkpoint at the end")
     args = p.parse_args()
@@ -65,7 +67,8 @@ def main():
                                          args.level or 1)
             amr = AMRConfig(min_level=0, max_level=(args.level or 1) + 2,
                             refine_threshold=10.0)
-            solver = ShardedEulerSolver(forest, kh_sphere, amr=amr)
+            solver = ShardedEulerSolver(forest, kh_sphere, amr=amr,
+                                        config=EulerConfig(order=args.order))
         else:
             from t8gpu_tpu.mesh.forest import Forest
             from t8gpu_tpu.models.initial_conditions import kh_planar
@@ -74,7 +77,8 @@ def main():
             amr = AMRConfig(min_level=level - 1, max_level=level + 2,
                             refine_threshold=2.0)
             solver = ShardedEulerSolver(
-                forest, lambda c: kh_planar(c, dim=args.dim), amr=amr)
+                forest, lambda c: kh_planar(c, dim=args.dim), amr=amr,
+                config=EulerConfig(order=args.order))
     elif args.solver == "blocked":
         # plain elements on a uniform periodic brick, stepped as blocks
         # on the fused kernels under shard_map (multi-chip config 1)

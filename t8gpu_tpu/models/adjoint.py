@@ -52,18 +52,23 @@ def _scan_rollout(step, u0, n_steps: int, remat: bool):
 
 def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
                   gamma: float = 1.4, flux: str = "kepes",
-                  mode: str = "gather", remat: bool = True):
+                  mode: str = "gather", order: int = 1,
+                  limiter: str = "bj", remat: bool = True):
     """Differentiable n-step SSP-RK3 rollout on plain elements.
 
     Same flux path as CompressibleEulerSolver.iterate_many
-    (ops/fluxes.flux_divergence); returns the final state [5, capacity].
-    Differentiable wrt ``u0`` and ``dt``.
+    (ops/fluxes.flux_divergence, or the MUSCL reconstruction for
+    order=2 — every piece is where-guarded, so reverse-mode stays
+    NaN-free; the BJ limiter's min/clip kinks make gradients
+    a.e.-exact like any limited scheme's).  Returns the final state
+    [5, capacity].  Differentiable wrt ``u0`` and ``dt``.
     """
-    from t8gpu_tpu.ops.fluxes import flux_divergence
+    from t8gpu_tpu.models.compressible_euler import _make_flux_fn
+
+    flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
+                            mode=mode, order=order, limiter=limiter)
 
     def step(u, _):
-        flux_fn = lambda v: flux_divergence(v, conn, gamma=gamma,
-                                            flux=flux, mode=mode)
         u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_volume)
         return u_next, None
 
@@ -105,7 +110,9 @@ def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
             remat=remat)
     return rollout_plain(
         u0, dt, n_steps, solver.conn, solver.inv_volume,
-        gamma=cfg.gamma, flux=cfg.flux, remat=remat)
+        gamma=cfg.gamma, flux=cfg.flux,
+        order=getattr(cfg, "order", 1),
+        limiter=getattr(cfg, "limiter", "bj"), remat=remat)
 
 
 def loss_and_grad(solver, loss_fn, dt, n_steps: int, remat: bool = True):
