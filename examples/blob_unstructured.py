@@ -44,7 +44,7 @@ def main():
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--adapt-every", type=int, default=25)
     p.add_argument("--refine-threshold", type=float, default=0.05)
-    p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
+    p.add_argument("--flux", default="kepes", choices=("kepes", "hll", "hllc"))
     args = p.parse_args()
 
     if args.elements == "tri":

@@ -46,7 +46,7 @@ def main():
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--dt", type=float, default=5e-4,
                    help="fixed timestep (ref main.cu:30); 0 = CFL")
-    p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
+    p.add_argument("--flux", default="kepes", choices=("kepes", "hll", "hllc"))
     p.add_argument("--order", type=int, default=1, choices=(1, 2),
                    help="2 = MUSCL reconstruction (ops/reconstruct.py)")
     p.add_argument("--vtk-every", type=int, default=0)

@@ -38,7 +38,7 @@ def main():
     p.add_argument("--steps", type=int, default=500)
     p.add_argument("--dim", type=int, default=2, choices=(2, 3))
     p.add_argument("--extent", type=int, default=4)
-    p.add_argument("--flux", default="kepes", choices=("kepes", "hll"))
+    p.add_argument("--flux", default="kepes", choices=("kepes", "hll", "hllc"))
     p.add_argument("--amr", action="store_true")
     p.add_argument("--max-level", type=int, default=0)
     p.add_argument("--adapt-every", type=int, default=50)

@@ -269,9 +269,18 @@ def inverse_rotate_state(u_rot: jnp.ndarray, n, t1, t2) -> jnp.ndarray:
     ])
 
 
+def hllc_flux(u_l: jnp.ndarray, u_r: jnp.ndarray, gamma: float = 1.4):
+    """HLLC flux from raw conservative states (face frame): derives the
+    hll-family cell fields per side and dispatches to hllc_fields_flux
+    (where the scheme lives and is documented)."""
+    return hllc_fields_flux(cell_fields_tuple(u_l, gamma, "hllc"),
+                            cell_fields_tuple(u_r, gamma, "hllc"), gamma)
+
+
 FLUXES = {
     "kepes": kepes_es_flux,
     "hll": hll_flux,
+    "hllc": hllc_flux,
 }
 
 
@@ -357,7 +366,7 @@ def cell_fields_tuple(u, gamma: float, flux: str = "kepes",
         s = log_p - gamma * log_rho
         vent0 = (gamma - s) / kappa_m1 - rho_p * ke
         return (rho, v1, v2, v3, p, rho_p, log_rho, log_p, vent0, ke)
-    elif flux == "hll":
+    elif flux in ("hll", "hllc"):
         h = (e + p) * inv_rho
         c = jnp.sqrt(kappa_m1 * (h - ke))
         return (rho, v1, v2, v3, p, h, c, jnp.sqrt(rho), ke)
@@ -535,9 +544,68 @@ def hll_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
     return flux, speed
 
 
+def hllc_fields_flux(q_l: jnp.ndarray, q_r: jnp.ndarray, gamma: float):
+    """HLLC flux (Toro) from precomputed cell fields (face frame): HLL's
+    two-wave fan plus the restored contact wave s*, so stationary and
+    slowly-moving contacts/shear layers are NOT smeared (HLL diffuses
+    them; tested).  Beyond-reference: the reference ships KEPES + an
+    unused HLL only (kernels.inl:264-332).  Same Roe-average wave-speed
+    bounds as hll_fields_flux; shares the "hll" cell-fields layout so it
+    runs on every path (plain, subgrid stencil, fused Pallas kernels,
+    sharded) through the same static `flux=` dispatch."""
+    kappa_m1 = gamma - 1.0
+    rho_l, u_l, v_l, w_l, p_l, h_l, c_l, sq_l, ke_l = q_l
+    rho_r, u_r, v_r, w_r, p_r, h_r, c_r, sq_r, ke_r = q_r
+
+    inv_w = 1.0 / (sq_l + sq_r)
+    v1 = (sq_l * u_l + sq_r * u_r) * inv_w
+    v2 = (sq_l * v_l + sq_r * v_r) * inv_w
+    v3 = (sq_l * w_l + sq_r * w_r) * inv_w
+    h_roe = (sq_l * h_l + sq_r * h_r) * inv_w
+    c_roe = jnp.sqrt(kappa_m1 * (h_roe - 0.5 * (v1 * v1 + v2 * v2 + v3 * v3)))
+
+    s_l = jnp.minimum(v1 - c_roe, u_l - c_l)
+    s_r = jnp.maximum(v1 + c_roe, u_r + c_r)
+
+    m_l, m_r = rho_l * u_l, rho_r * u_r
+    e_l, e_r = rho_l * h_l - p_l, rho_r * h_r - p_r   # total energy E
+
+    # contact speed (den < 0 strictly for physical states: s_l < u_l,
+    # s_r > u_r; the where guards padded/degenerate lanes)
+    num = p_r - p_l + m_l * (s_l - u_l) - m_r * (s_r - u_r)
+    den = rho_l * (s_l - u_l) - rho_r * (s_r - u_r)
+    tiny = 1e-30
+    s_m = num / jnp.where(jnp.abs(den) > tiny, den, -tiny)
+
+    def side(rho_k, u_k, v_k, w_k, p_k, e_k, m_k, s_k):
+        f_k = jnp.stack([m_k, m_k * u_k + p_k, m_k * v_k, m_k * w_k,
+                         u_k * (e_k + p_k)])
+        u_vec = jnp.stack([rho_k, m_k, rho_k * v_k, rho_k * w_k, e_k])
+        gap = s_k - s_m
+        gap_s = jnp.where(jnp.abs(gap) > tiny, gap, tiny)
+        r_star = rho_k * (s_k - u_k) / gap_s
+        ugap = s_k - u_k
+        ugap_s = jnp.where(jnp.abs(ugap) > tiny, ugap, tiny)
+        e_star = r_star * (e_k / rho_k
+                           + (s_m - u_k) * (s_m + p_k / (rho_k * ugap_s)))
+        u_star = jnp.stack([r_star, r_star * s_m, r_star * v_k,
+                            r_star * w_k, e_star])
+        return f_k, f_k + s_k * (u_star - u_vec)
+
+    f_l, f_l_star = side(rho_l, u_l, v_l, w_l, p_l, e_l, m_l, s_l)
+    f_r, f_r_star = side(rho_r, u_r, v_r, w_r, p_r, e_r, m_r, s_r)
+
+    flux = jnp.where(s_l >= 0.0, f_l,
+                     jnp.where(s_m >= 0.0, f_l_star,
+                               jnp.where(s_r >= 0.0, f_r_star, f_r)))
+    speed = jnp.maximum(jnp.abs(s_l), jnp.abs(s_r))
+    return flux, speed
+
+
 FIELDS_FLUXES = {
     "kepes": kepes_fields_flux,
     "hll": hll_fields_flux,
+    "hllc": hllc_fields_flux,
 }
 
 

@@ -20,7 +20,8 @@ class EulerConfig:
 
     gamma: float = 1.4          # ratio of specific heats (ref kernels.cu:49)
     cfl: float = 0.7            # CFL number (ref solver.h:37)
-    flux: str = "kepes"         # "kepes" (entropy stable) or "hll" (ref kernels.inl:264)
+    flux: str = "kepes"         # "kepes" (entropy stable), "hll" (ref kernels.inl:264),
+                                # or "hllc" (contact-restoring; beyond-reference)
     # State dtype for the plain-element solver.  The reference gates its
     # float type behind the variable_traits::float_type hook but only ever
     # instantiates float (memory_manager.h:27-42); here "float64" actually

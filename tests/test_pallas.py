@@ -53,7 +53,7 @@ def _fused_vs_xla(forest, flux, ext=8):
 
 @pytest.mark.parametrize("dim", [2, 3])
 @pytest.mark.parametrize("ext", [4, 8])
-@pytest.mark.parametrize("flux", ["kepes", "hll"])
+@pytest.mark.parametrize("flux", ["kepes", "hll", "hllc"])
 def test_fused_flux_pallas_uniform(dim, ext, flux):
     """Fused kernel == XLA path (inner + outer) on uniform 2D/3D meshes,
     extent 8 and the reference's literal extent 4 (main_3d.cu:34)."""
