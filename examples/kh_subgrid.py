@@ -39,6 +39,8 @@ def main():
     p.add_argument("--dim", type=int, default=2, choices=(2, 3))
     p.add_argument("--extent", type=int, default=4)
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll", "hllc"))
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="2 = per-axis MUSCL (XLA stencil path)")
     p.add_argument("--amr", action="store_true")
     p.add_argument("--max-level", type=int, default=0)
     p.add_argument("--adapt-every", type=int, default=50)
@@ -74,7 +76,7 @@ def main():
 
     solver = SubgridCompressibleEulerSolver(
         mesh, lambda c: kh_planar(c, dim=args.dim),
-        config=EulerConfig(flux=args.flux), amr=amr)
+        config=EulerConfig(flux=args.flux, order=args.order), amr=amr)
     run_loop(solver, args, spec)
 
 

@@ -48,10 +48,17 @@ def _use_fused_rk(conn, spec) -> bool:
     return sg.can_fuse_rk(conn, spec) and kernel_mode() != "off"
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "gamma", "flux"),
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "gamma", "flux", "order",
+                                    "limiter"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
-              *, spec: SubgridSpec, gamma: float, flux: str):
+              *, spec: SubgridSpec, gamma: float, flux: str,
+              order: int = 1, limiter: str = "minmod"):
+    if order == 2:
+        flux_fn = lambda v: sg.flux_divergence_muscl(
+            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+        return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
     if _use_fused_rk(conn, spec):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
                                 dt, inv_cell_volume)
@@ -60,10 +67,12 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "gamma", "flux", "n_steps"),
+                   static_argnames=("spec", "gamma", "flux", "n_steps",
+                                    "order", "limiter"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
-               *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str):
+               *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str,
+               order: int = 1, limiter: str = "minmod"):
     """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
 
     Between adapt events the connectivity is static, so whole step batches
@@ -71,7 +80,14 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     step requires host-driven kernel launches + MPI barriers,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
-    if _use_fused_rk(conn, spec):
+    if order == 2:
+        flux_fn = lambda v: sg.flux_divergence_muscl(
+            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+
+        def body(_i, carry):
+            v, _ = carry
+            return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
+    elif _use_fused_rk(conn, spec):
         def body(_i, carry):
             v, _ = carry
             return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
@@ -153,14 +169,21 @@ class SubgridCompressibleEulerSolver:
         self.u, self._max_speed = _rk3_step(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), spec=self.spec, gamma=self.config.gamma,
-            flux=self.config.flux)
+            flux=self.config.flux, order=self.config.order,
+            limiter=self._sg_limiter())
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
         self.u, self._max_speed = _rk3_multi(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), n_steps=n_steps, spec=self.spec,
-            gamma=self.config.gamma, flux=self.config.flux)
+            gamma=self.config.gamma, flux=self.config.flux,
+            order=self.config.order, limiter=self._sg_limiter())
+
+    def _sg_limiter(self) -> str:
+        # EulerConfig.limiter speaks the plain path's names ("bj"/"none");
+        # the subgrid per-axis scheme uses minmod as its limited variant
+        return "none" if self.config.limiter == "none" else "minmod"
 
     # -- AMR cycle (ref solver.inl:327-345) -------------------------------------
 

@@ -194,7 +194,8 @@ def _pool2(f: jnp.ndarray, n_t: int) -> jnp.ndarray:
 
 def outer_apply(D: jnp.ndarray, q: tuple,
                 conn: SubgridConnectivity, spec: SubgridSpec,
-                volumes: jnp.ndarray, gamma: float, flux: str):
+                volumes: jnp.ndarray, gamma: float, flux: str,
+                exclude_equal: bool = False):
     """Add mesh-face fluxes into the block divergence [5, *ext, Ecap] via
     the slab-exchange scheme (see SubgridConnectivity): per element side,
     gather neighbor layer slabs (one row-contiguous gather), evaluate the
@@ -228,6 +229,9 @@ def outer_apply(D: jnp.ndarray, q: tuple,
         q_rot = fields_axis_rotate(q, a)                 # tuple: free
         for s_i, sign in ((0, 1), (1, -1)):
             k = 2 * a + s_i
+            if exclude_equal and not (conn.has_coarse[k]
+                                      or conn.has_fine[k]):
+                continue        # only equal-level faces on this side
             nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
                                     conn.bits[k], conn.mask[k])
             hi = sign > 0
@@ -244,16 +248,21 @@ def outer_apply(D: jnp.ndarray, q: tuple,
             base = nb[..., 0]
 
             # ---- pass 1: my resolution (equal + coarser neighbors) -------
-            r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
-            other = (jnp.where(r < 0, _coarse_window(base, bits, spec), base)
-                     if conn.has_coarse[k] else base)
-            q_l, q_r = (my_layer, other) if hi else (other, my_layer)
-            f, sp = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
-            w1 = mask * area_t * (rel <= 0)
-            f = axis_unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
-            contrib = -f if hi else f
-            sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
-            speed = jnp.maximum(speed, (sp * sp_m).max())
+            contrib = None
+            if not (exclude_equal and not conn.has_coarse[k]):
+                r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+                other = (jnp.where(r < 0, _coarse_window(base, bits, spec),
+                                   base)
+                         if conn.has_coarse[k] else base)
+                q_l, q_r = (my_layer, other) if hi else (other, my_layer)
+                f, sp = fields_flux(q_l, q_r, gamma=gamma, flux=flux)
+                w1 = mask * area_t * ((rel < 0) if exclude_equal
+                                      else (rel <= 0))
+                f = (axis_unrotate(f, a)
+                     * w1.reshape((1,) * (f.ndim - 1) + (-1,)))
+                contrib = -f if hi else f
+                sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
+                speed = jnp.maximum(speed, (sp * sp_m).max())
 
             # ---- pass 2: virtual fine resolution (finer neighbors) -------
             if conn.has_fine[k]:
@@ -265,12 +274,14 @@ def outer_apply(D: jnp.ndarray, q: tuple,
                 f2 = (axis_unrotate(f2, a)
                       * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
                 f2 = _pool2(f2, n_t)
-                contrib = contrib + (-f2 if hi else f2)
+                f2 = -f2 if hi else f2
+                contrib = f2 if contrib is None else contrib + f2
                 sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
                 speed = jnp.maximum(speed, (sp2 * sp_m2).max())
 
-            D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
-                          spec=spec)
+            if contrib is not None:
+                D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+                              spec=spec)
     return D, speed
 
 
@@ -717,6 +728,159 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                                      conn, spec, gamma, flux)
             sp_o = jnp.maximum(sp_o, sp_b)
     return D, jnp.maximum(sp_i, sp_o)
+
+
+def _minmod(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Minmod slope limiter: 0 at sign changes, the smaller-magnitude
+    one-sided difference otherwise."""
+    return jnp.where(a * b > 0.0,
+                     jnp.sign(a) * jnp.minimum(jnp.abs(a), jnp.abs(b)),
+                     jnp.zeros_like(a))
+
+
+def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
+                          conn: SubgridConnectivity, spec: SubgridSpec,
+                          gamma: float, flux: str,
+                          limiter: str = "minmod",
+                          positivity: bool = True):
+    """Second-order MUSCL flux divergence for the subgrid scheme
+    (beyond-reference; the reference's subgrid kernels consume cell states
+    directly, kernels.inl:335-911).  u: [5, *ext, Ecap] -> (D, max_speed).
+
+    Scheme: per-axis minmod-limited linear reconstruction.  In-block
+    interfaces use in-block one-sided differences; the block-edge cells'
+    outward differences come from the EQUAL-LEVEL neighbor's facing layer
+    (one extra layer-slab gather per side).  Equal-level mesh faces get
+    full second order with both edge slopes built from the same four
+    layers on both sides — the two elements compute the identical
+    interface flux, so conservation is exact, like the first-order slab
+    exchange.  Hanging (2:1) faces and walls fall back to the first-order
+    closure (outer_apply's coarse/fine passes + boundary_apply): minmod
+    against a zero outward difference makes the adjacent edge-cell slopes
+    vanish, the standard practice at level jumps.
+
+    XLA-stencil path only (the CPU-test surface; fused-kernel MUSCL is
+    future work) — the solver selects it via EulerConfig(order=2)."""
+    from t8gpu_tpu.ops.euler import (cell_fields_tuple, maybe_barrier,
+                                     numerical_flux, primitives)
+
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / ext
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)          # [Ecap]
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    area_t = (h_e / ext) ** n_t
+
+    D = jnp.zeros((5,) + u.shape[1:], u.dtype)
+    speed = jnp.zeros((), u.dtype)
+
+    def guard(u_rec, u_first):
+        if not positivity:
+            return u_rec
+        _, p = primitives(u_rec, gamma)
+        ok = (u_rec[0] > 0.0) & (p > 0.0)
+        return jnp.where(ok[None], u_rec, u_first)
+
+    for a in range(dim):
+        ax = 1 + a
+        v = axis_rotate(u, a)               # rows rotated: v[1] is u_normal
+
+        # equal-level neighbor facing layers (edge + second) per side
+        sides = {}
+        for s_i, hi in ((0, True), (1, False)):
+            k = 2 * a + s_i
+            nbr1 = conn.nbr[k][:, :1]       # quadrant 0: equal/coarse slot
+            e_idx, s_idx = (0, 1) if hi else (ext - 1, ext - 2)
+            nb0 = _gather_layers(
+                jax.lax.index_in_dim(v, e_idx, axis=ax, keepdims=False),
+                nbr1)[..., 0]
+            nb1 = _gather_layers(
+                jax.lax.index_in_dim(v, s_idx, axis=ax, keepdims=False),
+                nbr1)[..., 0]
+            eq = ((conn.rel[k] == 0) & (conn.mask[k] > 0)).astype(u.dtype)
+            sides[hi] = (nb0, nb1, eq, k)
+
+        my_lo = jax.lax.index_in_dim(v, 0, axis=ax, keepdims=False)
+        my_hi = jax.lax.index_in_dim(v, ext - 1, axis=ax, keepdims=False)
+        nb0_lo, _, eq_lo, _ = sides[False]
+        nb0_hi, _, eq_hi, _ = sides[True]
+
+        def bcast(w, like):
+            return w.reshape((1,) * (like.ndim - 1) + (-1,))
+
+        # one-sided differences per cell: d_lo[i] = u_i - u_{i-1},
+        # d_hi[i] = u_{i+1} - u_i; outward entries are eq-masked (zero at
+        # hanging faces and walls -> minmod kills the edge slope there)
+        d_int = (jax.lax.slice_in_dim(v, 1, ext, axis=ax)
+                 - jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax))
+        d_out_lo = (my_lo - nb0_lo) * bcast(eq_lo, my_lo)
+        d_out_hi = (nb0_hi - my_hi) * bcast(eq_hi, my_hi)
+        d_lo = jnp.concatenate(
+            [jnp.expand_dims(d_out_lo, ax), d_int], axis=ax)
+        d_hi = jnp.concatenate(
+            [d_int, jnp.expand_dims(d_out_hi, ax)], axis=ax)
+        if limiter == "minmod":              # [5, *ext, Ecap]
+            slope = _minmod(d_lo, d_hi)
+        elif limiter == "none":
+            # unlimited central slope (convergence studies; still falls to
+            # one-sided-zero at hanging faces/walls via the masked d_out)
+            slope = 0.5 * (d_lo + d_hi)
+        else:
+            raise ValueError(f"unknown limiter: {limiter!r}")
+
+        # ---- in-block interfaces -----------------------------------------
+        v_l = jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax)
+        v_r = jax.lax.slice_in_dim(v, 1, ext, axis=ax)
+        u_l = guard(v_l + 0.5 * jax.lax.slice_in_dim(slope, 0, ext - 1,
+                                                     axis=ax), v_l)
+        u_r = guard(v_r - 0.5 * jax.lax.slice_in_dim(slope, 1, ext,
+                                                     axis=ax), v_r)
+        f, sp = numerical_flux(u_l, u_r, gamma=gamma, flux=flux)
+        f = axis_unrotate(f, a) * surface
+        pad_lo = [(0, 0)] * f.ndim
+        pad_hi = [(0, 0)] * f.ndim
+        pad_lo[ax] = (1, 0)
+        pad_hi[ax] = (0, 1)
+        D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
+        speed = jnp.maximum(speed, (sp * (surface > 0)).max())
+
+        # ---- equal-level mesh faces (full second order) --------------------
+        for hi in (True, False):
+            nb0, nb1, eq, k = sides[hi]
+            my_edge = my_hi if hi else my_lo
+            s_edge = jax.lax.index_in_dim(slope, ext - 1 if hi else 0,
+                                          axis=ax, keepdims=False)
+            lim = (_minmod if limiter == "minmod"
+                   else lambda x, y: 0.5 * (x + y))
+            if hi:
+                # neighbor (right) edge-cell slope from the same 4 layers
+                s_nbr = lim(nb0 - my_edge, nb1 - nb0)
+                u_lf = guard(my_edge + 0.5 * s_edge, my_edge)
+                u_rf = guard(nb0 - 0.5 * s_nbr, nb0)
+            else:
+                s_nbr = lim(nb0 - nb1, my_edge - nb0)
+                u_lf = guard(nb0 + 0.5 * s_nbr, nb0)
+                u_rf = guard(my_edge - 0.5 * s_edge, my_edge)
+            f, sp = numerical_flux(u_lf, u_rf, gamma=gamma, flux=flux)
+            w = conn.mask[k] * area_t * eq
+            f = axis_unrotate(f, a) * bcast(w, f)
+            contrib = -f if hi else f
+            D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+                          spec=spec)
+            sp_m = bcast((w > 0).astype(u.dtype), sp)
+            speed = jnp.maximum(speed, (sp * sp_m).max())
+
+    # hanging (2:1) faces + walls: first-order closure, equal faces excluded
+    q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
+    D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux,
+                          exclude_equal=True)
+    speed = jnp.maximum(speed, sp_o)
+    if conn.b_groups:
+        D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q),
+                                 conn, spec, gamma, flux)
+        speed = jnp.maximum(speed, sp_b)
+    return D, speed
 
 
 @functools.partial(jax.jit, static_argnames=("spec",))
