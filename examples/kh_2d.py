@@ -42,6 +42,8 @@ def main():
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll", "hllc"))
     p.add_argument("--order", type=int, default=1, choices=(1, 2),
                    help="2 = MUSCL reconstruction (ops/reconstruct.py)")
+    p.add_argument("--limiter", default="bj",
+                   choices=("bj", "venkat", "none"))
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh")
     p.add_argument("--amr", action="store_true",
@@ -62,7 +64,7 @@ def main():
         mesh = uniform_mesh(level=args.level, dim=args.dim, periodic=True)
     solver = CompressibleEulerSolver(
         mesh, lambda c: kh_planar(c, dim=args.dim),
-        config=EulerConfig(flux=args.flux, order=args.order), amr=amr)
+        config=EulerConfig(flux=args.flux, order=args.order, limiter=args.limiter), amr=amr)
 
     print(f"elements={solver.n_elements} faces={solver.conn.n_faces}")
     m0 = solver.compute_integral()

@@ -49,6 +49,8 @@ def main():
     p.add_argument("--flux", default="kepes", choices=("kepes", "hll", "hllc"))
     p.add_argument("--order", type=int, default=1, choices=(1, 2),
                    help="2 = MUSCL reconstruction (ops/reconstruct.py)")
+    p.add_argument("--limiter", default="bj",
+                   choices=("bj", "venkat", "none"))
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh_sphere")
     p.add_argument("--blocked", action="store_true",
@@ -97,7 +99,7 @@ def main():
                           refine_threshold=args.refine_threshold),
             r_in=args.r_in, thickness=args.thickness, n_layers=args.layers)
         solver = CompressibleEulerSolver(mgr, kh_sphere,
-                                         config=EulerConfig(flux=args.flux, order=args.order))
+                                         config=EulerConfig(flux=args.flux, order=args.order, limiter=args.limiter))
     elif args.blocked:
         if args.order != 1:
             raise SystemExit("--blocked is a first-order fast path; "
@@ -108,14 +110,14 @@ def main():
                             thickness=args.thickness, n_layers=args.layers)
         solver = BlockedShellEulerSolver(
             PrismForest.uniform(roots, args.level), kh_sphere,
-            config=EulerConfig(flux=args.flux, order=args.order))
+            config=EulerConfig(flux=args.flux, order=args.order, limiter=args.limiter))
         print(f"blocked lattice path: {solver.n_external_faces} "
               "cross-root/cap faces gathered, the rest stenciled")
     else:
         mesh = shell_mesh(subdiv=args.subdiv, r_in=args.r_in,
                           thickness=args.thickness, n_layers=args.layers)
         solver = CompressibleEulerSolver(mesh, kh_sphere,
-                                         config=EulerConfig(flux=args.flux, order=args.order))
+                                         config=EulerConfig(flux=args.flux, order=args.order, limiter=args.limiter))
     conn = getattr(solver, "conn", None)
     print(f"elements={solver.n_elements}" + (
         f" faces={conn.n_faces} boundary={conn.n_boundary_faces}"

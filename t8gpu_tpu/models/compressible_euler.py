@@ -58,7 +58,8 @@ class StepList(enum.IntEnum):
     Next = 1
 
 
-def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter):
+def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
+                  dim=2):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
     (ops/reconstruct.py, beyond-reference)."""
@@ -66,35 +67,37 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter):
         from t8gpu_tpu.ops.reconstruct import flux_divergence_muscl
         return lambda v: flux_divergence_muscl(
             v, conn, inv_volume, gamma=gamma, flux=flux, mode=mode,
-            limiter=limiter)
+            limiter=limiter, dim=dim)
     return lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
                                      mode=mode)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "order",
-                                    "limiter"),
+                                    "limiter", "dim"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
-              limiter: str = "bj"):
+              limiter: str = "bj", dim: int = 2):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
-                            mode=mode, order=order, limiter=limiter)
+                            mode=mode, order=order, limiter=limiter,
+                            dim=dim)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "n_steps",
-                                    "order", "limiter"),
+                                    "order", "limiter", "dim"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                *, n_steps: int, gamma: float, flux: str, mode: str,
-               order: int = 1, limiter: str = "bj"):
+               order: int = 1, limiter: str = "bj", dim: int = 2):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
-                            mode=mode, order=order, limiter=limiter)
+                            mode=mode, order=order, limiter=limiter,
+                            dim=dim)
 
     def body(_i, carry):
         v, _ = carry
@@ -179,6 +182,11 @@ class CompressibleEulerSolver:
         """(Re)install connectivity + state after construction or adapt."""
         self._crit_pending = None    # criteria refer to the previous mesh
         self.mesh = mesh
+        # spatial dimension of the mesh (for limiter length scales); the
+        # state always carries 3 momentum rows regardless
+        self.mesh_dim = int(getattr(mesh, "dim", None)
+                            or getattr(getattr(mesh, "forest", None),
+                                       "dim", 3))
         self.conn: FaceConnectivity = mesh.conn
         cap = self.conn.inc_slot.shape[0]
         n = self.conn.n_elements
@@ -207,7 +215,7 @@ class CompressibleEulerSolver:
             jnp.asarray(dt, self.dtype),
             gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,
-            limiter=self.config.limiter)
+            limiter=self.config.limiter, dim=self.mesh_dim)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -216,7 +224,7 @@ class CompressibleEulerSolver:
             jnp.asarray(dt, self.dtype),
             n_steps=n_steps, gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,
-            limiter=self.config.limiter)
+            limiter=self.config.limiter, dim=self.mesh_dim)
 
     # -- diagnostics ---------------------------------------------------------
 

@@ -107,6 +107,35 @@ def _bj_ratio(du, dmax, dmin):
     return jnp.clip(r, 0.0, 1.0)
 
 
+# Venkatakrishnan's smoothness parameter: eps^2 = (K h)^3 with h the
+# element size.  Larger K = less limiting (smoother convergence, more
+# overshoot near discontinuities); 1.0 is the conventional default.
+VENKAT_K = 1.0
+
+
+def _venkat_ratio(du, dmax, dmin, eps2):
+    """Venkatakrishnan face-side limiter candidate: the smooth rational
+    relaxation of Barth-Jespersen (differentiable, and the eps^2 floor
+    switches limiting OFF where variations are O(h^1.5) — smooth extrema —
+    restoring full second order there; BJ clips to ~1.7 observed order)."""
+    tiny = 1e-12
+    a = jnp.where(du > 0.0, dmax, dmin)         # the binding bound
+    du_s = jnp.where(jnp.abs(du) > tiny, du, 1.0)
+    num = (a * a + eps2) * du + 2.0 * du * du * a
+    den = a * a + 2.0 * du * du + a * du + eps2
+    r = num / (jnp.where(jnp.abs(den) > tiny, den, tiny) * du_s)
+    return jnp.where(jnp.abs(du) > tiny, jnp.clip(r, 0.0, 1.0), 1.0)
+
+
+def _limiter_eps2(inv_volume, dim: int, dtype):
+    """(K h)^3 per element from 1/V (padded slots -> huge eps2 -> no
+    limiting there, harmless: their extrapolations are zero anyway)."""
+    v = jnp.where(inv_volume > 0, 1.0 / jnp.where(inv_volume > 0,
+                                                  inv_volume, 1.0), 1.0)
+    h = v ** (1.0 / dim)
+    return ((VENKAT_K * h) ** 3).astype(dtype)
+
+
 def _positivity_guard(u_rec, u_first, gamma: float):
     """Fall back to the first-order state wherever the reconstructed
     density or pressure is non-positive (per face side, all 5 rows)."""
@@ -117,11 +146,15 @@ def _positivity_guard(u_rec, u_first, gamma: float):
 
 def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
                       inv_volume: jnp.ndarray, gamma: float,
-                      mode: str = "gather", limiter: str = "bj"):
+                      mode: str = "gather", limiter: str = "bj",
+                      dim: int = 2):
     """Limited MUSCL interface states: (u_Lf [5,F], u_Rf [5,F], u_Bf [5,Fb]).
 
-    limiter: "bj" (Barth-Jespersen, production) or "none" (unlimited —
-    clean second order on smooth fields, for convergence studies)."""
+    limiter: "bj" (Barth-Jespersen, strictly monotone), "venkat"
+    (Venkatakrishnan — smooth relaxation of BJ that keeps full second
+    order at smooth extrema, slight bounded overshoot at jumps; `dim`
+    sets the eps^2 = (K h)^3 length scale) or "none" (unlimited — clean
+    second order on smooth fields, for convergence studies)."""
     _require_geometry(conn)
     cap_b = conn.boundary_capacity
 
@@ -141,15 +174,24 @@ def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
              * conn.d_b[None]).sum(axis=1) if cap_b
             else jnp.zeros((5, 0), u.dtype))
 
-    if limiter == "bj":
+    if limiter in ("bj", "venkat"):
         u_min, u_max = _neighbor_minmax(u, u_l, u_r, u_b, conn)
         dmax, dmin = u_max - u, u_min - u
-        a_l = _bj_ratio(du_l, gather_cols(dmax, conn.left),
-                        gather_cols(dmin, conn.left))
-        a_r = _bj_ratio(du_r, gather_cols(dmax, conn.right),
-                        gather_cols(dmin, conn.right))
-        a_b = (_bj_ratio(du_b, gather_cols(dmax, conn.b_elem),
-                         gather_cols(dmin, conn.b_elem)) if cap_b
+        if limiter == "venkat":
+            eps2 = _limiter_eps2(inv_volume, dim, u.dtype)[None]  # [1, cap]
+
+            def ratio(du, idx):
+                return _venkat_ratio(du, gather_cols(dmax, idx),
+                                     gather_cols(dmin, idx),
+                                     gather_cols(eps2, idx))
+        else:
+            def ratio(du, idx):
+                return _bj_ratio(du, gather_cols(dmax, idx),
+                                 gather_cols(dmin, idx))
+
+        a_l = ratio(du_l, conn.left)
+        a_r = ratio(du_r, conn.right)
+        a_b = (ratio(du_b, conn.b_elem) if cap_b
                else jnp.zeros((5, 0), u.dtype))
         # one alpha per ELEMENT: the min over its face-side candidates
         side = _side_values(a_l, a_r, a_b, conn)
@@ -174,13 +216,13 @@ def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
 def flux_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity,
                           inv_volume: jnp.ndarray, gamma: float = 1.4,
                           flux: str = "kepes", mode: str = "gather",
-                          limiter: str = "bj"):
+                          limiter: str = "bj", dim: int = 2):
     """Second-order counterpart of ops/fluxes.flux_divergence: limited
     MUSCL interface states feeding the same KEPES/HLL numerical flux and
     the same deterministic accumulate.  Returns (accum [5, capacity],
     max_speed scalar)."""
     u_lf, u_rf, u_bf = reconstruct_sides(u, conn, inv_volume, gamma,
-                                         mode, limiter)
+                                         mode, limiter, dim)
     q_l = euler.cell_fields(u_lf, gamma, flux)
     q_r = euler.cell_fields(u_rf, gamma, flux)
     f, speed = face_fluxes_from_sides(q_l, q_r, conn, gamma, flux)

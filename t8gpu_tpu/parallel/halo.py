@@ -165,7 +165,7 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
                                   conn: ShardedConnectivity,
                                   inv_volume: jnp.ndarray,
                                   gamma: float, flux: str,
-                                  limiter: str = "bj"):
+                                  limiter: str = "bj", dim: int = 2):
     """Second-order (MUSCL) per-shard divergence — the multi-chip
     counterpart of ops/reconstruct.flux_divergence_muscl.
 
@@ -177,8 +177,9 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
     sides of a shard-boundary face reconstruct the IDENTICAL interface
     states — conservation holds exactly, like the first-order duplicated
     faces."""
-    from t8gpu_tpu.ops.reconstruct import (_bj_ratio, _positivity_guard,
-                                           _side_values)
+    from t8gpu_tpu.ops.reconstruct import (_bj_ratio, _limiter_eps2,
+                                           _positivity_guard, _side_values,
+                                           _venkat_ratio)
 
     CL = u_local.shape[1]
     u_ext = halo_exchange(u_local, conn)
@@ -198,7 +199,7 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
     grad = (-accumulate_inc(c, cb, conn.inc_slot, conn.inc_sign)
             * inv_volume).reshape(5, 3, CL)
 
-    if limiter == "bj":
+    if limiter in ("bj", "venkat"):
         nbr = _side_values(u_r, u_l, u_b, conn)          # [5, CL, D]
         m = conn.inc_sign != 0
         u_min = jnp.minimum(u_local, jnp.where(m, nbr, jnp.inf).min(-1))
@@ -206,8 +207,14 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
         # extrapolation per incidence slot, from the owned element's side
         d_slots = _side_values(conn.d_left, conn.d_right, conn.d_b, conn)
         du = jnp.einsum("vkc,kcd->vcd", grad, d_slots)   # [5, CL, D]
-        r = _bj_ratio(du, (u_max - u_local)[..., None],
-                      (u_min - u_local)[..., None])
+        if limiter == "venkat":
+            eps2 = _limiter_eps2(inv_volume, dim, u_local.dtype)
+            r = _venkat_ratio(du, (u_max - u_local)[..., None],
+                              (u_min - u_local)[..., None],
+                              eps2[None, :, None])
+        else:
+            r = _bj_ratio(du, (u_max - u_local)[..., None],
+                          (u_min - u_local)[..., None])
         alpha = jnp.where(m, r, 1.0).min(-1)             # [5, CL]
     elif limiter == "none":
         alpha = jnp.ones_like(u_local)

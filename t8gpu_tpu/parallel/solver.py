@@ -92,7 +92,7 @@ class ShardedEulerSolver:
         if getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5:
             return halo.sharded_flux_divergence_muscl(
                 u, conn, inv_vol, self.config.gamma, self.config.flux,
-                getattr(self.config, "limiter", "bj"))
+                getattr(self.config, "limiter", "bj"), self.forest.dim)
         return self._flux_divergence(u, conn)
 
     # -- installation ---------------------------------------------------------

@@ -33,8 +33,11 @@ class EulerConfig:
     # from Green-Gauss gradients with a Barth-Jespersen limiter
     # (ops/reconstruct.py; beyond-reference).
     order: int = 1
-    # Slope limiter for order=2: "bj" (production) or "none" (unlimited,
-    # convergence studies only).
+    # Slope limiter for order=2: "bj" (Barth-Jespersen, strictly
+    # monotone), "venkat" (Venkatakrishnan — smooth, keeps ~order 1.85 at
+    # extrema, slight bounded overshoot), or "none" (unlimited,
+    # convergence studies only).  The subgrid path maps bj/venkat to its
+    # per-axis minmod variant.
     limiter: str = "bj"
 
 

@@ -258,6 +258,23 @@ class TestShardedOrder2:
                                    ref.conserved_state(),
                                    rtol=2e-5, atol=2e-6)
 
+    def test_venkat_matches_single_device(self):
+        from t8gpu_tpu.utils.config import EulerConfig
+
+        forest = Forest.uniform(4, dim=2)
+        ic = lambda c: kh_planar(c, dim=2)
+        cfg = EulerConfig(order=2, limiter="venkat")
+        ref = CompressibleEulerSolver(ForestMesh.from_forest(forest), ic,
+                                      config=cfg)
+        sharded = ShardedEulerSolver(forest, ic, config=cfg)
+        dt = 1e-3
+        for _ in range(5):
+            ref.iterate(dt)
+            sharded.iterate(dt)
+        np.testing.assert_allclose(sharded.conserved_state(),
+                                   ref.conserved_state(),
+                                   rtol=2e-5, atol=2e-6)
+
     def test_hanging_forest_matches_single_device(self):
         from t8gpu_tpu.utils.config import EulerConfig
 

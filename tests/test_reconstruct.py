@@ -99,6 +99,43 @@ class TestConvergence:
         orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
         assert min(orders) > 1.5, (errs, orders)
 
+    def test_second_order_venkat(self):
+        """Venkatakrishnan: smooth relaxation of BJ — keeps ~order 1.85
+        on the smooth wave (BJ tails off to ~1.77) with only slight,
+        bounded overshoot at jumps (checked below)."""
+        errs = []
+        for level in (4, 5, 6):
+            mesh = uniform_mesh(level, dim=2, periodic=True)
+            s = CompressibleEulerSolver(
+                mesh, lambda c: wave_ic(c[:, 0]),
+                config=EulerConfig(order=2, limiter="venkat"))
+            dt = 0.2 * mesh.h / 2.4
+            n = int(round(0.1 / dt))
+            s.iterate_many(n, 0.1 / n)
+            rho = s.conserved_state()[0]
+            errs.append(float(np.sqrt(np.mean(
+                (rho - exact_rho(mesh.centers[:, 0], 0.1)) ** 2))))
+        orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+        assert min(orders) > 1.75, (errs, orders)
+
+    def test_venkat_bounded_on_discontinuity(self):
+        mesh = uniform_mesh(5, dim=2, periodic=True)
+
+        def step_ic(c):
+            x = c[:, 0]
+            rho = np.where((x > 0.25) & (x < 0.75), 2.0, 1.0)
+            p = np.ones_like(x)
+            return np.stack([rho, rho, 0 * x, 0 * x,
+                             p / (GAMMA - 1) + 0.5 * rho]).astype(np.float32)
+
+        s = CompressibleEulerSolver(
+            mesh, step_ic, config=EulerConfig(order=2, limiter="venkat"))
+        dt = s.compute_timestep()
+        for _ in range(30):
+            s.iterate(dt)
+        rho = s.conserved_state()[0]
+        assert rho.min() > 0.9 and rho.max() < 2.1
+
     def test_order2_beats_order1(self):
         mesh = uniform_mesh(6, dim=2, periodic=True)
         errs = {}
