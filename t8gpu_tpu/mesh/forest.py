@@ -505,7 +505,8 @@ class Forest:
             b_face_center=b_face_center if B else None,
         )
 
-    def connectivity(self, element_capacity: Optional[int] = None) -> FaceConnectivity:
+    def connectivity(self, element_capacity: Optional[int] = None,
+                     recon_geometry: bool = True) -> FaceConnectivity:
         f = self.build_faces()
         return build_connectivity(
             left=f["left"], right=f["right"], normal=f["normal"], area=f["area"],
@@ -514,9 +515,9 @@ class Forest:
             element_capacity=element_capacity,
             axis=f["axis"], sign=f["sign"],
             b_axis=f["b_axis"], b_sign=f["b_sign"],
-            face_center=f["face_center"],
-            b_face_center=f["b_face_center"],
-            centers=self.centers(),
+            face_center=f["face_center"] if recon_geometry else None,
+            b_face_center=f["b_face_center"] if recon_geometry else None,
+            centers=self.centers() if recon_geometry else None,
             wrap=1.0 if self.periodic else None,
         )
 
@@ -544,10 +545,11 @@ class ForestMesh:
         return int(self.forest.level.max())
 
     @staticmethod
-    def from_forest(forest: Forest, element_capacity: Optional[int] = None) -> "ForestMesh":
+    def from_forest(forest: Forest, element_capacity: Optional[int] = None,
+                    recon_geometry: bool = True) -> "ForestMesh":
         return ForestMesh(
             forest=forest,
-            conn=forest.connectivity(element_capacity),
+            conn=forest.connectivity(element_capacity, recon_geometry),
             centers=forest.centers().astype(np.float32),
             volumes=forest.volumes().astype(np.float32),
         )

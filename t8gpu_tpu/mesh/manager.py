@@ -39,7 +39,20 @@ class MeshManager:
         self.forest = forest
         self.amr = amr
         self._factory = mesh_factory or ForestMesh.from_forest
+        # Whether adapt-time connectivity rebuilds include the MUSCL
+        # face-centroid displacements (order-2 only consumers).  Solvers
+        # set this from their config; skipping it saves ~24 B/face of
+        # host->device upload per adapt for first-order runs.
+        self.recon_geometry = True
         self.mesh = self._factory(forest, None)
+
+    def _build_mesh(self, forest, cap):
+        if self.recon_geometry:
+            return self._factory(forest, cap)
+        try:
+            return self._factory(forest, cap, recon_geometry=False)
+        except TypeError:       # custom factory without the knob
+            return self._factory(forest, cap)
 
     # -- queries --------------------------------------------------------------
 
@@ -84,7 +97,7 @@ class MeshManager:
         # the reference does in compute_connectivity_information
         # (mesh_manager.inl:332-481, SURVEY §3.4 "the #1 CPU bottleneck")
         with phase("adapt/mesh-build+upload"):
-            self.mesh = self._factory(new_forest, cap_new)
+            self.mesh = self._build_mesh(new_forest, cap_new)
         return remap
 
     def adapt(self, criteria: np.ndarray, u: jnp.ndarray) -> jnp.ndarray:

@@ -128,6 +128,7 @@ def shell_mesh(subdiv: int = 2, r_in: float = 0.8, thickness: float = 0.2,
 
     lefts, rights, normals, areas = [], [], [], []
     b_elems, b_normals, b_areas = [], [], []
+    f_cents, b_cents = [], []
 
     def add_face_contrib(e, centroid, nvec):
         """Divergence-theorem volume contribution of an OUTWARD face."""
@@ -153,15 +154,18 @@ def shell_mesh(subdiv: int = 2, r_in: float = 0.8, thickness: float = 0.2,
                 b_elems.append(elem(t, 0))
                 b_normals.append(-unit[t])             # outward = inward radius
                 b_areas.append(area[t])
+                b_cents.append(cent[t])
             elif k == n_layers:
                 b_elems.append(elem(t, n_layers - 1))
                 b_normals.append(unit[t])
                 b_areas.append(area[t])
+                b_cents.append(cent[t])
             else:
                 lefts.append(elem(t, k - 1))
                 rights.append(elem(t, k))
                 normals.append(unit[t])
                 areas.append(area[t])
+                f_cents.append(cent[t])
 
     # --- lateral (quad) faces ------------------------------------------------
     edge_owner = {}
@@ -188,6 +192,7 @@ def shell_mesh(subdiv: int = 2, r_in: float = 0.8, thickness: float = 0.2,
                     rights.append(e1)
                     normals.append(unit)
                     areas.append(area)
+                    f_cents.append(cent)
                     add_face_contrib(e0, cent, nvec)
                     add_face_contrib(e1, cent, -nvec)
             else:
@@ -214,6 +219,9 @@ def shell_mesh(subdiv: int = 2, r_in: float = 0.8, thickness: float = 0.2,
         b_elem=np.asarray(b_elems, np.int32),
         b_normal=np.asarray(b_normals, np.float32).T,
         b_area=np.asarray(b_areas, np.float32),
+        face_center=np.asarray(f_cents).T,
+        b_face_center=np.asarray(b_cents).T,
+        centers=centers,
     )
     suma = np.zeros(n)
     np.add.at(suma, np.asarray(lefts), np.asarray(areas))

@@ -772,8 +772,8 @@ class PrismForest:
                            if b_elems else None),
         )
 
-    def connectivity(self, element_capacity: Optional[int] = None
-                     ) -> FaceConnectivity:
+    def connectivity(self, element_capacity: Optional[int] = None,
+                     recon_geometry: bool = True) -> FaceConnectivity:
         from t8gpu_tpu.utils.profiling import phase
         with phase("adapt/host-face-walk"):
             f = self.build_faces()
@@ -783,9 +783,10 @@ class PrismForest:
                 area=f["area"], n_elements=self.n_elements,
                 b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
                 element_capacity=element_capacity,
-                face_center=f["face_center"],
-                b_face_center=f["b_face_center"],
-                centers=self.centers(),
+                face_center=f["face_center"] if recon_geometry else None,
+                b_face_center=(f["b_face_center"] if recon_geometry
+                               else None),
+                centers=self.centers() if recon_geometry else None,
             )
 
     def cfl_h(self) -> float:
@@ -818,12 +819,13 @@ class ShellForestMesh:
 
     @staticmethod
     def from_forest(forest: PrismForest,
-                    element_capacity: Optional[int] = None) -> "ShellForestMesh":
+                    element_capacity: Optional[int] = None,
+                    recon_geometry: bool = True) -> "ShellForestMesh":
         # dim * V / sum(A) ~= half the smallest cell extent: the binding
         # direction on thin prisms is radial, which volume^(1/3) misses
         return ShellForestMesh(
             forest=forest,
-            conn=forest.connectivity(element_capacity),
+            conn=forest.connectivity(element_capacity, recon_geometry),
             centers=forest.centers().astype(np.float32),
             volumes=forest.volumes().astype(np.float32),
             cfl_h=forest.cfl_h(),

@@ -503,17 +503,17 @@ class TetForest:
                            if has_b else None),
         )
 
-    def connectivity(self, element_capacity: Optional[int] = None
-                     ) -> FaceConnectivity:
+    def connectivity(self, element_capacity: Optional[int] = None,
+                     recon_geometry: bool = True) -> FaceConnectivity:
         f = self.build_faces()
         return build_connectivity(
             left=f["left"], right=f["right"], normal=f["normal"],
             area=f["area"], n_elements=self.n_elements,
             b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
             element_capacity=element_capacity,
-            face_center=f["face_center"],
-            b_face_center=f["b_face_center"],
-            centers=self.centers(),
+            face_center=f["face_center"] if recon_geometry else None,
+            b_face_center=f["b_face_center"] if recon_geometry else None,
+            centers=self.centers() if recon_geometry else None,
         )
 
     def cfl_h(self) -> float:
@@ -543,10 +543,11 @@ class TetForestMesh:
 
     @staticmethod
     def from_forest(forest: TetForest,
-                    element_capacity: Optional[int] = None) -> "TetForestMesh":
+                    element_capacity: Optional[int] = None,
+                    recon_geometry: bool = True) -> "TetForestMesh":
         return TetForestMesh(
             forest=forest,
-            conn=forest.connectivity(element_capacity),
+            conn=forest.connectivity(element_capacity, recon_geometry),
             centers=forest.centers().astype(np.float32),
             volumes=forest.volumes().astype(np.float32),
             cfl_h=forest.cfl_h(),

@@ -420,17 +420,17 @@ class TriForest:
                            if has_b else None),
         )
 
-    def connectivity(self, element_capacity: Optional[int] = None
-                     ) -> FaceConnectivity:
+    def connectivity(self, element_capacity: Optional[int] = None,
+                     recon_geometry: bool = True) -> FaceConnectivity:
         f = self.build_faces()
         return build_connectivity(
             left=f["left"], right=f["right"], normal=f["normal"],
             area=f["area"], n_elements=self.n_elements,
             b_elem=f["b_elem"], b_normal=f["b_normal"], b_area=f["b_area"],
             element_capacity=element_capacity,
-            face_center=f["face_center"],
-            b_face_center=f["b_face_center"],
-            centers=self.centers(),
+            face_center=f["face_center"] if recon_geometry else None,
+            b_face_center=f["b_face_center"] if recon_geometry else None,
+            centers=self.centers() if recon_geometry else None,
         )
 
     def cfl_h(self) -> float:
@@ -460,10 +460,11 @@ class TriForestMesh:
 
     @staticmethod
     def from_forest(forest: TriForest,
-                    element_capacity: Optional[int] = None) -> "TriForestMesh":
+                    element_capacity: Optional[int] = None,
+                    recon_geometry: bool = True) -> "TriForestMesh":
         return TriForestMesh(
             forest=forest,
-            conn=forest.connectivity(element_capacity),
+            conn=forest.connectivity(element_capacity, recon_geometry),
             centers=forest.centers().astype(np.float32),
             volumes=forest.volumes().astype(np.float32),
             cfl_h=forest.cfl_h(),

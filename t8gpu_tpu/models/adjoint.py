@@ -53,7 +53,7 @@ def _scan_rollout(step, u0, n_steps: int, remat: bool):
 def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
                   gamma: float = 1.4, flux: str = "kepes",
                   mode: str = "gather", order: int = 1,
-                  limiter: str = "bj", remat: bool = True):
+                  limiter: str = "bj", dim: int = 2, remat: bool = True):
     """Differentiable n-step SSP-RK3 rollout on plain elements.
 
     Same flux path as CompressibleEulerSolver.iterate_many
@@ -66,7 +66,8 @@ def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
     from t8gpu_tpu.models.compressible_euler import _make_flux_fn
 
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
-                            mode=mode, order=order, limiter=limiter)
+                            mode=mode, order=order, limiter=limiter,
+                            dim=dim)
 
     def step(u, _):
         u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_volume)
@@ -77,17 +78,26 @@ def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
 
 def rollout_subgrid(u0, dt, n_steps: int, volumes, conn, spec,
                     inv_cell_volume, *, gamma: float = 1.4,
-                    flux: str = "kepes", remat: bool = True):
+                    flux: str = "kepes", order: int = 1,
+                    limiter: str = "minmod", remat: bool = True):
     """Differentiable n-step rollout on subgrid elements ([5, *ext, Ecap]).
 
     Forces the XLA stencil path (the Pallas kernels have no VJP); the
-    stencil is cell-exact against the kernels on the same mesh.
+    stencil is cell-exact against the kernels on the same mesh.  order=2
+    rolls out the same MUSCL scheme the forward solver steps
+    (ops/subgrid.flux_divergence_muscl).
     """
     from t8gpu_tpu.ops import subgrid as sg
 
-    def step(u, _):
+    if order == 2:
+        flux_fn = lambda v: sg.flux_divergence_muscl(
+            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+    else:
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
-                                               gamma, flux, use_pallas=False)
+                                               gamma, flux,
+                                               use_pallas=False)
+
+    def step(u, _):
         u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
         return u_next, None
 
@@ -107,19 +117,23 @@ def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
         return rollout_subgrid(
             u0, dt, n_steps, solver.volumes, solver.conn, solver.spec,
             solver.inv_cell_volume, gamma=cfg.gamma, flux=cfg.flux,
-            remat=remat)
+            order=getattr(cfg, "order", 1),
+            limiter=solver._sg_limiter(), remat=remat)
     return rollout_plain(
         u0, dt, n_steps, solver.conn, solver.inv_volume,
         gamma=cfg.gamma, flux=cfg.flux,
         order=getattr(cfg, "order", 1),
-        limiter=getattr(cfg, "limiter", "bj"), remat=remat)
+        limiter=getattr(cfg, "limiter", "bj"),
+        dim=getattr(solver, "mesh_dim", 2), remat=remat)
 
 
 def loss_and_grad(solver, loss_fn, dt, n_steps: int, remat: bool = True):
     """(loss, d loss/d u0) for ``loss_fn(u_final) -> scalar`` after an
-    n-step rollout from the solver's current state.  Jit-compiled; reuse
-    the returned callable pattern by calling again with the same static
-    arguments (JAX caches the trace).
+    n-step rollout from the solver's current state.
+
+    One-shot convenience — each call traces afresh.  For optimization
+    loops, jit your own objective once (see examples/adjoint_ic.py):
+    ``jax.jit(jax.value_and_grad(lambda u0: loss_fn(rollout(...))))``.
     """
 
     def objective(u0):

@@ -167,6 +167,9 @@ class CompressibleEulerSolver:
         if isinstance(mesh, MeshManager):
             self.manager = mesh
             self.amr = mesh.amr
+            # adapt-time connectivity rebuilds only need the MUSCL
+            # displacement geometry when this solver reconstructs
+            self.manager.recon_geometry = config.order == 2
             mesh = mesh.mesh
         self.mesh = mesh
         self._max_speed = None
@@ -253,10 +256,15 @@ class CompressibleEulerSolver:
     def compute_timestep_device(self):
         """CFL timestep as a DEVICE scalar (no host round trip)."""
         if self._max_speed is None:
-            # bootstrap estimate from the initial state
-            _, speed = flux_divergence(
-                self.u, self.conn, gamma=self.config.gamma,
-                flux=self.config.flux, mode=self.accumulation)
+            # bootstrap estimate from the initial state — the SAME
+            # divergence the step runs (order-2 reconstruction can raise
+            # interface wave speeds above any cell state's)
+            flux_fn = _make_flux_fn(
+                self.conn, self.inv_volume, gamma=self.config.gamma,
+                flux=self.config.flux, mode=self.accumulation,
+                order=self.config.order, limiter=self.config.limiter,
+                dim=self.mesh_dim)
+            _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements
         # (shell prisms) provide cfl_h = 2*dim*min(V/sum A), tighter than

@@ -823,8 +823,10 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
         if limiter == "minmod":              # [5, *ext, Ecap]
             slope = _minmod(d_lo, d_hi)
         elif limiter == "none":
-            # unlimited central slope (convergence studies; still falls to
-            # one-sided-zero at hanging faces/walls via the masked d_out)
+            # unlimited central slope (convergence studies).  At hanging
+            # faces/walls the masked outward difference zeroes ONE term,
+            # so edge cells keep HALF their interior slope — only minmod
+            # gives the strict first-order fallback there.
             slope = 0.5 * (d_lo + d_hi)
         else:
             raise ValueError(f"unknown limiter: {limiter!r}")

@@ -108,9 +108,12 @@ class ShardedEulerSolver:
         self._crit_pending = None    # criteria refer to the previous mesh
         self.forest = forest
         self._cfl_h = forest.cfl_h()
+        order2 = getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5
         conn, bounds = build_sharded_connectivity(
             forest.build_faces(), forest.n_elements, self.n_shards,
-            centers=forest.centers(),
+            # MUSCL displacement geometry only when order 2 consumes it
+            # (saves ~24 B/face of upload per adapt otherwise)
+            centers=forest.centers() if order2 else None,
             wrap=1.0 if getattr(forest, "periodic", False) else None)
         self.bounds = bounds
         CL = conn.local_capacity
@@ -175,14 +178,17 @@ class ShardedEulerSolver:
         return jax.jit(criteria)
 
     def _build_speed(self):
-        divergence = self._flux_divergence
+        # the same divergence the step runs (order-2 reconstruction can
+        # produce interface wave speeds above any cell state's)
+        divergence = self._flux_divergence_vol
 
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
-            in_specs=(P(None, halo.AXIS), P(halo.AXIS)), out_specs=P())
-        def speed(u, conn):
+            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS)),
+            out_specs=P())
+        def speed(u, conn, inv_vol):
             conn = jax.tree.map(lambda x: x[0], conn)
-            _, sp = divergence(u, conn)
+            _, sp = divergence(u, conn, inv_vol)
             return sp
 
         return jax.jit(speed)
@@ -268,7 +274,8 @@ class ShardedEulerSolver:
         (finest edge on bricks; dim*min(V/sum A) on anisotropic prism/tri/
         tet forests), so any SFC forest kind works."""
         if self._max_speed is None:
-            self._max_speed = self._speed(self.u, self.conn)
+            self._max_speed = self._speed(self.u, self.conn,
+                                          self.inv_volume)
         return jnp.float32(self.config.cfl * self._cfl_h) / self._max_speed
 
     @property
