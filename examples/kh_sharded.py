@@ -49,7 +49,7 @@ def main():
                         "adapt boundary (AMR pipelining)")
     p.add_argument("--extent", type=int, default=8)
     p.add_argument("--order", type=int, default=1, choices=(1, 2),
-                   help="2 = sharded MUSCL (plain solver only)")
+                   help="2 = sharded MUSCL (plain + subgrid solvers)")
     p.add_argument("--checkpoint", default="",
                    help="write a (sharded-portable) checkpoint at the end")
     args = p.parse_args()
@@ -101,7 +101,8 @@ def main():
                         refine_threshold=0.02)
         solver = ShardedSubgridEulerSolver(
             forest, SubgridSpec((args.extent,) * args.dim),
-            lambda c: kh_planar(c, dim=args.dim), amr=amr)
+            lambda c: kh_planar(c, dim=args.dim), amr=amr,
+            config=EulerConfig(order=args.order))
 
     m0 = solver.compute_integral()
     print(f"shards={solver.n_shards} elements={solver.n_elements} "

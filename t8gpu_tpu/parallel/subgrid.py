@@ -290,10 +290,18 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
                                    spec, gamma, flux)
 
     D, sp_i = sg.inner_divergence_fields(q_loc, volumes, spec, gamma, flux)
-    speed = sp_i
+    D, speed = _sharded_outer_boundary(D, sp_i, q_ext, CL, volumes, conn,
+                                       spec, gamma, flux)
+    return D, jax.lax.pmax(speed, halo.AXIS)
 
-    # slab-exchange outer fluxes, same scheme as ops/subgrid.outer_apply but
-    # neighbor layers gathered from the extended element axis
+
+def _sharded_outer_boundary(D, speed, q_ext, CL, volumes, conn,
+                            spec: SubgridSpec, gamma: float, flux: str,
+                            exclude_equal: bool = False):
+    """Slab-exchange outer fluxes + reflective walls from extended-axis
+    fields — the per-shard mirror of ops/subgrid.outer_apply +
+    boundary_apply.  exclude_equal skips equal-level mesh faces (they are
+    handled at second order by the sharded MUSCL path)."""
     dim = spec.dim
     ext = spec.extent
     n_t = dim - 1
@@ -305,6 +313,9 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
         q_rot = sg.fields_axis_rotate(q_ext, a)          # tuple: free
         for s_i, sign in ((0, 1), (1, -1)):
             k = 2 * a + s_i
+            if exclude_equal and not (conn.has_coarse[k]
+                                      or conn.has_fine[k]):
+                continue
             nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
                                     conn.bits[k], conn.mask[k])
             hi = sign > 0
@@ -319,18 +330,22 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
                 opp_layer, nbr if conn.has_fine[k] else nbr[:, :1])
             base = nb[..., 0]
 
-            r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
-            other = (jnp.where(r < 0,
-                               sg._coarse_window(base, bits, spec), base)
-                     if conn.has_coarse[k] else base)
-            q_l, q_r = (my_layer, other) if hi else (other, my_layer)
-            f, sp = sg.fields_flux(q_l, q_r, gamma=gamma, flux=flux)
-            w1 = mask * area_t * (rel <= 0)
-            f = (sg.axis_unrotate(f, a)
-                 * w1.reshape((1,) * (f.ndim - 1) + (-1,)))
-            contrib = -f if hi else f
-            sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
-            speed = jnp.maximum(speed, (sp * sp_m).max())
+            contrib = None
+            if not (exclude_equal and not conn.has_coarse[k]):
+                r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+                other = (jnp.where(r < 0,
+                                   sg._coarse_window(base, bits, spec),
+                                   base)
+                         if conn.has_coarse[k] else base)
+                q_l, q_r = (my_layer, other) if hi else (other, my_layer)
+                f, sp = sg.fields_flux(q_l, q_r, gamma=gamma, flux=flux)
+                w1 = mask * area_t * ((rel < 0) if exclude_equal
+                                      else (rel <= 0))
+                f = (sg.axis_unrotate(f, a)
+                     * w1.reshape((1,) * (f.ndim - 1) + (-1,)))
+                contrib = -f if hi else f
+                sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
+                speed = jnp.maximum(speed, (sp * sp_m).max())
 
             if conn.has_fine[k]:
                 fine = sg._fine_interleave(nb, spec)
@@ -341,12 +356,14 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
                 f2 = (sg.axis_unrotate(f2, a)
                       * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
                 f2 = sg._pool2(f2, n_t)
-                contrib = contrib + (-f2 if hi else f2)
+                f2 = -f2 if hi else f2
+                contrib = f2 if contrib is None else contrib + f2
                 sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
                 speed = jnp.maximum(speed, (sp2 * sp_m2).max())
 
-            D = sg._slab_add(D, contrib.reshape(contrib.shape[0], -1), a,
-                             layer_hi=hi, spec=spec)
+            if contrib is not None:
+                D = sg._slab_add(D, contrib.reshape(contrib.shape[0], -1),
+                                 a, layer_hi=hi, spec=spec)
 
     q_ext_flat = tuple(r.reshape(-1) for r in q_ext)
     for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
@@ -366,6 +383,127 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
                          layer_hi=sign > 0, spec=spec)
         speed = jnp.maximum(speed, (sp * (ar > 0)).max())
 
+    return D, speed
+
+
+def sharded_subgrid_flux_divergence_muscl(u, volumes, conn,
+                                           spec: SubgridSpec, gamma: float,
+                                           flux: str,
+                                           limiter: str = "minmod"):
+    """Per-shard second-order MUSCL flux divergence — the multi-chip
+    mirror of ops/subgrid.flux_divergence_muscl.
+
+    The subgrid halo ships WHOLE neighbor elements (all layers), so the
+    equal-level neighbor's facing two layers are already on the extended
+    element axis: no second halo round is needed (unlike the plain-element
+    sharded MUSCL, parallel/halo.py).  Every mesh face is evaluated from
+    both sides with identical inputs — conservation is exact across shard
+    boundaries exactly as within a shard."""
+    from t8gpu_tpu.ops.euler import (cell_fields_tuple, maybe_barrier,
+                                     numerical_flux, primitives)
+
+    u_ext = _halo_exchange_state(u, conn)
+    CL = u.shape[-1]
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / ext
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    area_t = (h_e / ext) ** n_t
+
+    D = jnp.zeros((5,) + u.shape[1:], u.dtype)
+    speed = jnp.zeros((), u.dtype)
+
+    def guard(u_rec, u_first):
+        _, p = primitives(u_rec, gamma)
+        ok = (u_rec[0] > 0.0) & (p > 0.0)
+        return jnp.where(ok[None], u_rec, u_first)
+
+    lim = (sg._minmod if limiter == "minmod"
+           else (lambda x, y: 0.5 * (x + y)))
+
+    for a in range(dim):
+        ax = 1 + a
+        v_ext = sg.axis_rotate(u_ext, a)
+        v = v_ext[..., :CL]
+
+        sides = {}
+        for s_i, hi in ((0, True), (1, False)):
+            k = 2 * a + s_i
+            nbr1 = conn.nbr[k][:, :1]          # extended-axis indices
+            e_idx, s_idx = (0, 1) if hi else (ext - 1, ext - 2)
+            nb0 = sg._gather_layers(
+                jax.lax.index_in_dim(v_ext, e_idx, axis=ax,
+                                     keepdims=False), nbr1)[..., 0]
+            nb1 = sg._gather_layers(
+                jax.lax.index_in_dim(v_ext, s_idx, axis=ax,
+                                     keepdims=False), nbr1)[..., 0]
+            eq = ((conn.rel[k] == 0) & (conn.mask[k] > 0)).astype(u.dtype)
+            sides[hi] = (nb0, nb1, eq, k)
+
+        my_lo = jax.lax.index_in_dim(v, 0, axis=ax, keepdims=False)
+        my_hi = jax.lax.index_in_dim(v, ext - 1, axis=ax, keepdims=False)
+        nb0_lo, _, eq_lo, _ = sides[False]
+        nb0_hi, _, eq_hi, _ = sides[True]
+
+        def bcast(w, like):
+            return w.reshape((1,) * (like.ndim - 1) + (-1,))
+
+        d_int = (jax.lax.slice_in_dim(v, 1, ext, axis=ax)
+                 - jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax))
+        d_out_lo = (my_lo - nb0_lo) * bcast(eq_lo, my_lo)
+        d_out_hi = (nb0_hi - my_hi) * bcast(eq_hi, my_hi)
+        d_lo = jnp.concatenate(
+            [jnp.expand_dims(d_out_lo, ax), d_int], axis=ax)
+        d_hi = jnp.concatenate(
+            [d_int, jnp.expand_dims(d_out_hi, ax)], axis=ax)
+        slope = lim(d_lo, d_hi)
+
+        # in-block interfaces
+        v_l = jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax)
+        v_r = jax.lax.slice_in_dim(v, 1, ext, axis=ax)
+        u_l = guard(v_l + 0.5 * jax.lax.slice_in_dim(slope, 0, ext - 1,
+                                                     axis=ax), v_l)
+        u_r = guard(v_r - 0.5 * jax.lax.slice_in_dim(slope, 1, ext,
+                                                     axis=ax), v_r)
+        f, sp = numerical_flux(u_l, u_r, gamma=gamma, flux=flux)
+        f = sg.axis_unrotate(f, a) * surface
+        pad_lo = [(0, 0)] * f.ndim
+        pad_hi = [(0, 0)] * f.ndim
+        pad_lo[ax] = (1, 0)
+        pad_hi[ax] = (0, 1)
+        D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
+        speed = jnp.maximum(speed, (sp * (surface > 0)).max())
+
+        # equal-level mesh faces at full second order
+        for hi in (True, False):
+            nb0, nb1, eq, k = sides[hi]
+            my_edge = my_hi if hi else my_lo
+            s_edge = jax.lax.index_in_dim(slope, ext - 1 if hi else 0,
+                                          axis=ax, keepdims=False)
+            if hi:
+                s_nbr = lim(nb0 - my_edge, nb1 - nb0)
+                u_lf = guard(my_edge + 0.5 * s_edge, my_edge)
+                u_rf = guard(nb0 - 0.5 * s_nbr, nb0)
+            else:
+                s_nbr = lim(nb0 - nb1, my_edge - nb0)
+                u_lf = guard(nb0 + 0.5 * s_nbr, nb0)
+                u_rf = guard(my_edge - 0.5 * s_edge, my_edge)
+            f, sp = numerical_flux(u_lf, u_rf, gamma=gamma, flux=flux)
+            w = conn.mask[k] * area_t * eq
+            f = sg.axis_unrotate(f, a) * bcast(w, f)
+            contrib = -f if hi else f
+            D = sg._slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+                             spec=spec)
+            sp_m = bcast((w > 0).astype(u.dtype), sp)
+            speed = jnp.maximum(speed, (sp * sp_m).max())
+
+    # hanging (2:1) faces + walls: first-order closure, equal excluded
+    q_ext = maybe_barrier(cell_fields_tuple(u_ext, gamma, flux))
+    D, speed = _sharded_outer_boundary(D, speed, q_ext, CL, volumes, conn,
+                                       spec, gamma, flux,
+                                       exclude_equal=True)
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
@@ -576,6 +714,9 @@ class ShardedSubgridEulerSolver:
 
     def _build_step(self, n_steps: int = 1):
         gamma, flux = self.config.gamma, self.config.flux
+        order = getattr(self.config, "order", 1)
+        limiter = ("none" if getattr(self.config, "limiter", "bj") == "none"
+                   else "minmod")
         sgspec = self.spec
         u_spec = self._u_spec()
 
@@ -587,7 +728,14 @@ class ShardedSubgridEulerSolver:
             from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
             conn = jax.tree.map(lambda x: x[0], conn)
-            if sg.can_fuse_rk(conn, sgspec) and kernel_mode() != "off":
+            if order == 2:
+                flux_fn = lambda v: sharded_subgrid_flux_divergence_muscl(
+                    v, volumes, conn, sgspec, gamma, flux, limiter)
+
+                def body(_i, carry):
+                    v, _ = carry
+                    return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
+            elif sg.can_fuse_rk(conn, sgspec) and kernel_mode() != "off":
                 def body(_i, carry):
                     v, _ = carry
                     return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
@@ -624,6 +772,9 @@ class ShardedSubgridEulerSolver:
 
     def _build_speed(self):
         gamma, flux = self.config.gamma, self.config.flux
+        order = getattr(self.config, "order", 1)
+        limiter = ("none" if getattr(self.config, "limiter", "bj") == "none"
+                   else "minmod")
         sgspec = self.spec
 
         @functools.partial(
@@ -632,8 +783,12 @@ class ShardedSubgridEulerSolver:
             out_specs=P(), check_vma=False)
         def speed(u, conn, volumes):
             conn = jax.tree.map(lambda x: x[0], conn)
-            _, sp = sharded_subgrid_flux_divergence(
-                u, volumes, conn, sgspec, gamma, flux)
+            if order == 2:     # same divergence the step runs (CFL bound)
+                _, sp = sharded_subgrid_flux_divergence_muscl(
+                    u, volumes, conn, sgspec, gamma, flux, limiter)
+            else:
+                _, sp = sharded_subgrid_flux_divergence(
+                    u, volumes, conn, sgspec, gamma, flux)
             return sp
 
         return jax.jit(speed)

@@ -148,3 +148,55 @@ def test_sharded_fused_glue_amr_walls_interpret():
         jax.clear_caches()
     np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
                                rtol=2e-5, atol=2e-6)
+
+
+class TestShardedSubgridOrder2:
+    """Sharded subgrid MUSCL (sharded_subgrid_flux_divergence_muscl): the
+    whole-element halo already carries the neighbor layers the slopes
+    need, so no extra halo round — must match the single-device order-2
+    subgrid path exactly (same math, same inputs on both face sides)."""
+
+    def test_matches_single_device(self):
+        from t8gpu_tpu.utils.config import EulerConfig
+
+        spec = SUBGRID_4x4
+        cfg = EulerConfig(order=2)
+        f = Forest.uniform(3, dim=2)
+        ic = lambda c: kh_planar(c, dim=2)
+        ref = SubgridCompressibleEulerSolver(
+            SubgridMesh.from_forest(f, spec), ic, config=cfg)
+        sh = ShardedSubgridEulerSolver(f, spec, ic, config=cfg)
+        dt = 1e-3
+        for _ in range(5):
+            ref.iterate(dt)
+            sh.iterate(dt)
+        np.testing.assert_allclose(
+            sh.conserved_state().reshape(5, -1),
+            ref.conserved_state().reshape(5, -1), rtol=2e-5, atol=2e-6)
+
+    def test_hanging_matches_single_device(self):
+        """2:1 faces (first-order closure) + equal faces (second order)
+        across shard boundaries == single device."""
+        import numpy as _np
+
+        from t8gpu_tpu.utils.config import EulerConfig
+
+        f = Forest.uniform(2, dim=2)
+        c = f.centers()
+        flags = _np.where((c[:, 1] > 0.4) & (c[:, 1] < 0.6), 1, 0)
+        f, _ = f.adapt(f.balance_flags(flags.astype(_np.int8)))
+        spec = SUBGRID_4x4
+        cfg = EulerConfig(order=2)
+        ic = lambda cc: kh_planar(cc, dim=2)
+        ref = SubgridCompressibleEulerSolver(
+            SubgridMesh.from_forest(f, spec), ic, config=cfg)
+        sh = ShardedSubgridEulerSolver(f, spec, ic, config=cfg)
+        dt = 5e-4
+        m0 = sh.compute_integral()
+        for _ in range(5):
+            ref.iterate(dt)
+            sh.iterate(dt)
+        np.testing.assert_allclose(
+            sh.conserved_state().reshape(5, -1),
+            ref.conserved_state().reshape(5, -1), rtol=2e-5, atol=2e-6)
+        assert abs(sh.compute_integral() - m0) / m0 < 1e-5

@@ -295,3 +295,18 @@ class TestAdaptCycle:
             dt = s.compute_timestep()
         assert abs(s.compute_integral() - m0) / m0 < 1e-4
         assert np.isfinite(s.conserved_state()).all()
+
+    def test_static_shell_order2(self):
+        """Regression: the STATIC uniform shell (mesh/shell.py, the
+        kh_sphere default mode) must carry face-centroid geometry too —
+        round-3 review caught it crashing order=2."""
+        from t8gpu_tpu.mesh.shell import shell_mesh
+        from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+        s = CompressibleEulerSolver(shell_mesh(subdiv=1), kh_sphere,
+                                    config=EulerConfig(order=2))
+        m0 = s.compute_integral()
+        for _ in range(10):
+            s.iterate(5e-4)
+        assert abs(s.compute_integral() - m0) / m0 < 1e-4
+        assert np.isfinite(s.conserved_state()).all()
