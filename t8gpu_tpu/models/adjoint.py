@@ -53,7 +53,8 @@ def _scan_rollout(step, u0, n_steps: int, remat: bool):
 def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
                   gamma: float = 1.4, flux: str = "kepes",
                   mode: str = "gather", order: int = 1,
-                  limiter: str = "bj", dim: int = 2, remat: bool = True):
+                  limiter: str = "bj", dim: int = 2,
+                  gravity=(0.0, 0.0, 0.0), remat: bool = True):
     """Differentiable n-step SSP-RK3 rollout on plain elements.
 
     Same flux path as CompressibleEulerSolver.iterate_many
@@ -67,7 +68,7 @@ def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
 
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
-                            dim=dim)
+                            dim=dim, gravity=tuple(gravity))
 
     def step(u, _):
         u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_volume)
@@ -79,7 +80,8 @@ def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
 def rollout_subgrid(u0, dt, n_steps: int, volumes, conn, spec,
                     inv_cell_volume, *, gamma: float = 1.4,
                     flux: str = "kepes", order: int = 1,
-                    limiter: str = "minmod", remat: bool = True):
+                    limiter: str = "minmod", gravity=(0.0, 0.0, 0.0),
+                    remat: bool = True):
     """Differentiable n-step rollout on subgrid elements ([5, *ext, Ecap]).
 
     Forces the XLA stencil path (the Pallas kernels have no VJP); the
@@ -96,6 +98,11 @@ def rollout_subgrid(u0, dt, n_steps: int, volumes, conn, spec,
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
                                                gamma, flux,
                                                use_pallas=False)
+    from t8gpu_tpu.models.subgrid_euler import _with_cell_gravity
+    from t8gpu_tpu.ops.source import has_gravity
+    if has_gravity(gravity):
+        flux_fn = _with_cell_gravity(flux_fn, tuple(gravity),
+                                     inv_cell_volume)
 
     def step(u, _):
         u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
@@ -118,13 +125,17 @@ def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
             u0, dt, n_steps, solver.volumes, solver.conn, solver.spec,
             solver.inv_cell_volume, gamma=cfg.gamma, flux=cfg.flux,
             order=getattr(cfg, "order", 1),
-            limiter=solver._sg_limiter(), remat=remat)
+            limiter=solver._sg_limiter(),
+            gravity=tuple(getattr(cfg, "gravity", (0.0, 0.0, 0.0))),
+            remat=remat)
     return rollout_plain(
         u0, dt, n_steps, solver.conn, solver.inv_volume,
         gamma=cfg.gamma, flux=cfg.flux,
         order=getattr(cfg, "order", 1),
         limiter=getattr(cfg, "limiter", "bj"),
-        dim=getattr(solver, "mesh_dim", 2), remat=remat)
+        dim=getattr(solver, "mesh_dim", 2),
+        gravity=tuple(getattr(cfg, "gravity", (0.0, 0.0, 0.0))),
+        remat=remat)
 
 
 def loss_and_grad(solver, loss_fn, dt, n_steps: int, remat: bool = True):

@@ -59,45 +59,54 @@ class StepList(enum.IntEnum):
 
 
 def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
-                  dim=2):
+                  dim=2, gravity=(0.0, 0.0, 0.0)):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
-    (ops/reconstruct.py, beyond-reference)."""
+    (ops/reconstruct.py, beyond-reference), plus the unsplit gravity
+    source when configured (ops/source.py)."""
     if order == 2:
         from t8gpu_tpu.ops.reconstruct import flux_divergence_muscl
-        return lambda v: flux_divergence_muscl(
+        fn = lambda v: flux_divergence_muscl(
             v, conn, inv_volume, gamma=gamma, flux=flux, mode=mode,
             limiter=limiter, dim=dim)
-    return lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
-                                     mode=mode)
+    else:
+        fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
+                                       mode=mode)
+    from t8gpu_tpu.ops.source import has_gravity, with_gravity
+    if has_gravity(gravity):
+        volume = jnp.where(inv_volume > 0, 1.0 / jnp.where(
+            inv_volume > 0, inv_volume, 1.0), 0.0)
+        fn = with_gravity(fn, gravity, volume)
+    return fn
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "order",
-                                    "limiter", "dim"),
+                                    "limiter", "dim", "gravity"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
-              limiter: str = "bj", dim: int = 2):
+              limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0)):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
-                            dim=dim)
+                            dim=dim, gravity=gravity)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "n_steps",
-                                    "order", "limiter", "dim"),
+                                    "order", "limiter", "dim", "gravity"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                *, n_steps: int, gamma: float, flux: str, mode: str,
-               order: int = 1, limiter: str = "bj", dim: int = 2):
+               order: int = 1, limiter: str = "bj", dim: int = 2,
+               gravity=(0.0, 0.0, 0.0)):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
-                            dim=dim)
+                            dim=dim, gravity=gravity)
 
     def body(_i, carry):
         v, _ = carry
@@ -218,7 +227,8 @@ class CompressibleEulerSolver:
             jnp.asarray(dt, self.dtype),
             gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,
-            limiter=self.config.limiter, dim=self.mesh_dim)
+            limiter=self.config.limiter, dim=self.mesh_dim,
+            gravity=tuple(self.config.gravity))
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -227,7 +237,8 @@ class CompressibleEulerSolver:
             jnp.asarray(dt, self.dtype),
             n_steps=n_steps, gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,
-            limiter=self.config.limiter, dim=self.mesh_dim)
+            limiter=self.config.limiter, dim=self.mesh_dim,
+            gravity=tuple(self.config.gravity))
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -263,7 +274,7 @@ class CompressibleEulerSolver:
                 self.conn, self.inv_volume, gamma=self.config.gamma,
                 flux=self.config.flux, mode=self.accumulation,
                 order=self.config.order, limiter=self.config.limiter,
-                dim=self.mesh_dim)
+                dim=self.mesh_dim, gravity=tuple(self.config.gravity))
             _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements

@@ -42,6 +42,17 @@ from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
 GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
 
 
+def _with_cell_gravity(flux_fn, gravity, inv_cell_volume):
+    """Gravity source scaled by the per-cell volume ([cap] broadcasts
+    against the element-minor [5, *ext, cap] divergence)."""
+    from t8gpu_tpu.ops.source import with_gravity
+
+    cell_vol = jnp.where(inv_cell_volume > 0,
+                         1.0 / jnp.where(inv_cell_volume > 0,
+                                         inv_cell_volume, 1.0), 0.0)
+    return with_gravity(flux_fn, gravity, cell_vol)
+
+
 def _use_fused_rk(conn, spec) -> bool:
     from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
@@ -50,14 +61,23 @@ def _use_fused_rk(conn, spec) -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "gamma", "flux", "order",
-                                    "limiter"),
+                                    "limiter", "gravity"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               *, spec: SubgridSpec, gamma: float, flux: str,
-              order: int = 1, limiter: str = "minmod"):
-    if order == 2:
-        flux_fn = lambda v: sg.flux_divergence_muscl(
-            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+              order: int = 1, limiter: str = "minmod",
+              gravity=(0.0, 0.0, 0.0)):
+    from t8gpu_tpu.ops.source import has_gravity
+    grav = has_gravity(gravity)
+    if order == 2 or grav:
+        if order == 2:
+            flux_fn = lambda v: sg.flux_divergence_muscl(
+                v, volumes, conn, spec, gamma, flux, limiter=limiter)
+        else:
+            flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
+                                                   gamma, flux)
+        if grav:
+            flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cell_volume)
         return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
     if _use_fused_rk(conn, spec):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
@@ -68,11 +88,12 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "gamma", "flux", "n_steps",
-                                    "order", "limiter"),
+                                    "order", "limiter", "gravity"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str,
-               order: int = 1, limiter: str = "minmod"):
+               order: int = 1, limiter: str = "minmod",
+               gravity=(0.0, 0.0, 0.0)):
     """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
 
     Between adapt events the connectivity is static, so whole step batches
@@ -80,9 +101,17 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     step requires host-driven kernel launches + MPI barriers,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
-    if order == 2:
-        flux_fn = lambda v: sg.flux_divergence_muscl(
-            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+    from t8gpu_tpu.ops.source import has_gravity
+    grav = has_gravity(gravity)
+    if order == 2 or grav:
+        if order == 2:
+            flux_fn = lambda v: sg.flux_divergence_muscl(
+                v, volumes, conn, spec, gamma, flux, limiter=limiter)
+        else:
+            flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
+                                                   gamma, flux)
+        if grav:
+            flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cell_volume)
 
         def body(_i, carry):
             v, _ = carry
@@ -170,7 +199,8 @@ class SubgridCompressibleEulerSolver:
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), spec=self.spec, gamma=self.config.gamma,
             flux=self.config.flux, order=self.config.order,
-            limiter=self._sg_limiter())
+            limiter=self._sg_limiter(),
+            gravity=tuple(self.config.gravity))
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -178,7 +208,8 @@ class SubgridCompressibleEulerSolver:
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), n_steps=n_steps, spec=self.spec,
             gamma=self.config.gamma, flux=self.config.flux,
-            order=self.config.order, limiter=self._sg_limiter())
+            order=self.config.order, limiter=self._sg_limiter(),
+            gravity=tuple(self.config.gravity))
 
     def _sg_limiter(self) -> str:
         # EulerConfig.limiter speaks the plain path's names ("bj"/"none");

@@ -87,13 +87,22 @@ class ShardedEulerSolver:
 
     def _flux_divergence_vol(self, u, conn, inv_vol):
         """Volume-aware variant used by the step: second-order MUSCL needs
-        1/V for the Green-Gauss gradients (EulerConfig(order=2)); models
-        without an `order` knob fall through to the plain hook."""
+        1/V for the Green-Gauss gradients (EulerConfig(order=2)), and the
+        gravity source needs V; models without those knobs fall through to
+        the plain hook."""
         if getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5:
-            return halo.sharded_flux_divergence_muscl(
-                u, conn, inv_vol, self.config.gamma, self.config.flux,
+            fn = lambda v: halo.sharded_flux_divergence_muscl(
+                v, conn, inv_vol, self.config.gamma, self.config.flux,
                 getattr(self.config, "limiter", "bj"), self.forest.dim)
-        return self._flux_divergence(u, conn)
+        else:
+            fn = lambda v: self._flux_divergence(v, conn)
+        from t8gpu_tpu.ops.source import has_gravity, with_gravity
+        gravity = getattr(self.config, "gravity", (0.0, 0.0, 0.0))
+        if self.N_ROWS == 5 and has_gravity(gravity):
+            volume = jnp.where(inv_vol > 0, 1.0 / jnp.where(
+                inv_vol > 0, inv_vol, 1.0), 0.0)
+            fn = with_gravity(fn, gravity, volume)
+        return fn(u)
 
     # -- installation ---------------------------------------------------------
 

@@ -717,6 +717,9 @@ class ShardedSubgridEulerSolver:
         order = getattr(self.config, "order", 1)
         limiter = ("none" if getattr(self.config, "limiter", "bj") == "none"
                    else "minmod")
+        gravity = tuple(getattr(self.config, "gravity", (0.0, 0.0, 0.0)))
+        from t8gpu_tpu.ops.source import has_gravity
+        grav = has_gravity(gravity)
         sgspec = self.spec
         u_spec = self._u_spec()
 
@@ -728,9 +731,19 @@ class ShardedSubgridEulerSolver:
             from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
             conn = jax.tree.map(lambda x: x[0], conn)
-            if order == 2:
-                flux_fn = lambda v: sharded_subgrid_flux_divergence_muscl(
-                    v, volumes, conn, sgspec, gamma, flux, limiter)
+            if order == 2 or grav:
+                if order == 2:
+                    flux_fn = (lambda v:
+                               sharded_subgrid_flux_divergence_muscl(
+                                   v, volumes, conn, sgspec, gamma, flux,
+                                   limiter))
+                else:
+                    flux_fn = lambda v: sharded_subgrid_flux_divergence(
+                        v, volumes, conn, sgspec, gamma, flux)
+                if grav:
+                    from t8gpu_tpu.models.subgrid_euler import \
+                        _with_cell_gravity
+                    flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cv)
 
                 def body(_i, carry):
                     v, _ = carry

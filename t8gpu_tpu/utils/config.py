@@ -28,6 +28,12 @@ class EulerConfig:
     # works (requires jax x64 mode; CPU-practical — TPUs emulate f64).
     # The subgrid/Pallas kernels are float32-only (Mosaic has no f64).
     dtype: str = "float32"
+    # Uniform body force (beyond-reference): adds rho*g to the momentum
+    # equations and (rho v).g to the energy equation as an unsplit source
+    # inside every RK stage — buoyancy-driven flows (Rayleigh-Taylor,
+    # stratified KH).  Subgrid solvers with gravity use the XLA stencil
+    # path (the fused kernels integrate the homogeneous system).
+    gravity: tuple = (0.0, 0.0, 0.0)
     # Spatial order of the plain-element scheme: 1 = cell states at faces
     # (the reference scheme, kernels.cu:150-172); 2 = MUSCL reconstruction
     # from Green-Gauss gradients with a Barth-Jespersen limiter
