@@ -94,6 +94,7 @@ def main():
 
     t0 = time.perf_counter()
     done = 0
+    sim_t = 0.0        # accumulated across dt changes (adapt re-estimates)
     while done < args.steps:
         n = args.steps - done
         if args.amr:
@@ -102,6 +103,7 @@ def main():
             n = min(n, args.vtk_every - done % args.vtk_every)
         solver.iterate_many(n, dt)
         done += n
+        sim_t += n * dt
         if args.amr and done % args.adapt_every == 0 and done < args.steps:
             solver.adapt()
             dt = 0.5 * solver.compute_timestep()
@@ -114,7 +116,7 @@ def main():
                 write_vtu(f"{args.prefix}_{done:06d}.vtu",
                           np.asarray(mesh_now.centers), h,
                           {"density": u[0], "momentum": u[1:4]}, dim=2),
-                time=done * dt)
+                time=sim_t)
     wall = time.perf_counter() - t0
 
     m1 = solver.compute_integral()

@@ -44,15 +44,19 @@ class MeshManager:
         # set this from their config; skipping it saves ~24 B/face of
         # host->device upload per adapt for first-order runs.
         self.recon_geometry = True
+        import inspect
+        try:
+            self._factory_has_recon = ("recon_geometry" in
+                                       inspect.signature(
+                                           self._factory).parameters)
+        except (TypeError, ValueError):   # builtins / odd callables
+            self._factory_has_recon = False
         self.mesh = self._factory(forest, None)
 
     def _build_mesh(self, forest, cap):
-        if self.recon_geometry:
-            return self._factory(forest, cap)
-        try:
+        if not self.recon_geometry and self._factory_has_recon:
             return self._factory(forest, cap, recon_geometry=False)
-        except TypeError:       # custom factory without the knob
-            return self._factory(forest, cap)
+        return self._factory(forest, cap)
 
     # -- queries --------------------------------------------------------------
 

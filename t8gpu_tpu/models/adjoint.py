@@ -118,6 +118,11 @@ def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
     its current state is the default ``u0``.  The solver itself is NOT
     mutated — this returns the final state as a value.
     """
+    if hasattr(solver, "n_shards"):
+        raise NotImplementedError(
+            "adjoint.rollout takes the single-device solvers; rebuild a "
+            "single-device solver from the sharded state (conserved_state) "
+            "to differentiate")
     u0 = solver.u if u0 is None else u0
     cfg = solver.config
     if hasattr(solver, "spec"):          # subgrid solver

@@ -72,11 +72,10 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
     else:
         fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
                                        mode=mode)
-    from t8gpu_tpu.ops.source import has_gravity, with_gravity
+    from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
+                                      with_gravity)
     if has_gravity(gravity):
-        volume = jnp.where(inv_volume > 0, 1.0 / jnp.where(
-            inv_volume > 0, inv_volume, 1.0), 0.0)
-        fn = with_gravity(fn, gravity, volume)
+        fn = with_gravity(fn, gravity, volume_from_inverse(inv_volume))
     return fn
 
 

@@ -45,12 +45,10 @@ GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
 def _with_cell_gravity(flux_fn, gravity, inv_cell_volume):
     """Gravity source scaled by the per-cell volume ([cap] broadcasts
     against the element-minor [5, *ext, cap] divergence)."""
-    from t8gpu_tpu.ops.source import with_gravity
+    from t8gpu_tpu.ops.source import volume_from_inverse, with_gravity
 
-    cell_vol = jnp.where(inv_cell_volume > 0,
-                         1.0 / jnp.where(inv_cell_volume > 0,
-                                         inv_cell_volume, 1.0), 0.0)
-    return with_gravity(flux_fn, gravity, cell_vol)
+    return with_gravity(flux_fn, gravity,
+                        volume_from_inverse(inv_cell_volume))
 
 
 def _use_fused_rk(conn, spec) -> bool:
@@ -293,9 +291,17 @@ class SubgridCompressibleEulerSolver:
         iterate/iterate_many to avoid a host round trip per adapt cycle
         (device->host fetches are latency-bound; BENCHMARKS.md)."""
         if self._max_speed is None:
-            _, speed = sg.flux_divergence(
-                self.u, self.volumes, self.conn, self.spec,
-                self.config.gamma, self.config.flux)
+            # the SAME divergence the step runs (order-2 reconstruction
+            # can raise interface wave speeds above any cell state's)
+            if self.config.order == 2:
+                _, speed = sg.flux_divergence_muscl(
+                    self.u, self.volumes, self.conn, self.spec,
+                    self.config.gamma, self.config.flux,
+                    limiter=self._sg_limiter())
+            else:
+                _, speed = sg.flux_divergence(
+                    self.u, self.volumes, self.conn, self.spec,
+                    self.config.gamma, self.config.flux)
             self._max_speed = speed
         h_min = 0.5 ** self.mesh.max_level / self.spec.extent
         return jnp.float32(self.config.cfl * h_min) / self._max_speed

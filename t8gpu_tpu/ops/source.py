@@ -16,6 +16,12 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def volume_from_inverse(inv):
+    """Padded-slot-safe 1/inv: 0 where inv == 0 (capacity padding), so
+    source terms vanish on guard slots."""
+    return jnp.where(inv > 0, 1.0 / jnp.where(inv > 0, inv, 1.0), 0.0)
+
+
 def has_gravity(gravity) -> bool:
     return any(float(c) != 0.0 for c in gravity)
 

@@ -761,14 +761,54 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
 
     XLA-stencil path only (the CPU-test surface; fused-kernel MUSCL is
     future work) — the solver selects it via EulerConfig(order=2)."""
-    from t8gpu_tpu.ops.euler import (cell_fields_tuple, maybe_barrier,
-                                     numerical_flux, primitives)
+    from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+
+    D, speed = muscl_core(u, u, volumes, conn, spec, gamma, flux,
+                          limiter, positivity)
+
+    # hanging (2:1) faces + walls: first-order closure, equal faces excluded
+    q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
+    D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux,
+                          exclude_equal=True)
+    speed = jnp.maximum(speed, sp_o)
+    if conn.b_groups:
+        D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q),
+                                 conn, spec, gamma, flux)
+        speed = jnp.maximum(speed, sp_b)
+    return D, speed
+
+
+def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
+               spec: SubgridSpec, gamma: float, flux: str,
+               limiter: str = "minmod", positivity: bool = True):
+    """The per-axis MUSCL machinery shared by the single-device and
+    sharded subgrid paths: neighbor-layer gathers, limited slopes,
+    in-block interfaces, and the second-order equal-level mesh faces.
+
+    `u` holds the elements whose divergence is produced ([5, *ext, E]);
+    `u_src` is the GATHER SOURCE for neighbor layers — the same array on
+    one device, the halo-extended axis ([5, *ext, E+H]) per shard (the
+    side tables' neighbor ids index u_src).  Returns (D [5, *ext, E],
+    max speed); hanging faces/walls are NOT included (callers add the
+    first-order closure with exclude_equal)."""
+    from t8gpu_tpu.ops.euler import numerical_flux, primitives
+
+    if limiter == "minmod":
+        lim = _minmod
+    elif limiter == "none":
+        # unlimited central slope (convergence studies).  At hanging
+        # faces/walls the masked outward difference zeroes ONE term, so
+        # edge cells keep HALF their interior slope — only minmod gives
+        # the strict first-order fallback there.
+        lim = lambda x, y: 0.5 * (x + y)
+    else:
+        raise ValueError(f"unknown subgrid limiter: {limiter!r}")
 
     dim = spec.dim
     ext = spec.extent
     n_t = dim - 1
     h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / ext
-    surface = (h_cell ** (dim - 1)) * (volumes > 0)          # [Ecap]
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)          # [E]
     h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
     area_t = (h_e / ext) ** n_t
 
@@ -785,6 +825,7 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
     for a in range(dim):
         ax = 1 + a
         v = axis_rotate(u, a)               # rows rotated: v[1] is u_normal
+        v_src = v if u_src is u else axis_rotate(u_src, a)
 
         # equal-level neighbor facing layers (edge + second) per side
         sides = {}
@@ -793,11 +834,11 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
             nbr1 = conn.nbr[k][:, :1]       # quadrant 0: equal/coarse slot
             e_idx, s_idx = (0, 1) if hi else (ext - 1, ext - 2)
             nb0 = _gather_layers(
-                jax.lax.index_in_dim(v, e_idx, axis=ax, keepdims=False),
-                nbr1)[..., 0]
+                jax.lax.index_in_dim(v_src, e_idx, axis=ax,
+                                     keepdims=False), nbr1)[..., 0]
             nb1 = _gather_layers(
-                jax.lax.index_in_dim(v, s_idx, axis=ax, keepdims=False),
-                nbr1)[..., 0]
+                jax.lax.index_in_dim(v_src, s_idx, axis=ax,
+                                     keepdims=False), nbr1)[..., 0]
             eq = ((conn.rel[k] == 0) & (conn.mask[k] > 0)).astype(u.dtype)
             sides[hi] = (nb0, nb1, eq, k)
 
@@ -820,16 +861,7 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
             [jnp.expand_dims(d_out_lo, ax), d_int], axis=ax)
         d_hi = jnp.concatenate(
             [d_int, jnp.expand_dims(d_out_hi, ax)], axis=ax)
-        if limiter == "minmod":              # [5, *ext, Ecap]
-            slope = _minmod(d_lo, d_hi)
-        elif limiter == "none":
-            # unlimited central slope (convergence studies).  At hanging
-            # faces/walls the masked outward difference zeroes ONE term,
-            # so edge cells keep HALF their interior slope — only minmod
-            # gives the strict first-order fallback there.
-            slope = 0.5 * (d_lo + d_hi)
-        else:
-            raise ValueError(f"unknown limiter: {limiter!r}")
+        slope = lim(d_lo, d_hi)             # [5, *ext, E]
 
         # ---- in-block interfaces -----------------------------------------
         v_l = jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax)
@@ -853,8 +885,6 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
             my_edge = my_hi if hi else my_lo
             s_edge = jax.lax.index_in_dim(slope, ext - 1 if hi else 0,
                                           axis=ax, keepdims=False)
-            lim = (_minmod if limiter == "minmod"
-                   else lambda x, y: 0.5 * (x + y))
             if hi:
                 # neighbor (right) edge-cell slope from the same 4 layers
                 s_nbr = lim(nb0 - my_edge, nb1 - nb0)
@@ -873,15 +903,6 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
             sp_m = bcast((w > 0).astype(u.dtype), sp)
             speed = jnp.maximum(speed, (sp * sp_m).max())
 
-    # hanging (2:1) faces + walls: first-order closure, equal faces excluded
-    q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
-    D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux,
-                          exclude_equal=True)
-    speed = jnp.maximum(speed, sp_o)
-    if conn.b_groups:
-        D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q),
-                                 conn, spec, gamma, flux)
-        speed = jnp.maximum(speed, sp_b)
     return D, speed
 
 

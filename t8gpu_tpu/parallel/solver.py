@@ -96,12 +96,11 @@ class ShardedEulerSolver:
                 getattr(self.config, "limiter", "bj"), self.forest.dim)
         else:
             fn = lambda v: self._flux_divergence(v, conn)
-        from t8gpu_tpu.ops.source import has_gravity, with_gravity
+        from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
+                                          with_gravity)
         gravity = getattr(self.config, "gravity", (0.0, 0.0, 0.0))
         if self.N_ROWS == 5 and has_gravity(gravity):
-            volume = jnp.where(inv_vol > 0, 1.0 / jnp.where(
-                inv_vol > 0, inv_vol, 1.0), 0.0)
-            fn = with_gravity(fn, gravity, volume)
+            fn = with_gravity(fn, gravity, volume_from_inverse(inv_vol))
         return fn(u)
 
     # -- installation ---------------------------------------------------------

@@ -396,108 +396,18 @@ def sharded_subgrid_flux_divergence_muscl(u, volumes, conn,
     The subgrid halo ships WHOLE neighbor elements (all layers), so the
     equal-level neighbor's facing two layers are already on the extended
     element axis: no second halo round is needed (unlike the plain-element
-    sharded MUSCL, parallel/halo.py).  Every mesh face is evaluated from
-    both sides with identical inputs — conservation is exact across shard
-    boundaries exactly as within a shard."""
-    from t8gpu_tpu.ops.euler import (cell_fields_tuple, maybe_barrier,
-                                     numerical_flux, primitives)
+    sharded MUSCL, parallel/halo.py).  The slope/interface math is the
+    SHARED ops/subgrid.muscl_core (gathering from the extended axis), so
+    sharded == single-device is identical code, not parallel copies.
+    Every mesh face is evaluated from both sides with identical inputs —
+    conservation is exact across shard boundaries exactly as within a
+    shard."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
 
     u_ext = _halo_exchange_state(u, conn)
     CL = u.shape[-1]
-    dim = spec.dim
-    ext = spec.extent
-    n_t = dim - 1
-    h_cell = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim) / ext
-    surface = (h_cell ** (dim - 1)) * (volumes > 0)
-    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
-    area_t = (h_e / ext) ** n_t
-
-    D = jnp.zeros((5,) + u.shape[1:], u.dtype)
-    speed = jnp.zeros((), u.dtype)
-
-    def guard(u_rec, u_first):
-        _, p = primitives(u_rec, gamma)
-        ok = (u_rec[0] > 0.0) & (p > 0.0)
-        return jnp.where(ok[None], u_rec, u_first)
-
-    lim = (sg._minmod if limiter == "minmod"
-           else (lambda x, y: 0.5 * (x + y)))
-
-    for a in range(dim):
-        ax = 1 + a
-        v_ext = sg.axis_rotate(u_ext, a)
-        v = v_ext[..., :CL]
-
-        sides = {}
-        for s_i, hi in ((0, True), (1, False)):
-            k = 2 * a + s_i
-            nbr1 = conn.nbr[k][:, :1]          # extended-axis indices
-            e_idx, s_idx = (0, 1) if hi else (ext - 1, ext - 2)
-            nb0 = sg._gather_layers(
-                jax.lax.index_in_dim(v_ext, e_idx, axis=ax,
-                                     keepdims=False), nbr1)[..., 0]
-            nb1 = sg._gather_layers(
-                jax.lax.index_in_dim(v_ext, s_idx, axis=ax,
-                                     keepdims=False), nbr1)[..., 0]
-            eq = ((conn.rel[k] == 0) & (conn.mask[k] > 0)).astype(u.dtype)
-            sides[hi] = (nb0, nb1, eq, k)
-
-        my_lo = jax.lax.index_in_dim(v, 0, axis=ax, keepdims=False)
-        my_hi = jax.lax.index_in_dim(v, ext - 1, axis=ax, keepdims=False)
-        nb0_lo, _, eq_lo, _ = sides[False]
-        nb0_hi, _, eq_hi, _ = sides[True]
-
-        def bcast(w, like):
-            return w.reshape((1,) * (like.ndim - 1) + (-1,))
-
-        d_int = (jax.lax.slice_in_dim(v, 1, ext, axis=ax)
-                 - jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax))
-        d_out_lo = (my_lo - nb0_lo) * bcast(eq_lo, my_lo)
-        d_out_hi = (nb0_hi - my_hi) * bcast(eq_hi, my_hi)
-        d_lo = jnp.concatenate(
-            [jnp.expand_dims(d_out_lo, ax), d_int], axis=ax)
-        d_hi = jnp.concatenate(
-            [d_int, jnp.expand_dims(d_out_hi, ax)], axis=ax)
-        slope = lim(d_lo, d_hi)
-
-        # in-block interfaces
-        v_l = jax.lax.slice_in_dim(v, 0, ext - 1, axis=ax)
-        v_r = jax.lax.slice_in_dim(v, 1, ext, axis=ax)
-        u_l = guard(v_l + 0.5 * jax.lax.slice_in_dim(slope, 0, ext - 1,
-                                                     axis=ax), v_l)
-        u_r = guard(v_r - 0.5 * jax.lax.slice_in_dim(slope, 1, ext,
-                                                     axis=ax), v_r)
-        f, sp = numerical_flux(u_l, u_r, gamma=gamma, flux=flux)
-        f = sg.axis_unrotate(f, a) * surface
-        pad_lo = [(0, 0)] * f.ndim
-        pad_hi = [(0, 0)] * f.ndim
-        pad_lo[ax] = (1, 0)
-        pad_hi[ax] = (0, 1)
-        D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
-        speed = jnp.maximum(speed, (sp * (surface > 0)).max())
-
-        # equal-level mesh faces at full second order
-        for hi in (True, False):
-            nb0, nb1, eq, k = sides[hi]
-            my_edge = my_hi if hi else my_lo
-            s_edge = jax.lax.index_in_dim(slope, ext - 1 if hi else 0,
-                                          axis=ax, keepdims=False)
-            if hi:
-                s_nbr = lim(nb0 - my_edge, nb1 - nb0)
-                u_lf = guard(my_edge + 0.5 * s_edge, my_edge)
-                u_rf = guard(nb0 - 0.5 * s_nbr, nb0)
-            else:
-                s_nbr = lim(nb0 - nb1, my_edge - nb0)
-                u_lf = guard(nb0 + 0.5 * s_nbr, nb0)
-                u_rf = guard(my_edge - 0.5 * s_edge, my_edge)
-            f, sp = numerical_flux(u_lf, u_rf, gamma=gamma, flux=flux)
-            w = conn.mask[k] * area_t * eq
-            f = sg.axis_unrotate(f, a) * bcast(w, f)
-            contrib = -f if hi else f
-            D = sg._slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
-                             spec=spec)
-            sp_m = bcast((w > 0).astype(u.dtype), sp)
-            speed = jnp.maximum(speed, (sp * sp_m).max())
+    D, speed = sg.muscl_core(u, u_ext, volumes, conn, spec, gamma, flux,
+                             limiter)
 
     # hanging (2:1) faces + walls: first-order closure, equal excluded
     q_ext = maybe_barrier(cell_fields_tuple(u_ext, gamma, flux))
