@@ -229,6 +229,245 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
 
 
 # ---------------------------------------------------------------------------
+# Fused second-order MUSCL kernel: limited linear reconstruction + full
+# interior/equal-face flux divergence in one VMEM pass per element tile.
+# The XLA counterpart is ops/subgrid.muscl_core; hanging (2:1) faces and
+# walls stay XLA-side first-order closures exactly as in
+# flux_divergence_muscl, so the kernel only ever needs the EQUAL-LEVEL
+# neighbor's edge + second facing layers per side (one stacked
+# [10, *t_ext, E] operand built by ops/subgrid.muscl_side_inputs).
+# ---------------------------------------------------------------------------
+
+
+def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
+                           gamma: float, flux: str, limiter: str,
+                           positivity: bool):
+    """Second-order per-tile flux divergence (states in, like the RK-fused
+    kernel: interface fields are derived IN VMEM from the reconstructed
+    states, cell_fields_tuple + fields_flux).
+
+    u: tuple of 5 state rows [*(ext,)*dim, TE]; others: 2*dim refs
+    [10, *(ext,)*(dim-1), TE] — rows 0-4 the equal-level neighbor's edge
+    facing layer, rows 5-9 its second layer (garbage where the side is
+    not equal-level: the eq mask below zeroes its influence); w_ref:
+    [8, TE] with row 0 the interior cell-face surface and rows 1..2*dim
+    the sides' equal-face weights mask*area*(rel==0) — (w > 0) doubles as
+    the eq mask for the slope outward differences, so hanging faces and
+    walls fall back to the one-sided (minmod: zero) edge slope exactly
+    like the XLA path.  Returns (D [5, ...], per-cell speed)."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple
+
+    TE = u[0].shape[-1]
+    blk = (ext,) * dim + (TE,)
+    surface = w_ref[0]
+    interior_ok = (surface > 0).astype(u[0].dtype)
+    kappa_m1 = gamma - 1.0
+
+    if limiter == "minmod":
+        def lim(a, b):
+            return jnp.where(a * b > 0.0,
+                             jnp.sign(a) * jnp.minimum(jnp.abs(a),
+                                                       jnp.abs(b)),
+                             jnp.zeros_like(a))
+    elif limiter == "none":
+        def lim(a, b):
+            return 0.5 * (a + b)
+    else:
+        raise ValueError(f"unknown fused-MUSCL limiter: {limiter!r}")
+
+    def guard(rec, base):
+        # same positivity fallback as muscl_core's guard (primitives-based)
+        if not positivity:
+            return rec
+        rho, m1, m2, m3, e = rec
+        s_rho = 1.0 / rho
+        kinetic = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * s_rho
+        p = kappa_m1 * (e - kinetic)
+        ok = (rho > 0.0) & (p > 0.0)
+        return tuple(jnp.where(ok, r, b) for r, b in zip(rec, base))
+
+    D = jnp.zeros((5,) + blk, u[0].dtype)
+    speed = jnp.zeros(blk, u[0].dtype)
+
+    for a in range(dim):
+        va = _rows_rotate(u, a)
+        o_hi, o_lo = others[2 * a], others[2 * a + 1]
+        nb0_hi = _rows_rotate(tuple(o_hi[i] for i in range(5)), a)
+        nb1_hi = _rows_rotate(tuple(o_hi[5 + i] for i in range(5)), a)
+        nb0_lo = _rows_rotate(tuple(o_lo[i] for i in range(5)), a)
+        nb1_lo = _rows_rotate(tuple(o_lo[5 + i] for i in range(5)), a)
+        w_hi = w_ref[1 + 2 * a]                            # [TE]
+        w_lo = w_ref[2 + 2 * a]
+        eq_hi = (w_hi > 0).astype(u[0].dtype)
+        eq_lo = (w_lo > 0).astype(u[0].dtype)
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
+        at_end = idx == ext - 1
+        at_lo = idx == 0
+        last_axis = a == dim - 1
+
+        def shift_next(r, h):
+            if last_axis:
+                rolled = jnp.roll(r, -1, axis=a)
+                return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(r, 1, ext, axis=a),
+                 jnp.expand_dims(h, a)], axis=a)
+
+        def shift_prev(r, h):
+            if last_axis:
+                rolled = jnp.roll(r, 1, axis=a)
+                return jnp.where(at_lo, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jnp.expand_dims(h, a),
+                 jax.lax.slice_in_dim(r, 0, ext - 1, axis=a)], axis=a)
+
+        # one-sided differences per cell: d_hi[i] = u[i+1] - u[i],
+        # d_lo[i] = u[i] - u[i-1]; the outward entries (block edges) come
+        # from the equal-level neighbor layer and are eq-masked — minmod
+        # then kills the edge slope at hanging faces and walls
+        d_hi_rows, d_lo_rows = [], []
+        for r, h0, l0 in zip(va, nb0_hi, nb0_lo):
+            dh = shift_next(r, h0) - r
+            dh = jnp.where(at_end, dh * eq_hi, dh)
+            dl = r - shift_prev(r, l0)
+            dl = jnp.where(at_lo, dl * eq_lo, dl)
+            d_hi_rows.append(dh)
+            d_lo_rows.append(dl)
+        slope = tuple(lim(dl, dh)
+                      for dl, dh in zip(d_lo_rows, d_hi_rows))
+
+        u_l_t = guard(tuple(r + 0.5 * s for r, s in zip(va, slope)), va)
+        u_r_t = guard(tuple(r - 0.5 * s for r, s in zip(va, slope)), va)
+
+        # the neighbors' edge-cell reconstructions toward us, from the
+        # same four layers both sides see (conservation is exact)
+        my_hi = tuple(jax.lax.index_in_dim(r, ext - 1, axis=a,
+                                           keepdims=False) for r in va)
+        my_lo = tuple(jax.lax.index_in_dim(r, 0, axis=a,
+                                           keepdims=False) for r in va)
+        s_nbr_hi = tuple(lim(h0 - m, h1 - h0)
+                         for m, h0, h1 in zip(my_hi, nb0_hi, nb1_hi))
+        s_nbr_lo = tuple(lim(l0 - l1, m - l0)
+                         for m, l0, l1 in zip(my_lo, nb0_lo, nb1_lo))
+        hi_sub = guard(tuple(h0 - 0.5 * s
+                             for h0, s in zip(nb0_hi, s_nbr_hi)), nb0_hi)
+        lo_sub = guard(tuple(l0 + 0.5 * s
+                             for l0, s in zip(nb0_lo, s_nbr_lo)), nb0_lo)
+
+        # interior + hi mesh-face interfaces in one evaluation (the
+        # shift trick of _tile_flux_divergence, on reconstructed states)
+        nxt = tuple(shift_next(r, h) for r, h in zip(u_r_t, hi_sub))
+        f, sp = fields_flux(cell_fields_tuple(u_l_t, gamma, flux),
+                            cell_fields_tuple(nxt, gamma, flux),
+                            gamma=gamma, flux=flux)
+        wgt = jnp.where(at_end, w_hi, surface)
+        f = _flux_unrotate_rows(f, a) * wgt
+        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
+        speed = jnp.maximum(speed, sp * sp_ok)
+
+        # low-side mesh-face interface on the first slot
+        u_rf0 = tuple(jnp.expand_dims(
+            jax.lax.index_in_dim(r, 0, axis=a, keepdims=False), a)
+            for r in u_r_t)
+        lo_e = tuple(jnp.expand_dims(h, a) for h in lo_sub)
+        f_lo, sp_lo = fields_flux(cell_fields_tuple(lo_e, gamma, flux),
+                                  cell_fields_tuple(u_rf0, gamma, flux),
+                                  gamma=gamma, flux=flux)
+        f_lo = _flux_unrotate_rows(f_lo, a) * w_lo
+        speed = jnp.maximum(
+            speed,
+            jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
+
+        # divergence: D[c] += f[c-1] - f[c]; f[-1] is the low-side flux
+        if last_axis:
+            prev = jnp.roll(f, 1, axis=1 + a)
+            prev = jnp.where(idx == 0, f_lo, prev)
+        else:
+            prev = jnp.concatenate(
+                [f_lo, jax.lax.slice_in_dim(f, 0, ext - 1, axis=1 + a)],
+                axis=1 + a)
+        D = D + prev - f
+
+    return D, speed
+
+
+def _fused_muscl_kernel(u_ref, w_ref, *refs, gamma: float, flux: str,
+                        dim: int, ext: int, limiter: str, positivity: bool):
+    """One element tile of the fused MUSCL divergence: u [5, *(ext,)*dim,
+    TE] states; w [8, TE]; o<k> [10, *(ext,)*(dim-1), TE] equal-level
+    neighbor edge+second state layers of side k.  Outputs d [5, ...],
+    sp [8, TE] (row-replicated per-element max wave speed)."""
+    others = refs[: 2 * dim]
+    d_ref, sp_ref = refs[2 * dim:]
+    TE = u_ref.shape[-1]
+    u = tuple(u_ref[i] for i in range(5))
+    D, speed = _tile_muscl_divergence(u, others, w_ref, dim, ext, gamma,
+                                      flux, limiter, positivity)
+    d_ref[...] = D
+    smax = speed.max(axis=tuple(range(dim)))
+    sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "limiter", "positivity",
+                                    "tile", "interpret"))
+def fused_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
+                       gamma: float, flux: str, limiter: str = "minmod",
+                       positivity: bool = True, tile: int = 128,
+                       interpret: bool = False):
+    """Fused second-order MUSCL interior + equal-level mesh-face flux
+    divergence (see _tile_muscl_divergence; beyond-reference — the
+    reference's subgrid kernels are first-order, kernels.inl:335-911).
+
+    u: [5, *(ext,)*dim, E] states (dim 2 or 3, ext 8 or 4); weights:
+    [8, E]; others: 2*dim arrays [10, *(ext,)*(dim-1), E] from
+    ops/subgrid.muscl_side_inputs.  Returns (D [5, *(ext,)*dim, E],
+    speed [E]).  Hanging-fine faces and walls are the caller's XLA-side
+    first-order closure (flux_divergence_muscl)."""
+    dim = u.ndim - 2
+    ext = u.shape[1]
+    E = u.shape[-1]
+    E_pad = -(-E // tile) * tile
+    if E_pad != E:
+        pad = [(0, 0)] * u.ndim
+        pad[-1] = (0, E_pad - E)
+        u = jnp.pad(u, pad, mode="edge")
+        others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])  # zero weights
+    grid = (E_pad // tile,)
+
+    def idx_blk(i):
+        return (0,) * (dim + 1) + (i,)
+
+    def idx_lay(i):
+        return (0,) * dim + (i,)
+
+    def idx2(i):
+        return (0, i)
+
+    D, sp = pl.pallas_call(
+        functools.partial(_fused_muscl_kernel, gamma=gamma, flux=flux,
+                          dim=dim, ext=ext, limiter=limiter,
+                          positivity=positivity),
+        grid=grid,
+        in_specs=[pl.BlockSpec((5,) + (ext,) * dim + (tile,), idx_blk),
+                  pl.BlockSpec((8, tile), idx2)]
+                 + [pl.BlockSpec((10,) + (ext,) * (dim - 1) + (tile,),
+                                 idx_lay)] * (2 * dim),
+        out_specs=[pl.BlockSpec((5,) + (ext,) * dim + (tile,), idx_blk),
+                   pl.BlockSpec((8, tile), idx2)],
+        out_shape=[jax.ShapeDtypeStruct((5,) + (ext,) * dim + (E_pad,),
+                                        u.dtype),
+                   jax.ShapeDtypeStruct((8, E_pad), u.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(u, weights, *others)
+    return D[..., :E], sp[0, :E]
+
+
+# ---------------------------------------------------------------------------
 # RK-fused variant: one kernel per RK stage computes the per-cell fields
 # IN VMEM from the 5-row state, evaluates the full flux divergence, and
 # applies the SSP-RK stage update — u_next is the only tensor written.

@@ -367,6 +367,48 @@ def pallas_side_inputs(q: tuple, conn, spec: SubgridSpec,
     return tuple(others), jnp.stack(w_rows)
 
 
+def muscl_side_inputs(u: jnp.ndarray, conn, spec: SubgridSpec,
+                      volumes: jnp.ndarray, u_src: jnp.ndarray = None):
+    """Inputs for ops.pallas_kernels.fused_muscl_pallas: per side the
+    EQUAL-LEVEL neighbor's edge + second facing layers as ONE stacked
+    [10, *t_ext, E] state slab (quadrant-0 gather — the same tables and
+    layer selection as muscl_core, one gather for both layers), plus the
+    packed per-element weights [8, E] (row 0 = interior cell surface,
+    rows 1+k = side-k equal-face weight mask*area*(rel==0); the kernel
+    derives the slope eq mask from w > 0).  Hanging faces and walls are
+    NOT included — callers add the first-order closure XLA-side
+    (outer_apply exclude_equal + boundary_apply), exactly mirroring the
+    XLA MUSCL path.  `u_src` supplies the gather source when the element
+    axis is halo-extended (the sharded path); defaults to u."""
+    dim = spec.dim
+    ext = spec.extent
+    if u_src is None:
+        u_src = u
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h_cell = h_e / ext
+    surface = (h_cell ** (dim - 1)) * (volumes > 0)
+    area_t = h_cell ** (dim - 1)
+    u_rows = tuple(u_src[i] for i in range(5))
+
+    others = []
+    w_rows = [surface]
+    for a in range(dim):
+        for s_i, hi in ((0, True), (1, False)):
+            k = 2 * a + s_i
+            nbr1 = conn.nbr[k][:, :1]       # quadrant 0: equal/coarse slot
+            e_idx, s_idx = (0, 1) if hi else (ext - 1, ext - 2)
+            lay = jnp.stack(
+                [jax.lax.index_in_dim(r, e_idx, axis=a, keepdims=False)
+                 for r in u_rows]
+                + [jax.lax.index_in_dim(r, s_idx, axis=a, keepdims=False)
+                   for r in u_rows])
+            others.append(_gather_layers(lay, nbr1)[..., 0])
+            w_rows.append(conn.mask[k] * area_t * (conn.rel[k] == 0))
+    while len(w_rows) < 8:           # fixed [8, E] block for the kernel
+        w_rows.append(jnp.zeros_like(surface))
+    return tuple(others), jnp.stack(w_rows)
+
+
 def _state_side_layers(u: jnp.ndarray, conn, spec: SubgridSpec,
                        volumes: jnp.ndarray, u_ext: jnp.ndarray = None):
     """Per side, the RESOLVED equal/coarse neighbor facing layer as 5-row
@@ -759,12 +801,28 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
     against a zero outward difference makes the adjacent edge-cell slopes
     vanish, the standard practice at level jumps.
 
-    XLA-stencil path only (the CPU-test surface; fused-kernel MUSCL is
-    future work) — the solver selects it via EulerConfig(order=2)."""
+    The solver selects it via EulerConfig(order=2).  On TPU backends the
+    interior + equal-face work runs as ONE fused Pallas kernel per
+    evaluation (ops/pallas_kernels.fused_muscl_pallas: reconstruction,
+    interface fields and fluxes all VMEM-resident, like the first-order
+    fused path); the XLA stencil (muscl_core) is the fallback and the
+    CPU-test surface."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
-    D, speed = muscl_core(u, u, volumes, conn, spec, gamma, flux,
-                          limiter, positivity)
+    mode = kernel_mode()
+    if (mode != "off" and spec.extent in (4, 8)
+            and limiter in ("minmod", "none")):
+        from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
+        others, weights = muscl_side_inputs(u, conn, spec, volumes)
+        D, sp_e = fused_muscl_pallas(u, weights, others, gamma=gamma,
+                                     flux=flux, limiter=limiter,
+                                     positivity=positivity,
+                                     interpret=mode == "interpret")
+        speed = sp_e.max()
+    else:
+        D, speed = muscl_core(u, u, volumes, conn, spec, gamma, flux,
+                              limiter, positivity)
 
     # hanging (2:1) faces + walls: first-order closure, equal faces excluded
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))

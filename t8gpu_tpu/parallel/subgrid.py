@@ -401,13 +401,28 @@ def sharded_subgrid_flux_divergence_muscl(u, volumes, conn,
     sharded == single-device is identical code, not parallel copies.
     Every mesh face is evaluated from both sides with identical inputs —
     conservation is exact across shard boundaries exactly as within a
-    shard."""
+    shard.  On TPU backends the interior + equal-face work runs as the
+    fused MUSCL Pallas kernel with extended-axis gather sources (same
+    dispatch shape as _sharded_fused_flux); the shared muscl_core stencil
+    is the fallback and the CPU-test surface."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
     u_ext = _halo_exchange_state(u, conn)
     CL = u.shape[-1]
-    D, speed = sg.muscl_core(u, u_ext, volumes, conn, spec, gamma, flux,
-                             limiter)
+    mode = kernel_mode()
+    if (mode != "off" and spec.extent in (4, 8)
+            and limiter in ("minmod", "none")):
+        from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
+        others, weights = sg.muscl_side_inputs(u, conn, spec, volumes,
+                                               u_src=u_ext)
+        D, sp_e = fused_muscl_pallas(u, weights, others, gamma=gamma,
+                                     flux=flux, limiter=limiter,
+                                     interpret=mode == "interpret")
+        speed = sp_e.max()
+    else:
+        D, speed = sg.muscl_core(u, u_ext, volumes, conn, spec, gamma,
+                                 flux, limiter)
 
     # hanging (2:1) faces + walls: first-order closure, equal excluded
     q_ext = maybe_barrier(cell_fields_tuple(u_ext, gamma, flux))

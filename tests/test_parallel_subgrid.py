@@ -200,3 +200,42 @@ class TestShardedSubgridOrder2:
             sh.conserved_state().reshape(5, -1),
             ref.conserved_state().reshape(5, -1), rtol=2e-5, atol=2e-6)
         assert abs(sh.compute_integral() - m0) / m0 < 1e-5
+
+    def test_fused_glue_interpret_matches_xla(self):
+        """The sharded fused-MUSCL dispatch (T8GPU_PALLAS=interpret, the
+        glue TPU multichip order-2 runs take: muscl_side_inputs gathering
+        from the halo-extended axis + fused_muscl_pallas inside shard_map)
+        == the shared muscl_core stencil, on a hanging non-periodic
+        forest."""
+        import os
+
+        import jax
+        import numpy as _np
+
+        from t8gpu_tpu.memory.subgrid import SubgridSpec
+        from t8gpu_tpu.utils.config import EulerConfig
+
+        f = Forest.uniform(2, dim=2, periodic=False)
+        flags = _np.zeros(f.n_elements, _np.int8)
+        flags[0] = 1
+        f, _ = f.adapt(f.balance_flags(flags))
+        spec = SubgridSpec((8, 8))
+        cfg = EulerConfig(order=2)
+        ic = lambda c: kh_planar(c, dim=2)
+
+        def run(n=3):
+            s = ShardedSubgridEulerSolver(f, spec, ic, config=cfg,
+                                          devices=jax.devices()[:4])
+            s.iterate_many(n, 5e-4)
+            return s.conserved_state()
+
+        u_ref = run()                   # XLA path (kernel off on CPU)
+        os.environ["T8GPU_PALLAS"] = "interpret"
+        jax.clear_caches()
+        try:
+            u_k = run()
+        finally:
+            os.environ.pop("T8GPU_PALLAS", None)
+            jax.clear_caches()
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   rtol=2e-5, atol=2e-6)

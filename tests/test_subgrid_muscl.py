@@ -134,6 +134,86 @@ def test_walls_stable_3d():
     assert np.isfinite(s.conserved_state()).all()
 
 
+@pytest.mark.parametrize("dim,ext", [(2, 4), (2, 8), (3, 4), (3, 8)])
+@pytest.mark.parametrize("limiter", ["minmod", "none"])
+def test_fused_muscl_kernel_matches_stencil(dim, ext, limiter):
+    """fused_muscl_pallas (interpret mode) == muscl_core on uniform
+    periodic meshes: the in-VMEM reconstruction + interface math is the
+    same discretization as the XLA stencil."""
+    from t8gpu_tpu.ops import subgrid as sg
+    from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
+
+    spec = SubgridSpec((ext,) * dim)
+    mesh = SubgridMesh.from_forest(
+        Forest.uniform(2 if dim == 2 else 1, dim=dim), spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=dim))
+    D0, sp0 = sg.muscl_core(s.u, s.u, s.volumes, s.conn, spec, GAMMA,
+                            "kepes", limiter)
+    others, weights = sg.muscl_side_inputs(s.u, s.conn, spec, s.volumes)
+    D1, sp_e = fused_muscl_pallas(s.u, weights, others, gamma=GAMMA,
+                                  flux="kepes", limiter=limiter,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp_e.max()), float(sp0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("flux", ["hll", "hllc"])
+def test_fused_muscl_kernel_hll_family(flux):
+    """The fused MUSCL kernel shares the static flux dispatch: HLL/HLLC
+    reconstructed-interface fluxes match the stencil too."""
+    from t8gpu_tpu.ops import subgrid as sg
+    from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
+
+    spec = SubgridSpec((8, 8))
+    mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2), spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2))
+    D0, sp0 = sg.muscl_core(s.u, s.u, s.volumes, s.conn, spec, GAMMA,
+                            flux, "minmod")
+    others, weights = sg.muscl_side_inputs(s.u, s.conn, spec, s.volumes)
+    D1, sp_e = fused_muscl_pallas(s.u, weights, others, gamma=GAMMA,
+                                  flux=flux, limiter="minmod",
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp_e.max()), float(sp0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_fused_muscl_glue_hanging_walls(periodic):
+    """flux_divergence_muscl with T8GPU_PALLAS=interpret (the dispatch TPU
+    backends take) == the XLA path on a 2:1 hanging mesh, periodic and
+    walled: the kernel covers interior + equal faces at order 2, the XLA
+    closure adds hanging/wall faces at order 1 on both paths."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.ops import subgrid as sg
+
+    f = Forest.uniform(2, dim=2, periodic=periodic)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[0] = 1
+    f, _ = f.adapt(f.balance_flags(flags))
+    spec = SubgridSpec((8, 8))
+    mesh = SubgridMesh.from_forest(f, spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2))
+
+    D0, sp0 = sg.flux_divergence_muscl(s.u, s.volumes, s.conn, spec,
+                                       GAMMA, "kepes")
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    jax.clear_caches()
+    try:
+        D1, sp1 = sg.flux_divergence_muscl(s.u, s.volumes, s.conn, spec,
+                                           GAMMA, "kepes")
+    finally:
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp1), float(sp0), rtol=1e-5)
+
+
 def test_matches_plain_order2_uniform():
     """On a uniform periodic mesh the subgrid order-2 unlimited scheme
     computes the same discretization as the plain order-2 unlimited path
