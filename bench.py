@@ -125,6 +125,45 @@ def bench_plain():
     }))
 
 
+def bench_order2():
+    """Second-order MUSCL throughput on the flagship config (2.1M cells,
+    Subgrid<8,8,8>): the fused MUSCL Pallas kernel
+    (ops/pallas_kernels.fused_muscl_pallas — reconstruction + interface
+    fields + fluxes VMEM-resident).  Beyond-reference physics quality at
+    a measured cost multiple of the first-order flagship number."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.utils.config import EulerConfig
+
+    level, dim = 3, 3
+    mesh = SubgridMesh.from_forest(Forest.uniform(level + 1, dim=dim),
+                                   SubgridSpec((8,) * dim))
+    solver = SubgridCompressibleEulerSolver(
+        mesh, lambda c: kh_planar(c, dim=dim), config=EulerConfig(order=2))
+    n_cells = solver.n_elements * solver.spec.size
+    dt = solver.compute_timestep()
+
+    def run_and_fetch(n):
+        solver.iterate_many(n, dt)
+        float(solver.u[0].ravel()[0])
+
+    run_and_fetch(10)
+    run_and_fetch(210)
+    per_step = _slope_per_step(run_and_fetch)
+    assert np.isfinite(solver.conserved_state()).all()
+    value = n_cells / per_step
+    print(json.dumps({
+        "metric": "order-2 MUSCL DOF-updates/sec/chip (3D Euler KH, "
+                  "2.1M cells, fused MUSCL kernel)",
+        "value": value,
+        "unit": "cell-updates/s",
+        "vs_baseline": value / NOMINAL_A100_DOF_RATE,
+    }))
+
+
 def bench_amr():
     """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
     with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
@@ -243,7 +282,8 @@ def _arm_stall_guard(seconds: float = 900.0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
-                   choices=("flagship", "plain", "amr", "sphere", "all"))
+                   choices=("flagship", "plain", "order2", "amr", "sphere",
+                            "all"))
     args = p.parse_args()
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
@@ -254,6 +294,8 @@ def main():
         bench_flagship()
     if args.config in ("plain", "all"):
         bench_plain()
+    if args.config in ("order2", "all"):
+        bench_order2()
     if args.config in ("amr", "all"):
         bench_amr()
     if args.config in ("sphere", "all"):
