@@ -44,6 +44,9 @@ def main():
                    help="2 = MUSCL reconstruction (ops/reconstruct.py)")
     p.add_argument("--limiter", default="bj",
                    choices=("bj", "venkat", "none"))
+    p.add_argument("--mu", type=float, default=0.0,
+                   help="dynamic viscosity: > 0 runs compressible "
+                        "Navier-Stokes (ops/viscous.py)")
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="kh")
     p.add_argument("--amr", action="store_true",
@@ -64,7 +67,8 @@ def main():
         mesh = uniform_mesh(level=args.level, dim=args.dim, periodic=True)
     solver = CompressibleEulerSolver(
         mesh, lambda c: kh_planar(c, dim=args.dim),
-        config=EulerConfig(flux=args.flux, order=args.order, limiter=args.limiter), amr=amr)
+        config=EulerConfig(flux=args.flux, order=args.order,
+                           limiter=args.limiter, mu=args.mu), amr=amr)
 
     print(f"elements={solver.n_elements} faces={solver.conn.n_faces}")
     m0 = solver.compute_integral()

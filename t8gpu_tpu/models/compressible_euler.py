@@ -59,11 +59,13 @@ class StepList(enum.IntEnum):
 
 
 def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
-                  dim=2, gravity=(0.0, 0.0, 0.0)):
+                  dim=2, gravity=(0.0, 0.0, 0.0), mu=0.0, prandtl=0.72):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
     (ops/reconstruct.py, beyond-reference), plus the unsplit gravity
-    source when configured (ops/source.py)."""
+    source (ops/source.py) and viscous Navier-Stokes terms
+    (ops/viscous.py) when configured — all additive compositions, any
+    combination works."""
     if order == 2:
         from t8gpu_tpu.ops.reconstruct import flux_divergence_muscl
         fn = lambda v: flux_divergence_muscl(
@@ -72,6 +74,10 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
     else:
         fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
                                        mode=mode)
+    if float(mu) > 0.0:
+        from t8gpu_tpu.ops.viscous import with_viscosity
+        fn = with_viscosity(fn, conn, inv_volume, gamma, mu, prandtl, dim,
+                            mode)
     from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                       with_gravity)
     if has_gravity(gravity):
@@ -81,31 +87,37 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "order",
-                                    "limiter", "dim", "gravity"),
+                                    "limiter", "dim", "gravity", "mu",
+                                    "prandtl"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
-              limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0)):
+              limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0),
+              mu: float = 0.0, prandtl: float = 0.72):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
-                            dim=dim, gravity=gravity)
+                            dim=dim, gravity=gravity, mu=mu,
+                            prandtl=prandtl)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "n_steps",
-                                    "order", "limiter", "dim", "gravity"),
+                                    "order", "limiter", "dim", "gravity",
+                                    "mu", "prandtl"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                *, n_steps: int, gamma: float, flux: str, mode: str,
                order: int = 1, limiter: str = "bj", dim: int = 2,
-               gravity=(0.0, 0.0, 0.0)):
+               gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
+               prandtl: float = 0.72):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
-                            dim=dim, gravity=gravity)
+                            dim=dim, gravity=gravity, mu=mu,
+                            prandtl=prandtl)
 
     def body(_i, carry):
         v, _ = carry
@@ -175,9 +187,11 @@ class CompressibleEulerSolver:
         if isinstance(mesh, MeshManager):
             self.manager = mesh
             self.amr = mesh.amr
-            # adapt-time connectivity rebuilds only need the MUSCL
-            # displacement geometry when this solver reconstructs
-            self.manager.recon_geometry = config.order == 2
+            # adapt-time connectivity rebuilds only need the displacement
+            # geometry when this solver reconstructs (order 2) or runs
+            # viscous terms (both consume d_left/d_right)
+            self.manager.recon_geometry = (config.order == 2
+                                           or float(config.mu) > 0.0)
             mesh = mesh.mesh
         self.mesh = mesh
         self._max_speed = None
@@ -227,7 +241,8 @@ class CompressibleEulerSolver:
             gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,
             limiter=self.config.limiter, dim=self.mesh_dim,
-            gravity=tuple(self.config.gravity))
+            gravity=tuple(self.config.gravity), mu=float(self.config.mu),
+            prandtl=float(self.config.prandtl))
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -237,7 +252,8 @@ class CompressibleEulerSolver:
             n_steps=n_steps, gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,
             limiter=self.config.limiter, dim=self.mesh_dim,
-            gravity=tuple(self.config.gravity))
+            gravity=tuple(self.config.gravity), mu=float(self.config.mu),
+            prandtl=float(self.config.prandtl))
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -273,7 +289,9 @@ class CompressibleEulerSolver:
                 self.conn, self.inv_volume, gamma=self.config.gamma,
                 flux=self.config.flux, mode=self.accumulation,
                 order=self.config.order, limiter=self.config.limiter,
-                dim=self.mesh_dim, gravity=tuple(self.config.gravity))
+                dim=self.mesh_dim, gravity=tuple(self.config.gravity),
+                mu=float(self.config.mu),
+                prandtl=float(self.config.prandtl))
             _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements

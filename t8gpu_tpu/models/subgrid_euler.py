@@ -151,6 +151,11 @@ class SubgridCompressibleEulerSolver:
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig()):
         self.config = config
+        if float(getattr(config, "mu", 0.0)) > 0.0:
+            raise ValueError(
+                "viscous terms (EulerConfig.mu > 0) run on the "
+                "plain-element path (CompressibleEulerSolver / "
+                "ShardedEulerSolver); the subgrid scheme is inviscid")
         self.amr = amr
         self.manager: Optional[MeshManager] = None
         if isinstance(mesh, MeshManager):

@@ -161,6 +161,66 @@ def _fields_boundary_flux(q_in, conn: ShardedConnectivity,
     return fb, speed_b
 
 
+def sharded_viscous_divergence(u_local: jnp.ndarray,
+                               conn: ShardedConnectivity,
+                               inv_volume: jnp.ndarray, gamma: float,
+                               mu: float, prandtl: float, dim: int):
+    """Per-shard viscous (Navier-Stokes) divergence [5, CL] + the GLOBAL
+    diffusive dt limit as a wave-speed equivalent — the multi-chip
+    counterpart of ops/viscous.viscous_face_flux.
+
+    Same two-round distribution design as the sharded MUSCL: every face
+    of an owned element is present locally (duplicated cross-shard
+    faces), so owned-element Green-Gauss primitive gradients are local
+    after the round-1 state halo; a SECOND halo round ships the 12
+    gradient rows so both sides of a shard-boundary face assemble the
+    IDENTICAL face gradient — viscous momentum/energy exchange is
+    exactly conservative across shards."""
+    from t8gpu_tpu.ops.viscous import face_flux_from_sides, primitive_rows
+
+    CL = u_local.shape[1]
+    u_ext = halo_exchange(u_local, conn)
+    phi_ext = primitive_rows(u_ext, gamma)               # [4, CL+H]
+
+    # Green-Gauss over this shard's faces (all faces of owned elements)
+    p_l = gather_cols(phi_ext, conn.left)
+    p_r = gather_cols(phi_ext, conn.right)
+    mean = 0.5 * (p_l + p_r)
+    c = (mean[:, None, :] * (conn.normal * conn.area)[None]).reshape(12, -1)
+    if conn.boundary_capacity:
+        p_b = gather_cols(phi_ext[:, :CL], conn.b_elem)
+        cb = (p_b[:, None, :] * (conn.b_normal * conn.b_area)[None]
+              ).reshape(12, -1)
+    else:
+        cb = jnp.zeros((12, 0), u_local.dtype)
+    grad = (-accumulate_inc(c, cb, conn.inc_slot, conn.inc_sign)
+            * inv_volume)                                # [12, CL]
+
+    # round 2: owners publish gradients for their halo elements
+    grad_ext = halo_exchange(grad, conn)                 # [12, CL+H]
+    g_l = gather_cols(grad_ext, conn.left).reshape(4, 3, -1)
+    g_r = gather_cols(grad_ext, conn.right).reshape(4, 3, -1)
+    d_lr = conn.d_left - conn.d_right                    # x_R - x_L [3, F]
+    fv = face_flux_from_sides(p_l, p_r, g_l, g_r, conn.normal, conn.area,
+                              d_lr, gamma, mu, prandtl)
+    # boundary faces: free-slip adiabatic (zero viscous flux), like the
+    # single-device path
+    acc = accumulate_inc(-fv, jnp.zeros((5, conn.boundary_capacity),
+                                        u_local.dtype),
+                         conn.inc_slot, conn.inc_sign)
+
+    # global diffusive dt limit as a speed: 2 dim nu_eff / h with the
+    # GLOBAL smallest density and cell size (pmin/pmax of the local
+    # extremes, so every shard applies the same conservative bound)
+    live = inv_volume > 0
+    rho_min = jax.lax.pmin(
+        jnp.where(live, u_local[0], jnp.inf).min(), AXIS)
+    inv_max = jax.lax.pmax(jnp.where(live, inv_volume, 0.0).max(), AXIS)
+    nu = (mu / rho_min) * max(1.0, gamma / prandtl)
+    speed_v = 2.0 * dim * nu * inv_max ** (1.0 / dim)
+    return acc, speed_v
+
+
 def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
                                   conn: ShardedConnectivity,
                                   inv_volume: jnp.ndarray,

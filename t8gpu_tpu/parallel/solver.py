@@ -96,6 +96,17 @@ class ShardedEulerSolver:
                 getattr(self.config, "limiter", "bj"), self.forest.dim)
         else:
             fn = lambda v: self._flux_divergence(v, conn)
+        mu = float(getattr(self.config, "mu", 0.0))
+        if self.N_ROWS == 5 and mu > 0.0:
+            base = fn
+
+            def fn(v):
+                d, sp = base(v)
+                dv, sp_v = halo.sharded_viscous_divergence(
+                    v, conn, inv_vol, self.config.gamma, mu,
+                    float(getattr(self.config, "prandtl", 0.72)),
+                    self.forest.dim)
+                return d + dv, jnp.maximum(sp, sp_v)
         from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                           with_gravity)
         gravity = getattr(self.config, "gravity", (0.0, 0.0, 0.0))
@@ -116,12 +127,14 @@ class ShardedEulerSolver:
         self._crit_pending = None    # criteria refer to the previous mesh
         self.forest = forest
         self._cfl_h = forest.cfl_h()
-        order2 = getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5
+        needs_geom = self.N_ROWS == 5 and (
+            getattr(self.config, "order", 1) == 2
+            or float(getattr(self.config, "mu", 0.0)) > 0.0)
         conn, bounds = build_sharded_connectivity(
             forest.build_faces(), forest.n_elements, self.n_shards,
-            # MUSCL displacement geometry only when order 2 consumes it
+            # MUSCL/viscous displacement geometry only when consumed
             # (saves ~24 B/face of upload per adapt otherwise)
-            centers=forest.centers() if order2 else None,
+            centers=forest.centers() if needs_geom else None,
             wrap=1.0 if getattr(forest, "periodic", False) else None)
         self.bounds = bounds
         CL = conn.local_capacity

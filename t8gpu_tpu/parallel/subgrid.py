@@ -583,6 +583,11 @@ class ShardedSubgridEulerSolver:
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig()):
         self.config = config
+        if float(getattr(config, "mu", 0.0)) > 0.0:
+            raise ValueError(
+                "viscous terms (EulerConfig.mu > 0) run on the "
+                "plain-element path (CompressibleEulerSolver / "
+                "ShardedEulerSolver); the subgrid scheme is inviscid")
         self.amr = amr
         self.spec = spec
         devices = devices if devices is not None else jax.devices()

@@ -45,6 +45,15 @@ class EulerConfig:
     # convergence studies only).  The subgrid path maps bj/venkat to its
     # per-axis minmod variant.
     limiter: str = "bj"
+    # Dynamic viscosity (beyond-reference: compressible Navier-Stokes on
+    # the plain-element path, any element class).  mu > 0 adds the full
+    # Newtonian stress tensor + Fourier heat conduction as a diffusive
+    # face flux (ops/viscous.py) and folds the diffusive dt limit into
+    # the CFL speed.  Reflective walls stay free-slip adiabatic.
+    mu: float = 0.0
+    # Prandtl number: thermal conductivity kappa = mu*cp/Pr (cp =
+    # gamma/(gamma-1) in the R = 1 nondimensionalization).
+    prandtl: float = 0.72
 
 
 @dataclasses.dataclass(frozen=True)

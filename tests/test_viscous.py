@@ -1,0 +1,198 @@
+"""Viscous (compressible Navier-Stokes) terms on the plain-element path
+(ops/viscous.py; beyond-reference — the reference integrates inviscid
+Euler only, kernels.cu:135-309): exact decay rates against the heat
+equation, conservation to roundoff, free-stream preservation, sharded ==
+single-device, and the all-element-class claim on the prism shell.
+"""
+
+import numpy as np
+import pytest
+
+from t8gpu_tpu.mesh.uniform import uniform_mesh
+from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+from t8gpu_tpu.utils.config import EulerConfig
+
+GAMMA = 1.4
+MU = 2e-3
+V0 = 1e-2
+
+
+def shear_ic(c):
+    """vx(y) = V0 sin(2 pi y), rho = p = 1: a nearly incompressible shear
+    mode whose exact momentum diffusion rate is nu k^2 (heat equation)."""
+    rho = np.ones(len(c), np.float32)
+    vx = V0 * np.sin(2 * np.pi * c[:, 1]).astype(np.float32)
+    p = np.ones(len(c), np.float32)
+    e = p / (GAMMA - 1) + 0.5 * rho * vx * vx
+    z = np.zeros_like(rho)
+    return np.stack([rho, rho * vx, z, z, e])
+
+
+def _sin_amp(vals, y):
+    return 2.0 * np.mean(vals * np.sin(2 * np.pi * y))
+
+
+def test_shear_decay_rate_exact():
+    """The sinusoidal shear mode decays at exactly exp(-nu k^2 t): the
+    full tau discretization reduces to the right scalar diffusion."""
+    mesh = uniform_mesh(6, dim=2, periodic=True)
+    s = CompressibleEulerSolver(mesh, shear_ic, config=EulerConfig(mu=MU))
+    t_end = 0.5
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state()
+    amp = _sin_amp(u[1] / u[0], mesh.centers[:, 1])
+    expected = V0 * np.exp(-MU * (2 * np.pi) ** 2 * t_end)
+    assert abs(amp / expected - 1.0) < 0.02, (amp, expected)
+
+
+def test_heat_conduction_rate():
+    """A temperature mode at rest decays at alpha k^2 with alpha =
+    kappa/(rho cp) = nu/Pr — validates the Fourier heat-flux term."""
+    pr = 0.72
+    a0 = 1e-2
+
+    def temp_ic(c):
+        # uniform pressure (no acoustics), T = 1 + a0 sin(2 pi y),
+        # rho = p/T
+        T = (1.0 + a0 * np.sin(2 * np.pi * c[:, 1])).astype(np.float32)
+        p = np.ones(len(c), np.float32)
+        rho = p / T
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z, p / (GAMMA - 1) + 0 * rho])
+
+    mesh = uniform_mesh(6, dim=2, periodic=True)
+    s = CompressibleEulerSolver(mesh, temp_ic,
+                                config=EulerConfig(mu=MU, prandtl=pr))
+    t_end = 0.4
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state()
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / u[0]
+    T = (GAMMA - 1) * (u[4] - ke) / u[0]
+    amp = _sin_amp(T - T.mean(), mesh.centers[:, 1])
+    # isobaric conduction relaxes T at alpha_p = k/(rho cp) = nu/Pr
+    expected = a0 * np.exp(-(MU / pr) * (2 * np.pi) ** 2 * t_end)
+    assert abs(amp / expected - 1.0) < 0.05, (amp, expected)
+
+
+def test_conservation_and_free_stream():
+    """Viscous exchange conserves mass exactly and momentum/energy to
+    roundoff (antisymmetric accumulate); a uniform moving state generates
+    ZERO viscous flux (gradients vanish identically)."""
+    mesh = uniform_mesh(5, dim=2, periodic=True)
+    s = CompressibleEulerSolver(mesh, shear_ic, config=EulerConfig(mu=MU))
+    u0 = s.conserved_state()
+    m0 = s.compute_integral()
+    for _ in range(10):
+        s.iterate(1e-3)
+    u1 = s.conserved_state()
+    assert s.compute_integral() == pytest.approx(m0, rel=1e-7)
+    assert np.abs(u1[1:4].sum(axis=1) - u0[1:4].sum(axis=1)).max() < 1e-6
+    assert abs(u1[4].sum() - u0[4].sum()) / abs(u0[4].sum()) < 1e-5
+
+    def uni_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, 0.3 * rho, z, z,
+                         np.full_like(rho, 2.5 + 0.5 * 0.09)])
+
+    s2 = CompressibleEulerSolver(uniform_mesh(3, dim=2, periodic=True),
+                                 uni_ic, config=EulerConfig(mu=MU))
+    v0 = s2.conserved_state().copy()
+    for _ in range(5):
+        s2.iterate(1e-3)
+    assert np.abs(s2.conserved_state() - v0).max() < 1e-6
+
+
+def test_viscous_dt_limit():
+    """With mu large enough that diffusion binds, the CFL dt shrinks to
+    respect dt <= cfl h^2/(2 dim nu) (the viscous_speed_bound fold)."""
+    mesh = uniform_mesh(5, dim=2, periodic=True)
+    big_mu = 0.1
+    s = CompressibleEulerSolver(mesh, shear_ic,
+                                config=EulerConfig(mu=big_mu))
+    dt = s.compute_timestep()
+    h = 0.5 ** 5
+    nu_eff = big_mu * max(1.0, GAMMA / 0.72)
+    assert dt <= 0.7 * h * h / (2 * 2 * nu_eff) * 1.0001
+    # and the run at that dt stays finite/stable
+    for _ in range(10):
+        s.iterate(dt)
+    assert np.isfinite(s.conserved_state()).all()
+
+
+@pytest.mark.parametrize("periodic", [True, False])
+def test_sharded_matches_single(periodic):
+    """Sharded viscous (two-round halo: states then gradients) == the
+    single-device path on periodic and walled meshes."""
+    import jax
+
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+
+    cfg = EulerConfig(mu=MU)
+    f = Forest.uniform(4, dim=2, periodic=periodic)
+    mesh = uniform_mesh(4, dim=2, periodic=periodic)
+    ref = CompressibleEulerSolver(mesh, shear_ic, config=cfg)
+    sh = ShardedEulerSolver(f, shear_ic, config=cfg,
+                            devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(),
+                               ref.conserved_state(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_viscous_with_order2_and_gravity_compose():
+    """mu, order=2 and gravity compose (all additive): the run is stable,
+    conserves mass, and differs from the inviscid order-2 run."""
+    cfg = EulerConfig(mu=MU, order=2, gravity=(0.0, -0.5, 0.0))
+    mesh = uniform_mesh(4, dim=2, periodic=True)
+    s = CompressibleEulerSolver(mesh, shear_ic, config=cfg)
+    s0 = CompressibleEulerSolver(mesh, shear_ic,
+                                 config=EulerConfig(order=2,
+                                                    gravity=(0.0, -0.5, 0.0)))
+    m0 = s.compute_integral()
+    for _ in range(10):
+        s.iterate(1e-3)
+        s0.iterate(1e-3)
+    assert s.compute_integral() == pytest.approx(m0, rel=1e-6)
+    assert np.isfinite(s.conserved_state()).all()
+    assert np.abs(s.conserved_state() - s0.conserved_state()).max() > 1e-7
+
+
+def test_shell_prisms_viscous_stable():
+    """Any-element-class claim: viscosity on the prismed icosahedral
+    shell (general normals, prism centroid geometry) runs stable and
+    conserves mass."""
+    from t8gpu_tpu.mesh.shell import shell_mesh
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    mesh = shell_mesh(subdiv=1, n_layers=1)
+    s = CompressibleEulerSolver(mesh, kh_sphere,
+                                config=EulerConfig(mu=1e-3))
+    m0 = s.compute_integral()
+    for _ in range(10):
+        s.iterate(2e-4)
+    assert np.isfinite(s.conserved_state()).all()
+    assert s.compute_integral() == pytest.approx(m0, rel=1e-5)
+
+
+def test_subgrid_rejects_mu():
+    """The subgrid solvers are inviscid: a clear error, not silence."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2),
+                                   SubgridSpec((4, 4)))
+    with pytest.raises(ValueError, match="inviscid"):
+        SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2),
+                                       config=EulerConfig(mu=1e-3))
