@@ -37,7 +37,13 @@ def _forest_payload(forest) -> dict:
     if isinstance(forest, Forest):
         return dict(kind=np.int64(0), dim=np.int64(forest.dim),
                     L=np.int64(forest.L),
-                    periodic=np.int64(forest.periodic),
+                    # 0/1 = all axes (legacy encoding); 2 + bitmask =
+                    # per-axis periodicity (mixed, e.g. channels)
+                    periodic=np.int64(
+                        int(forest.periodic_axes[0])
+                        if len(set(forest.periodic_axes)) == 1 else
+                        2 + sum(1 << i for i, q
+                                in enumerate(forest.periodic_axes) if q)),
                     level=np.asarray(forest.level, np.int8),
                     anchor=np.asarray(forest.anchor, np.int64))
     if isinstance(forest, PrismForest):
@@ -61,7 +67,9 @@ def _forest_from_payload(z):
     kind = int(z["kind"]) if "kind" in z else 0
     if kind == 0:
         return Forest(int(z["dim"]), z["level"], z["anchor"], int(z["L"]),
-                      periodic=bool(int(z["periodic"])))
+                      periodic=(bool(enc) if (enc := int(z["periodic"])) < 2
+                                else tuple(bool((enc - 2) >> i & 1)
+                                           for i in range(int(z["dim"])))))
     if kind == 1:
         from t8gpu_tpu.mesh.shell_forest import PrismForest, ShellRoots
 

@@ -68,11 +68,19 @@ class Forest:
     """Linearized adaptive Morton forest on the unit square/cube."""
 
     def __init__(self, dim: int, level: np.ndarray, anchor: np.ndarray,
-                 max_refine_level: int, periodic: bool = True):
+                 max_refine_level: int, periodic=True):
         assert dim in (2, 3)
         self.dim = dim
         self.L = max_refine_level            # anchor resolution (bits/axis)
-        self.periodic = periodic
+        # periodicity may be per-axis (e.g. (True, False) = a channel:
+        # wraparound in x, reflective walls in y) — a bool means all axes
+        try:
+            axes = tuple(bool(q) for q in periodic)
+            assert len(axes) == dim, "per-axis periodic needs dim entries"
+        except TypeError:
+            axes = (bool(periodic),) * dim
+        self.periodic_axes = axes
+        self.periodic = axes if len(set(axes)) > 1 else axes[0]
         self.level = np.asarray(level, np.int8)
         self.anchor = np.asarray(anchor, np.int64)   # [N, dim] at resolution L
         self._sort()
@@ -80,9 +88,11 @@ class Forest:
     # -- construction -------------------------------------------------------
 
     @staticmethod
-    def uniform(level: int, dim: int = 2, periodic: bool = True,
+    def uniform(level: int, dim: int = 2, periodic=True,
                 max_refine_level: Optional[int] = None) -> "Forest":
-        """Uniform starting forest (ref t8_forest_new_uniform, main.cu:24)."""
+        """Uniform starting forest (ref t8_forest_new_uniform, main.cu:24).
+        `periodic` is a bool, or a per-axis tuple — (True, False) builds a
+        channel (x-wraparound, y-walls)."""
         L = max_refine_level if max_refine_level is not None else max(level + 8, 12)
         assert L <= (21 if dim == 3 else 30) and level <= L
         n_side = 1 << level
@@ -264,10 +274,10 @@ class Forest:
         flags[(flags == -1) & ~keep] = 0
 
         from t8gpu_tpu.mesh import _native
-        if _native.available():
+        if _native.available() and len(set(self.periodic_axes)) == 1:
             return _native.balance_flags(self.anchor, self.level, self.code,
-                                         self.L, self.dim, self.periodic,
-                                         flags)
+                                         self.L, self.dim,
+                                         self.periodic_axes[0], flags)
         lv = self.level.astype(np.int64)
         for _ in range(64):
             tentative = lv + flags
@@ -297,7 +307,7 @@ class Forest:
                 for q in self._face_probe_points(axis, sign, size):
                     qq = q.copy()
                     valid = np.ones(n, bool)
-                    if self.periodic:
+                    if self.periodic_axes[axis]:
                         qq %= ext
                     else:
                         inside = (qq[:, axis] >= 0) & (qq[:, axis] < ext)
@@ -344,7 +354,7 @@ class Forest:
                 for q in probes:
                     qq = q.copy()
                     valid = np.ones(n, bool)
-                    if self.periodic:
+                    if self.periodic_axes[axis]:
                         qq %= ext
                     else:
                         inside = (qq[:, axis] >= 0) & (qq[:, axis] < ext)
@@ -408,7 +418,7 @@ class Forest:
                 else:
                     q[:, axis] -= 1
                 outside = (q[:, axis] < 0) | (q[:, axis] >= ext)
-                if self.periodic:
+                if self.periodic_axes[axis]:
                     q[:, axis] %= ext
                     boundary = np.zeros(n, bool)
                 else:
@@ -456,9 +466,10 @@ class Forest:
 
     def _faces_core(self):
         from t8gpu_tpu.mesh import _native
-        if _native.available():
+        if _native.available() and len(set(self.periodic_axes)) == 1:
             return _native.faces_core(self.anchor, self.level, self.code,
-                                      self.L, self.dim, self.periodic)
+                                      self.L, self.dim,
+                                      self.periodic_axes[0])
         return self._faces_core_numpy()
 
     def build_faces(self):
@@ -518,7 +529,7 @@ class Forest:
             face_center=f["face_center"] if recon_geometry else None,
             b_face_center=f["b_face_center"] if recon_geometry else None,
             centers=self.centers() if recon_geometry else None,
-            wrap=1.0 if self.periodic else None,
+            wrap=1.0 if any(self.periodic_axes) else None,
         )
 
 

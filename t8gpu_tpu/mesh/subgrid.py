@@ -191,7 +191,7 @@ def build_side_tables(forest: Forest, spec: SubgridSpec, cap_e: int,
             q0 = forest.anchor.copy()
             q0[:, axis] += np.where(sign > 0, sizes, -1)
             outside = (q0[:, axis] < 0) | (q0[:, axis] >= ext_units)
-            wall = outside & (not forest.periodic)
+            wall = outside & (not forest.periodic_axes[axis])
             q0[:, axis] %= ext_units
 
             probes = np.empty((M, n), np.int64)

@@ -54,7 +54,8 @@ def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
                   gamma: float = 1.4, flux: str = "kepes",
                   mode: str = "gather", order: int = 1,
                   limiter: str = "bj", dim: int = 2,
-                  gravity=(0.0, 0.0, 0.0), remat: bool = True):
+                  gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
+                  prandtl: float = 0.72, remat: bool = True):
     """Differentiable n-step SSP-RK3 rollout on plain elements.
 
     Same flux path as CompressibleEulerSolver.iterate_many
@@ -68,7 +69,8 @@ def rollout_plain(u0, dt, n_steps: int, conn, inv_volume, *,
 
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
-                            dim=dim, gravity=tuple(gravity))
+                            dim=dim, gravity=tuple(gravity), mu=mu,
+                            prandtl=prandtl)
 
     def step(u, _):
         u_next, _aux = rk.ssp_rk3(u, flux_fn, dt, inv_volume)
@@ -140,6 +142,8 @@ def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
         limiter=getattr(cfg, "limiter", "bj"),
         dim=getattr(solver, "mesh_dim", 2),
         gravity=tuple(getattr(cfg, "gravity", (0.0, 0.0, 0.0))),
+        mu=float(getattr(cfg, "mu", 0.0)),
+        prandtl=float(getattr(cfg, "prandtl", 0.72)),
         remat=remat)
 
 

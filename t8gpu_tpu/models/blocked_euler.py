@@ -54,7 +54,7 @@ def _zorder_to_raster(ext: int, dim: int) -> np.ndarray:
 
 def can_block(forest, ext: int = 8) -> bool:
     """Whether a forest qualifies for the blocked fast path."""
-    if not isinstance(forest, Forest) or not forest.periodic:
+    if not isinstance(forest, Forest) or not all(forest.periodic_axes):
         return False
     lv = forest.level
     if len(lv) == 0 or (lv != lv[0]).any():

@@ -59,7 +59,8 @@ class StepList(enum.IntEnum):
 
 
 def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
-                  dim=2, gravity=(0.0, 0.0, 0.0), mu=0.0, prandtl=0.72):
+                  dim=2, gravity=(0.0, 0.0, 0.0), mu=0.0, prandtl=0.72,
+                  wall="slip"):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
     (ops/reconstruct.py, beyond-reference), plus the unsplit gravity
@@ -77,7 +78,7 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
     if float(mu) > 0.0:
         from t8gpu_tpu.ops.viscous import with_viscosity
         fn = with_viscosity(fn, conn, inv_volume, gamma, mu, prandtl, dim,
-                            mode)
+                            mode, wall=wall)
     from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                       with_gravity)
     if has_gravity(gravity):
@@ -88,36 +89,36 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "order",
                                     "limiter", "dim", "gravity", "mu",
-                                    "prandtl"),
+                                    "prandtl", "wall"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
               limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0),
-              mu: float = 0.0, prandtl: float = 0.72):
+              mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip"):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
-                            prandtl=prandtl)
+                            prandtl=prandtl, wall=wall)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "n_steps",
                                     "order", "limiter", "dim", "gravity",
-                                    "mu", "prandtl"),
+                                    "mu", "prandtl", "wall"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                *, n_steps: int, gamma: float, flux: str, mode: str,
                order: int = 1, limiter: str = "bj", dim: int = 2,
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
-               prandtl: float = 0.72):
+               prandtl: float = 0.72, wall: str = "slip"):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
-                            prandtl=prandtl)
+                            prandtl=prandtl, wall=wall)
 
     def body(_i, carry):
         v, _ = carry
@@ -242,7 +243,7 @@ class CompressibleEulerSolver:
             mode=self.accumulation, order=self.config.order,
             limiter=self.config.limiter, dim=self.mesh_dim,
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
-            prandtl=float(self.config.prandtl))
+            prandtl=float(self.config.prandtl), wall=self.config.wall)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -253,7 +254,7 @@ class CompressibleEulerSolver:
             mode=self.accumulation, order=self.config.order,
             limiter=self.config.limiter, dim=self.mesh_dim,
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
-            prandtl=float(self.config.prandtl))
+            prandtl=float(self.config.prandtl), wall=self.config.wall)
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -291,7 +292,7 @@ class CompressibleEulerSolver:
                 order=self.config.order, limiter=self.config.limiter,
                 dim=self.mesh_dim, gravity=tuple(self.config.gravity),
                 mu=float(self.config.mu),
-                prandtl=float(self.config.prandtl))
+                prandtl=float(self.config.prandtl), wall=self.config.wall)
             _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements

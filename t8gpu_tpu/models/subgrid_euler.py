@@ -57,25 +57,56 @@ def _use_fused_rk(conn, spec) -> bool:
     return sg.can_fuse_rk(conn, spec) and kernel_mode() != "off"
 
 
+def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
+                  gravity, inv_cell_volume, mu=0.0, prandtl=0.72):
+    """The non-RK-fused (divergence, speed) closure: order 1/2, plus the
+    unsplit gravity source and the viscous (Navier-Stokes) divergence
+    when configured (ops/subgrid_viscous.py — equal-level meshes)."""
+    from t8gpu_tpu.ops.source import has_gravity
+
+    if order == 2:
+        flux_fn = lambda v: sg.flux_divergence_muscl(
+            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+    else:
+        flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
+                                               gamma, flux)
+    if float(mu) > 0.0:
+        from t8gpu_tpu.ops.subgrid_viscous import viscous_divergence
+        from t8gpu_tpu.ops.viscous import viscous_speed_bound
+        base = flux_fn
+        dim = spec.dim
+
+        def flux_fn(v):
+            d, sp = base(v)
+            d = d + viscous_divergence(v, volumes, conn, spec, gamma,
+                                       float(mu), float(prandtl))
+            # diffusive dt limit as a speed (cell size = element h / ext)
+            live = volumes > 0
+            rho_min = jnp.where(live, v[0].min(
+                axis=tuple(range(v.ndim - 2))), jnp.inf).min()
+            h_min = (jnp.where(live, volumes, jnp.inf).min()
+                     ** (1.0 / dim)) / spec.extent
+            nu = (float(mu) / rho_min) * max(1.0, gamma / float(prandtl))
+            return d, jnp.maximum(sp, 2.0 * dim * nu / h_min)
+    if has_gravity(gravity):
+        flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cell_volume)
+    return flux_fn
+
+
 @functools.partial(jax.jit,
                    static_argnames=("spec", "gamma", "flux", "order",
-                                    "limiter", "gravity"),
+                                    "limiter", "gravity", "mu", "prandtl"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               *, spec: SubgridSpec, gamma: float, flux: str,
               order: int = 1, limiter: str = "minmod",
-              gravity=(0.0, 0.0, 0.0)):
+              gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
+              prandtl: float = 0.72):
     from t8gpu_tpu.ops.source import has_gravity
-    grav = has_gravity(gravity)
-    if order == 2 or grav:
-        if order == 2:
-            flux_fn = lambda v: sg.flux_divergence_muscl(
-                v, volumes, conn, spec, gamma, flux, limiter=limiter)
-        else:
-            flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
-                                                   gamma, flux)
-        if grav:
-            flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cell_volume)
+    if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
+        flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
+                                limiter, gravity, inv_cell_volume, mu,
+                                prandtl)
         return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
     if _use_fused_rk(conn, spec):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
@@ -86,12 +117,14 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "gamma", "flux", "n_steps",
-                                    "order", "limiter", "gravity"),
+                                    "order", "limiter", "gravity", "mu",
+                                    "prandtl"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str,
                order: int = 1, limiter: str = "minmod",
-               gravity=(0.0, 0.0, 0.0)):
+               gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
+               prandtl: float = 0.72):
     """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
 
     Between adapt events the connectivity is static, so whole step batches
@@ -100,16 +133,10 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
     from t8gpu_tpu.ops.source import has_gravity
-    grav = has_gravity(gravity)
-    if order == 2 or grav:
-        if order == 2:
-            flux_fn = lambda v: sg.flux_divergence_muscl(
-                v, volumes, conn, spec, gamma, flux, limiter=limiter)
-        else:
-            flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
-                                                   gamma, flux)
-        if grav:
-            flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cell_volume)
+    if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
+        flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
+                                limiter, gravity, inv_cell_volume, mu,
+                                prandtl)
 
         def body(_i, carry):
             v, _ = carry
@@ -151,11 +178,6 @@ class SubgridCompressibleEulerSolver:
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig()):
         self.config = config
-        if float(getattr(config, "mu", 0.0)) > 0.0:
-            raise ValueError(
-                "viscous terms (EulerConfig.mu > 0) run on the "
-                "plain-element path (CompressibleEulerSolver / "
-                "ShardedEulerSolver); the subgrid scheme is inviscid")
         self.amr = amr
         self.manager: Optional[MeshManager] = None
         if isinstance(mesh, MeshManager):

@@ -1,0 +1,211 @@
+"""Viscous (Navier-Stokes) terms for the subgrid scheme — XLA stencil.
+
+Beyond-reference (the reference's subgrid kernels are inviscid,
+examples/subgrid/kernels.inl:335-911): the Newtonian stress tensor +
+Fourier heat conduction on dense Cartesian blocks, evaluated per
+interface with
+
+  * the NORMAL derivative from the compact two-point difference
+    (phi_R - phi_L)/h — second order at the face, no odd-even null
+    space;
+  * TANGENTIAL velocity derivatives at interior interfaces from the
+    mask-aware central difference of the two adjacent cells (block
+    cells see their tangential neighbors through the t-side facing
+    layers), and at MESH faces from within-layer differences of the
+    two facing layers — the only data both elements share, so both
+    sides of every mesh face assemble the IDENTICAL flux and
+    conservation is exact (the invariant every equivalence test leans
+    on).
+
+Scope: equal-level meshes (the uniform flagship configuration).
+Hanging (2:1) faces are NOT supported — the solver rejects mu > 0 on
+adaptive subgrid runs (AMR + Navier-Stokes runs on the plain-element
+path, ops/viscous.py) — and wall faces contribute zero viscous flux
+(free-slip adiabatic, the wall model of the inviscid scheme).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from t8gpu_tpu.memory.subgrid import SubgridSpec
+from t8gpu_tpu.ops.subgrid import _gather_layers
+from t8gpu_tpu.ops.viscous import primitive_rows
+
+
+def _layer_dt(layer: jnp.ndarray, t_axes, h) -> tuple:
+    """Within-layer tangential derivatives of a facing layer
+    [C, *t_ext, E]: central inside, one-sided at the layer borders.
+    Returns one array per tangent axis (layer-axis order)."""
+    outs = []
+    for ax in t_axes:
+        n = layer.shape[ax]
+        if n == 1:
+            outs.append(jnp.zeros_like(layer))
+            continue
+        d_hi = jnp.concatenate(
+            [jax.lax.slice_in_dim(layer, 1, n, axis=ax)
+             - jax.lax.slice_in_dim(layer, 0, n - 1, axis=ax),
+             jnp.zeros_like(jax.lax.slice_in_dim(layer, 0, 1, axis=ax))],
+            axis=ax)
+        d_lo = jnp.concatenate(
+            [jnp.zeros_like(jax.lax.slice_in_dim(layer, 0, 1, axis=ax)),
+             jax.lax.slice_in_dim(layer, 1, n, axis=ax)
+             - jax.lax.slice_in_dim(layer, 0, n - 1, axis=ax)], axis=ax)
+        w_hi = (jnp.arange(n) < n - 1).astype(layer.dtype)
+        w_lo = (jnp.arange(n) > 0).astype(layer.dtype)
+        shape = [1] * layer.ndim
+        shape[ax] = n
+        w_hi = w_hi.reshape(shape)
+        w_lo = w_lo.reshape(shape)
+        outs.append((d_hi * w_hi + d_lo * w_lo) / ((w_hi + w_lo) * h))
+    return tuple(outs)
+
+
+def _cell_dt(phi: jnp.ndarray, layers, weights, axis: int, h) -> jnp.ndarray:
+    """Mask-aware central derivative of [C, *ext, E] along block axis
+    `axis`: outward edge values come from that side's equal-level facing
+    layers (eq-masked: one-sided at walls/non-equal sides)."""
+    ax = 1 + axis
+    ext = phi.shape[ax]
+    hi_lay, lo_lay = layers[2 * axis], layers[2 * axis + 1]
+    w_hi = weights[2 * axis]                       # [E]
+    w_lo = weights[2 * axis + 1]
+
+    d_int = (jax.lax.slice_in_dim(phi, 1, ext, axis=ax)
+             - jax.lax.slice_in_dim(phi, 0, ext - 1, axis=ax))
+    d_hi_out = (hi_lay - jax.lax.index_in_dim(phi, ext - 1, axis=ax,
+                                              keepdims=False)) * w_hi
+    d_lo_out = (jax.lax.index_in_dim(phi, 0, axis=ax,
+                                     keepdims=False) - lo_lay) * w_lo
+    d_hi = jnp.concatenate([d_int, jnp.expand_dims(d_hi_out, ax)], axis=ax)
+    d_lo = jnp.concatenate([jnp.expand_dims(d_lo_out, ax), d_int], axis=ax)
+
+    idx = jax.lax.broadcasted_iota(jnp.int32, phi.shape[1:], axis)
+    m_hi = jnp.where(idx == ext - 1, w_hi, 1.0)
+    m_lo = jnp.where(idx == 0, w_lo, 1.0)
+    return (d_hi * m_hi + d_lo * m_lo) / ((m_hi + m_lo) * h)
+
+
+def viscous_divergence(u: jnp.ndarray, volumes: jnp.ndarray, conn,
+                       spec: SubgridSpec, gamma: float, mu: float,
+                       prandtl: float, u_src: jnp.ndarray = None):
+    """Viscous surface integral per cell: D_visc [5, *ext, E] to ADD to
+    the inviscid divergence (D_visc = +SUM_faces F_visc . n A, the
+    opposite sign pattern of the advective stencil).  `u_src` supplies
+    the layer-gather source (halo-extended axis in the sharded path)."""
+    dim = spec.dim
+    ext = spec.extent
+    kappa = mu * gamma / ((gamma - 1.0) * prandtl)
+    if u_src is None:
+        u_src = u
+
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h = h_e / ext                                   # [E] cell size
+    area = (h ** (dim - 1)) * (volumes > 0)         # interior face area
+
+    phi = primitive_rows(u, gamma)                  # [4, *ext, E]
+    phi_src = phi if u_src is u else primitive_rows(u_src, gamma)
+
+    # equal-level facing layers + eq weights per side
+    layers, weights = [], []
+    for a in range(dim):
+        for s_i, hi in ((0, True), (1, False)):
+            k = 2 * a + s_i
+            lay = jnp.stack([
+                jax.lax.index_in_dim(phi_src[i], 0 if hi else ext - 1,
+                                     axis=a, keepdims=False)
+                for i in range(4)])
+            layers.append(_gather_layers(lay, conn.nbr[k][:, :1])[..., 0])
+            weights.append((conn.mask[k] * (conn.rel[k] == 0))
+                           .astype(u.dtype))
+
+    # mask garbage layers (walls/hanging gather slot junk): eq-masked
+    # layers only ever enter multiplied by w, but keep them finite
+    layers = [jnp.where(w > 0, l, 0.0) for l, w in zip(layers, weights)]
+
+    # per-cell tangential derivatives of the velocity rows (per axis)
+    cell_d = [ _cell_dt(phi[:3], [l[:3] for l in layers], weights, a, h)
+               for a in range(dim)]                  # dim x [3, *ext, E]
+
+    D = jnp.zeros((5,) + u.shape[1:], u.dtype)
+    for a in range(dim):
+        ax = 1 + a
+        t_axes = [t for t in range(dim) if t != a]
+        hi_lay = layers[2 * a]
+        lo_lay = layers[2 * a + 1]
+        w_hi = weights[2 * a] * area                 # [E] face weights
+        w_lo = weights[2 * a + 1] * area
+
+        my_hi = jax.lax.index_in_dim(phi, ext - 1, axis=ax, keepdims=False)
+        my_lo = jax.lax.index_in_dim(phi, 0, axis=ax, keepdims=False)
+
+        # ---- interfaces i+1/2, i = 0..ext-1 (i = ext-1 is the hi mesh
+        # face): next cell values with the hi layer substituted
+        nxt = jnp.concatenate(
+            [jax.lax.slice_in_dim(phi, 1, ext, axis=ax),
+             jnp.expand_dims(hi_lay, ax)], axis=ax)
+        dn = (nxt - phi) / h                         # [4, *ext, E]
+        v_f = 0.5 * (phi[:3] + nxt[:3])
+
+        # tangential velocity derivatives at the faces: interior = mean
+        # of the two cells' mask-aware centrals; mesh face = mean of the
+        # two facing layers' within-layer derivatives (symmetric)
+        idx = jax.lax.broadcasted_iota(jnp.int32, u.shape[1:], a)
+        at_end = idx == ext - 1
+        face_dt = {}
+        lay_t_axes = [1 + t_axes.index(t) for t in t_axes]  # layer dims
+        dtl_hi_mine = _layer_dt(my_hi[:3], lay_t_axes, h)
+        dtl_hi_nbr = _layer_dt(hi_lay[:3], lay_t_axes, h)
+        for ti, t in enumerate(t_axes):
+            c = cell_d[t]
+            c_next = jnp.concatenate(
+                [jax.lax.slice_in_dim(c, 1, ext, axis=ax),
+                 jnp.zeros_like(jax.lax.slice_in_dim(c, 0, 1, axis=ax))],
+                axis=ax)
+            interior = 0.5 * (c + c_next)
+            mesh = 0.5 * (jnp.expand_dims(dtl_hi_mine[ti], ax)
+                          + jnp.expand_dims(dtl_hi_nbr[ti], ax))
+            face_dt[t] = jnp.where(at_end, mesh, interior)
+
+        div_f = dn[a] + sum(face_dt[t][t] for t in t_axes)
+        tau = {a: mu * (2.0 * dn[a] - (2.0 / 3.0) * div_f)}
+        for t in t_axes:
+            tau[t] = mu * (dn[t] + face_dt[t][a])
+        work = sum(v_f[j] * tau[j] for j in range(dim))
+        heat = kappa * dn[3]
+
+        wgt = jnp.where(at_end, w_hi, area)
+        rows = [jnp.zeros_like(div_f)]
+        for j in range(3):
+            rows.append(tau[j] * wgt if j < dim else jnp.zeros_like(div_f))
+        rows.append((work + heat) * wgt)
+        f = jnp.stack(rows)                          # [5, *ext, E]
+
+        # ---- lo mesh face (normal +a, neighbor on the left) ----------
+        dn_lo = (my_lo - lo_lay) / h                 # [4, *t_ext..., E]
+        v_lo = 0.5 * (lo_lay[:3] + my_lo[:3])
+        dtl_lo_mine = _layer_dt(my_lo[:3], lay_t_axes, h)
+        dtl_lo_nbr = _layer_dt(lo_lay[:3], lay_t_axes, h)
+        fdt_lo = {t: 0.5 * (dtl_lo_mine[ti] + dtl_lo_nbr[ti])
+                  for ti, t in enumerate(t_axes)}
+        div_lo = dn_lo[a] + sum(fdt_lo[t][t] for t in t_axes)
+        tau_lo = {a: mu * (2.0 * dn_lo[a] - (2.0 / 3.0) * div_lo)}
+        for t in t_axes:
+            tau_lo[t] = mu * (dn_lo[t] + fdt_lo[t][a])
+        work_lo = sum(v_lo[j] * tau_lo[j] for j in range(dim))
+        heat_lo = kappa * dn_lo[3]
+        rows_lo = [jnp.zeros_like(div_lo)]
+        for j in range(3):
+            rows_lo.append(tau_lo[j] * w_lo if j < dim
+                           else jnp.zeros_like(div_lo))
+        rows_lo.append((work_lo + heat_lo) * w_lo)
+        f_lo = jnp.stack([jnp.expand_dims(r, a) for r in rows_lo])
+
+        # D_visc[i] += f[i] - f[i-1]  (f[-1] = the lo mesh-face flux)
+        prev = jnp.concatenate(
+            [f_lo, jax.lax.slice_in_dim(f, 0, ext - 1, axis=ax)], axis=ax)
+        D = D + f - prev
+
+    return D

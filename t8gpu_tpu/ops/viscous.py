@@ -137,6 +137,30 @@ def viscous_face_flux(u: jnp.ndarray, conn: FaceConnectivity,
                                 conn.area, d_lr, gamma, mu, prandtl)
 
 
+def boundary_viscous_flux(u: jnp.ndarray, conn: FaceConnectivity,
+                          gamma: float, mu: float):
+    """Area-scaled PHYSICAL viscous wall flux F_visc . n [5, Fbcap] for
+    NO-SLIP adiabatic walls: the wall shear from the one-sided normal
+    derivative (v_wall = 0), zero wall work (the wall is at rest) and
+    zero heat flux (adiabatic), so total energy is conserved while the
+    drained kinetic energy reappears as interior heat — the physical
+    budget.  Slip walls (the default) contribute nothing instead."""
+    phi = primitive_rows(u, gamma)
+    v_own = gather_cols(phi, conn.b_elem)[:3]             # [3, Fb]
+    n = conn.b_normal
+    # wall distance along the normal (d_b = x_face - x_own)
+    dn = jnp.abs((conn.d_b * n).sum(axis=0))
+    live = (dn > 0).astype(u.dtype)
+    dn = jnp.where(dn > 0, dn, 1.0)
+    dvdn = -(v_own / dn) * live                           # (0 - v)/dn
+    # grad v ~ dvdn (x) n  =>  tau . n = mu (dvdn + (1/3)(dvdn.n) n)
+    ddn_n = (dvdn * n).sum(axis=0)
+    tau_n = mu * (dvdn + (1.0 / 3.0) * ddn_n * n)
+    zero = jnp.zeros_like(dn)
+    return jnp.stack([zero, tau_n[0], tau_n[1], tau_n[2],
+                      zero]) * conn.b_area
+
+
 def viscous_speed_bound(u: jnp.ndarray, inv_volume: jnp.ndarray,
                         gamma: float, mu: float, prandtl: float,
                         dim: int):
@@ -153,19 +177,28 @@ def viscous_speed_bound(u: jnp.ndarray, inv_volume: jnp.ndarray,
 
 def with_viscosity(flux_fn, conn: FaceConnectivity, inv_volume: jnp.ndarray,
                    gamma: float, mu: float, prandtl: float, dim: int,
-                   mode: str = "gather"):
+                   mode: str = "gather", wall: str = "slip"):
     """Wrap a (u -> (divergence, speed)) closure so every evaluation adds
     the viscous divergence (and folds the diffusive dt limit into the
     returned speed) — the same unsplit-composition pattern as
-    ops/source.with_gravity, so gravity + viscosity + any order compose."""
+    ops/source.with_gravity, so gravity + viscosity + any order compose.
+
+    wall: "slip" (free-slip adiabatic, matching the inviscid reflective
+    model — zero viscous wall flux) or "noslip" (wall shear from the
+    one-sided normal derivative; still adiabatic)."""
     mu = float(mu)
+    if wall not in ("slip", "noslip"):
+        raise ValueError(f"unknown viscous wall model: {wall!r}")
 
     def fn(u):
         d, speed = flux_fn(u)
         fv = viscous_face_flux(u, conn, inv_volume, gamma, mu, prandtl,
                                mode)
-        zero_b = jnp.zeros((5, conn.boundary_capacity), u.dtype)
-        d = d + accumulate(-fv, zero_b, conn, mode)
+        if wall == "noslip" and conn.boundary_capacity:
+            fb = boundary_viscous_flux(u, conn, gamma, mu)
+        else:
+            fb = jnp.zeros((5, conn.boundary_capacity), u.dtype)
+        d = d + accumulate(-fv, -fb, conn, mode)
         speed = jnp.maximum(
             speed, viscous_speed_bound(u, inv_volume, gamma, mu, prandtl,
                                        dim))

@@ -164,7 +164,8 @@ def _fields_boundary_flux(q_in, conn: ShardedConnectivity,
 def sharded_viscous_divergence(u_local: jnp.ndarray,
                                conn: ShardedConnectivity,
                                inv_volume: jnp.ndarray, gamma: float,
-                               mu: float, prandtl: float, dim: int):
+                               mu: float, prandtl: float, dim: int,
+                               wall: str = "slip"):
     """Per-shard viscous (Navier-Stokes) divergence [5, CL] + the GLOBAL
     diffusive dt limit as a wave-speed equivalent — the multi-chip
     counterpart of ops/viscous.viscous_face_flux.
@@ -203,11 +204,23 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
     d_lr = conn.d_left - conn.d_right                    # x_R - x_L [3, F]
     fv = face_flux_from_sides(p_l, p_r, g_l, g_r, conn.normal, conn.area,
                               d_lr, gamma, mu, prandtl)
-    # boundary faces: free-slip adiabatic (zero viscous flux), like the
-    # single-device path
-    acc = accumulate_inc(-fv, jnp.zeros((5, conn.boundary_capacity),
-                                        u_local.dtype),
-                         conn.inc_slot, conn.inc_sign)
+    # walls: free-slip adiabatic (zero viscous flux) by default, or the
+    # no-slip one-sided wall shear — same models as the single-device path
+    if wall == "noslip" and conn.boundary_capacity:
+        v_own = gather_cols(phi_ext[:, :CL], conn.b_elem)[:3]
+        nb = conn.b_normal
+        dn = jnp.abs((conn.d_b * nb).sum(axis=0))
+        livew = (dn > 0).astype(u_local.dtype)
+        dn = jnp.where(dn > 0, dn, 1.0)
+        dvdn = -(v_own / dn) * livew
+        ddn_n = (dvdn * nb).sum(axis=0)
+        tau_n = mu * (dvdn + (1.0 / 3.0) * ddn_n * nb)
+        zero = jnp.zeros_like(dn)
+        fb = jnp.stack([zero, tau_n[0], tau_n[1], tau_n[2],
+                        zero]) * conn.b_area
+    else:
+        fb = jnp.zeros((5, conn.boundary_capacity), u_local.dtype)
+    acc = accumulate_inc(-fv, -fb, conn.inc_slot, conn.inc_sign)
 
     # global diffusive dt limit as a speed: 2 dim nu_eff / h with the
     # GLOBAL smallest density and cell size (pmin/pmax of the local

@@ -105,7 +105,8 @@ class ShardedEulerSolver:
                 dv, sp_v = halo.sharded_viscous_divergence(
                     v, conn, inv_vol, self.config.gamma, mu,
                     float(getattr(self.config, "prandtl", 0.72)),
-                    self.forest.dim)
+                    self.forest.dim,
+                    wall=getattr(self.config, "wall", "slip"))
                 return d + dv, jnp.maximum(sp, sp_v)
         from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                           with_gravity)

@@ -54,6 +54,11 @@ class EulerConfig:
     # Prandtl number: thermal conductivity kappa = mu*cp/Pr (cp =
     # gamma/(gamma-1) in the R = 1 nondimensionalization).
     prandtl: float = 0.72
+    # Viscous wall model (mu > 0 only): "slip" = free-slip adiabatic
+    # (zero viscous wall flux, matching the inviscid reflective walls);
+    # "noslip" = wall shear from the one-sided normal derivative
+    # (adiabatic) — channels, cavities, boundary layers.
+    wall: str = "slip"
 
 
 @dataclasses.dataclass(frozen=True)

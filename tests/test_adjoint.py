@@ -72,6 +72,25 @@ class TestPlainAdjoint:
             _directional_fd_check(objective, s.u, np.random.default_rng(0),
                                   rel_eps=1e-6, tol=1e-6)
 
+    def test_grad_matches_fd_viscous_f64(self):
+        """Gradients flow through the Navier-Stokes terms (the viscous
+        face flux is pure jnp, so reverse-mode applies unchanged)."""
+        with jax.enable_x64(True):
+            mesh = uniform_mesh(level=3, dim=2, periodic=True)
+            s = CompressibleEulerSolver(
+                mesh, lambda c: kh_planar(c, dim=2),
+                config=EulerConfig(dtype="float64", mu=2e-3),
+                amr=AMRConfig(max_level=3))
+            dt = 0.3 * s.compute_timestep()
+            target = s.u * 1.01
+
+            def objective(u0):
+                uT = adjoint.rollout(s, dt, n_steps=3, u0=u0)
+                return ((uT - target) ** 2).sum()
+
+            _directional_fd_check(objective, s.u, np.random.default_rng(2),
+                                  rel_eps=1e-6, tol=1e-6)
+
     def test_grad_matches_fd_f32(self):
         """f32 (production dtype): looser FD tolerance."""
         s = _plain_solver(level=3)

@@ -212,3 +212,41 @@ def test_write_mesh_vtu(tmp_path):
     p = write_mesh_vtu(str(tmp_path / "mesh.vtu"), mesh, bounds)
     text = open(p).read()
     assert "level" in text and "shard" in text
+
+
+def test_per_axis_periodicity_channel():
+    """periodic=(True, False) builds a channel: x wraps (no x-walls),
+    y has reflective walls; face counts are exact, adapt/balance preserve
+    the mixed periodicity, and checkpoints round-trip it."""
+    import numpy as np
+
+    from t8gpu_tpu.mesh.forest import Forest
+
+    f = Forest.uniform(3, dim=2, periodic=(True, False))
+    faces = f.build_faces()
+    # 8x8 grid: 64 x-faces (wrapped) + 56 y-faces interior, 16 y-walls
+    assert len(faces["left"]) == 120
+    assert len(faces["b_elem"]) == 16
+    assert f.periodic_axes == (True, False)
+
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[0] = 1
+    f2, _ = f.adapt(f.balance_flags(flags))
+    assert f2.periodic_axes == (True, False)
+
+    import os
+    import tempfile
+
+    from t8gpu_tpu.io.checkpoint import load_checkpoint, save_checkpoint
+
+    u = np.random.default_rng(0).random((5, f2.n_elements)).astype(np.float32)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "chan.npz")
+        save_checkpoint(p, f2, u, {"step": 1})
+        f3, u3, meta = load_checkpoint(p)
+    assert f3.periodic_axes == (True, False)
+    assert np.array_equal(u3, u)
+
+    # legacy bool encodings still round-trip
+    assert Forest.uniform(2, dim=3, periodic=False).periodic_axes == \
+        (False, False, False)

@@ -196,3 +196,71 @@ def test_subgrid_rejects_mu():
     with pytest.raises(ValueError, match="inviscid"):
         SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2),
                                        config=EulerConfig(mu=1e-3))
+
+
+def _channel_ic(c):
+    """vy(x) = V0 sin(pi x): the slowest no-slip Dirichlet mode of the
+    x-walled channel (zero at both walls), uniform along periodic y."""
+    rho = np.ones(len(c), np.float32)
+    vy = V0 * np.sin(np.pi * c[:, 0]).astype(np.float32)
+    p = np.ones(len(c), np.float32)
+    e = p / (GAMMA - 1) + 0.5 * rho * vy * vy
+    z = np.zeros_like(rho)
+    return np.stack([rho, z, rho * vy, z, e])
+
+
+def test_noslip_channel_decay_exact():
+    """EulerConfig(wall='noslip') on a channel (periodic=(False, True)):
+    the sin(pi x) mode decays at exactly nu pi^2 — the wall-shear
+    one-sided closure reproduces the Dirichlet eigenvalue; the slip wall
+    conserves the mode's momentum instead (no drag)."""
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+
+    t_end = 0.5
+    amps = {}
+    mom = {}
+    for wall in ("noslip", "slip"):
+        f = Forest.uniform(6, dim=2, periodic=(False, True))
+        mesh = ForestMesh.from_forest(f)
+        s = CompressibleEulerSolver(mesh, _channel_ic,
+                                    config=EulerConfig(mu=MU, wall=wall))
+        mom0 = float((s.conserved_state()[2] * np.asarray(
+            s.volume)[: mesh.n_elements]).sum())
+        dt = s.compute_timestep()
+        n = int(round(t_end / dt))
+        s.iterate_many(n, t_end / n)
+        u = s.conserved_state()
+        x = mesh.centers[:, 0]
+        amps[wall] = 2.0 * np.mean((u[2] / u[0]) * np.sin(np.pi * x))
+        mom[wall] = (float((u[2] * np.asarray(
+            s.volume)[: mesh.n_elements]).sum()), mom0)
+    exact = V0 * np.exp(-MU * np.pi ** 2 * t_end)
+    assert abs(amps["noslip"] / exact - 1.0) < 0.01, (amps, exact)
+    # slip: no wall drag => y-momentum conserved (f32 summation roundoff)
+    m1, m0 = mom["slip"]
+    assert abs(m1 - m0) < 1e-5 * abs(m0), mom["slip"]
+    # noslip: wall shear drains it by the same exponential factor
+    m1, m0 = mom["noslip"]
+    drained = m1 / m0
+    assert abs(drained - np.exp(-MU * np.pi ** 2 * t_end)) < 5e-4, drained
+
+
+def test_sharded_noslip_channel_matches_single():
+    import jax
+
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+    from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+
+    cfg = EulerConfig(mu=MU, wall="noslip")
+    f = Forest.uniform(4, dim=2, periodic=(False, True))
+    ref = CompressibleEulerSolver(ForestMesh.from_forest(f), _channel_ic,
+                                  config=cfg)
+    sh = ShardedEulerSolver(f, _channel_ic, config=cfg,
+                            devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(),
+                               ref.conserved_state()[:, : f.n_elements],
+                               rtol=2e-5, atol=2e-6)
