@@ -87,7 +87,8 @@ def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
             h_min = (jnp.where(live, volumes, jnp.inf).min()
                      ** (1.0 / dim)) / spec.extent
             nu = (float(mu) / rho_min) * max(1.0, gamma / float(prandtl))
-            return d, jnp.maximum(sp, 2.0 * dim * nu / h_min)
+            # summed, not maxed (ops/viscous.viscous_speed_bound docs)
+            return d, sp + 2.0 * dim * nu / h_min
     if has_gravity(gravity):
         flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cell_volume)
     return flux_fn
@@ -199,6 +200,13 @@ class SubgridCompressibleEulerSolver:
         self._crit_pending = None    # criteria refer to the previous mesh
         self.mesh = mesh
         self.conn = mesh.conn
+        if float(getattr(self.config, "mu", 0.0)) > 0.0 and (
+                any(mesh.conn.has_coarse) or any(mesh.conn.has_fine)):
+            raise ValueError(
+                "subgrid viscosity (EulerConfig.mu > 0) supports "
+                "equal-level meshes only (ops/subgrid_viscous.py); this "
+                "mesh has hanging (2:1) faces — run AMR + Navier-Stokes "
+                "on the plain-element path (CompressibleEulerSolver)")
         cap = mesh.conn.element_capacity
         n = mesh.n_elements
         B = self.spec.size
@@ -225,7 +233,8 @@ class SubgridCompressibleEulerSolver:
             jnp.float32(dt), spec=self.spec, gamma=self.config.gamma,
             flux=self.config.flux, order=self.config.order,
             limiter=self._sg_limiter(),
-            gravity=tuple(self.config.gravity))
+            gravity=tuple(self.config.gravity),
+            mu=float(self.config.mu), prandtl=float(self.config.prandtl))
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -234,7 +243,8 @@ class SubgridCompressibleEulerSolver:
             jnp.float32(dt), n_steps=n_steps, spec=self.spec,
             gamma=self.config.gamma, flux=self.config.flux,
             order=self.config.order, limiter=self._sg_limiter(),
-            gravity=tuple(self.config.gravity))
+            gravity=tuple(self.config.gravity),
+            mu=float(self.config.mu), prandtl=float(self.config.prandtl))
 
     def _sg_limiter(self) -> str:
         # EulerConfig.limiter speaks the plain path's names ("bj"/"none");
@@ -319,16 +329,14 @@ class SubgridCompressibleEulerSolver:
         (device->host fetches are latency-bound; BENCHMARKS.md)."""
         if self._max_speed is None:
             # the SAME divergence the step runs (order-2 reconstruction
-            # can raise interface wave speeds above any cell state's)
-            if self.config.order == 2:
-                _, speed = sg.flux_divergence_muscl(
-                    self.u, self.volumes, self.conn, self.spec,
-                    self.config.gamma, self.config.flux,
-                    limiter=self._sg_limiter())
-            else:
-                _, speed = sg.flux_divergence(
-                    self.u, self.volumes, self.conn, self.spec,
-                    self.config.gamma, self.config.flux)
+            # can raise interface wave speeds above any cell state's;
+            # viscosity folds the diffusive dt limit into the speed)
+            flux_fn = _base_flux_fn(
+                self.conn, self.volumes, self.spec, self.config.gamma,
+                self.config.flux, self.config.order, self._sg_limiter(),
+                tuple(self.config.gravity), self.inv_cell_volume,
+                float(self.config.mu), float(self.config.prandtl))
+            _, speed = flux_fn(self.u)
             self._max_speed = speed
         h_min = 0.5 ** self.mesh.max_level / self.spec.extent
         return jnp.float32(self.config.cfl * h_min) / self._max_speed

@@ -26,10 +26,11 @@ Scheme (standard cell-centered FV viscous discretization)
    scaled by the face area and accumulated with the conservative sign
    (momentum/energy flow from fast/hot to slow/cold; exactly
    conservative, like the inviscid accumulate).
-4. Reflective boundary faces contribute NO viscous flux: the mirror
-   ghost makes them free-slip adiabatic walls (zero shear stress, zero
-   heat flux) — consistent with the inviscid wall model.  No-slip walls
-   are a deliberate non-goal while the wall model is reflective.
+4. Walls: "slip" (default) contributes NO viscous flux — the mirror
+   ghost makes reflective walls free-slip adiabatic, consistent with
+   the inviscid wall model; "noslip" adds the wall shear from the
+   one-sided normal derivative (boundary_viscous_flux), still
+   adiabatic.
 
 Constant dynamic viscosity mu (the reference nondimensional setting for
 shear-layer problems; Sutherland's law would slot into `face_mu`).
@@ -165,9 +166,13 @@ def viscous_speed_bound(u: jnp.ndarray, inv_volume: jnp.ndarray,
                         gamma: float, mu: float, prandtl: float,
                         dim: int):
     """Conservative global wave-speed equivalent of the diffusive
-    stability limit: dt <= cfl h^2 / (2 dim nu_eff) expressed as a speed
-    (the CFL dt is cfl * min h / max speed), with nu_eff the larger of
-    momentum and thermal diffusivity at the smallest density."""
+    stability rate 2 dim nu_eff / h (nu_eff the larger of momentum and
+    thermal diffusivity at the smallest density).  Callers must ADD this
+    to the advective speed, not max it: the combined acoustic +
+    diffusive eigenvalue leaves the SSP-RK3 stability region even when
+    each part alone is inside (measured: grid-scale pressure noise with
+    conduction blows up at the maxed dt and is stable at the summed
+    one), so dt = cfl h / (speed_adv + speed_visc)."""
     live = inv_volume > 0
     rho_min = jnp.where(live, u[0], jnp.inf).min()
     h_min = jnp.where(live, inv_volume, 0.0).max() ** (-1.0 / dim)
@@ -199,9 +204,10 @@ def with_viscosity(flux_fn, conn: FaceConnectivity, inv_volume: jnp.ndarray,
         else:
             fb = jnp.zeros((5, conn.boundary_capacity), u.dtype)
         d = d + accumulate(-fv, -fb, conn, mode)
-        speed = jnp.maximum(
-            speed, viscous_speed_bound(u, inv_volume, gamma, mu, prandtl,
-                                       dim))
+        # SUM the diffusive rate into the CFL speed (see
+        # viscous_speed_bound: max() is NOT stable for the coupled system)
+        speed = speed + viscous_speed_bound(u, inv_volume, gamma, mu,
+                                            prandtl, dim)
         return d, speed
 
     return fn

@@ -107,7 +107,9 @@ class ShardedEulerSolver:
                     float(getattr(self.config, "prandtl", 0.72)),
                     self.forest.dim,
                     wall=getattr(self.config, "wall", "slip"))
-                return d + dv, jnp.maximum(sp, sp_v)
+                # summed, not maxed: the coupled acoustic+diffusive
+                # eigenvalue needs dt = cfl h / (adv + visc)
+                return d + dv, sp + sp_v
         from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                           with_gravity)
         gravity = getattr(self.config, "gravity", (0.0, 0.0, 0.0))

@@ -490,6 +490,37 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
+def _sharded_subgrid_viscous_wrap(flux_fn, volumes, conn,
+                                  spec: SubgridSpec, gamma: float,
+                                  mu: float, prandtl: float):
+    """Add the viscous divergence (ops/subgrid_viscous.py, equal-level
+    meshes) to a per-shard (divergence, speed) closure: the layer
+    gathers read the halo-extended axis, and both sides of a
+    shard-boundary face see the identical two facing layers, so the
+    viscous exchange is exactly conservative across shards.  The
+    global diffusive dt rate is SUMMED into the speed (see
+    ops/viscous.viscous_speed_bound)."""
+    from t8gpu_tpu.ops.subgrid_viscous import viscous_divergence
+
+    dim = spec.dim
+
+    def fn(v):
+        d, sp = flux_fn(v)
+        u_ext = _halo_exchange_state(v, conn)
+        d = d + viscous_divergence(v, volumes, conn, spec, gamma,
+                                   float(mu), float(prandtl), u_src=u_ext)
+        live = volumes > 0
+        rho_min = jax.lax.pmin(
+            jnp.where(live, v[0].min(axis=tuple(range(v.ndim - 2))),
+                      jnp.inf).min(), halo.AXIS)
+        h_min = jax.lax.pmin(
+            jnp.where(live, volumes, jnp.inf).min(), halo.AXIS)             ** (1.0 / dim) / spec.extent
+        nu = (float(mu) / rho_min) * max(1.0, gamma / float(prandtl))
+        return d, sp + 2.0 * dim * nu / h_min
+
+    return fn
+
+
 def _halo_exchange_state(u, conn):
     """ppermute halo rounds for a [5, *ext, CL] state -> [5, *ext, CL+H]."""
     S = conn.n_shards
@@ -583,11 +614,6 @@ class ShardedSubgridEulerSolver:
                  config: EulerConfig = EulerConfig(),
                  amr: AMRConfig = AMRConfig()):
         self.config = config
-        if float(getattr(config, "mu", 0.0)) > 0.0:
-            raise ValueError(
-                "viscous terms (EulerConfig.mu > 0) run on the "
-                "plain-element path (CompressibleEulerSolver / "
-                "ShardedEulerSolver); the subgrid scheme is inviscid")
         self.amr = amr
         self.spec = spec
         devices = devices if devices is not None else jax.devices()
@@ -612,6 +638,13 @@ class ShardedSubgridEulerSolver:
         self.forest = forest
         conn, bounds = build_sharded_subgrid_connectivity(
             forest, self.spec, self.n_shards)
+        if float(getattr(self.config, "mu", 0.0)) > 0.0 and (
+                any(conn.has_coarse) or any(conn.has_fine)):
+            raise ValueError(
+                "subgrid viscosity (EulerConfig.mu > 0) supports "
+                "equal-level meshes only (ops/subgrid_viscous.py); this "
+                "mesh has hanging (2:1) faces — run AMR + Navier-Stokes "
+                "on the plain-element path (ShardedEulerSolver)")
         self.bounds = bounds
         CL = conn.local_capacity
         self.local_capacity = CL
@@ -650,6 +683,8 @@ class ShardedSubgridEulerSolver:
         gravity = tuple(getattr(self.config, "gravity", (0.0, 0.0, 0.0)))
         from t8gpu_tpu.ops.source import has_gravity
         grav = has_gravity(gravity)
+        mu = float(getattr(self.config, "mu", 0.0))
+        prandtl = float(getattr(self.config, "prandtl", 0.72))
         sgspec = self.spec
         u_spec = self._u_spec()
 
@@ -661,7 +696,7 @@ class ShardedSubgridEulerSolver:
             from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
             conn = jax.tree.map(lambda x: x[0], conn)
-            if order == 2 or grav:
+            if order == 2 or grav or mu > 0.0:
                 if order == 2:
                     flux_fn = (lambda v:
                                sharded_subgrid_flux_divergence_muscl(
@@ -670,6 +705,9 @@ class ShardedSubgridEulerSolver:
                 else:
                     flux_fn = lambda v: sharded_subgrid_flux_divergence(
                         v, volumes, conn, sgspec, gamma, flux)
+                if mu > 0.0:
+                    flux_fn = _sharded_subgrid_viscous_wrap(
+                        flux_fn, volumes, conn, sgspec, gamma, mu, prandtl)
                 if grav:
                     from t8gpu_tpu.models.subgrid_euler import \
                         _with_cell_gravity
@@ -727,11 +765,19 @@ class ShardedSubgridEulerSolver:
         def speed(u, conn, volumes):
             conn = jax.tree.map(lambda x: x[0], conn)
             if order == 2:     # same divergence the step runs (CFL bound)
-                _, sp = sharded_subgrid_flux_divergence_muscl(
-                    u, volumes, conn, sgspec, gamma, flux, limiter)
+                flux_fn = (lambda v:
+                           sharded_subgrid_flux_divergence_muscl(
+                               v, volumes, conn, sgspec, gamma, flux,
+                               limiter))
             else:
-                _, sp = sharded_subgrid_flux_divergence(
-                    u, volumes, conn, sgspec, gamma, flux)
+                flux_fn = lambda v: sharded_subgrid_flux_divergence(
+                    v, volumes, conn, sgspec, gamma, flux)
+            mu = float(getattr(self.config, "mu", 0.0))
+            if mu > 0.0:
+                flux_fn = _sharded_subgrid_viscous_wrap(
+                    flux_fn, volumes, conn, sgspec, gamma, mu,
+                    float(getattr(self.config, "prandtl", 0.72)))
+            _, sp = flux_fn(u)
             return sp
 
         return jax.jit(speed)

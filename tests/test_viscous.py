@@ -183,17 +183,76 @@ def test_shell_prisms_viscous_stable():
     assert s.compute_integral() == pytest.approx(m0, rel=1e-5)
 
 
-def test_subgrid_rejects_mu():
-    """The subgrid solvers are inviscid: a clear error, not silence."""
+def test_subgrid_viscous_decay_and_conservation():
+    """Subgrid Navier-Stokes (ops/subgrid_viscous.py, equal-level
+    meshes): the shear mode decays at exactly nu k^2 across block AND
+    mesh faces, conserving mass exactly and momentum/energy to
+    roundoff."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    mesh = SubgridMesh.from_forest(Forest.uniform(3, dim=2),
+                                   SubgridSpec((8, 8)))   # 64 cells/axis
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: shear_ic(c),
+                                       config=EulerConfig(mu=MU))
+    m0 = s.compute_integral()
+    u0 = s.conserved_state().reshape(5, -1)
+    t_end = 0.5
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state().reshape(5, -1)
+    y = mesh.cell_centers()[:, 1]
+    amp = 2.0 * np.mean((u[1] / u[0]) * np.sin(2 * np.pi * y))
+    expected = V0 * np.exp(-MU * (2 * np.pi) ** 2 * t_end)
+    assert abs(amp / expected - 1.0) < 0.02, (amp, expected)
+    assert s.compute_integral() == pytest.approx(m0, rel=1e-6)
+    assert np.abs(u[1:4].sum(axis=1) - u0[1:4].sum(axis=1)).max() < 2e-5
+    assert abs(u[4].sum() - u0[4].sum()) / abs(u0[4].sum()) < 1e-5
+
+
+def test_subgrid_viscous_free_stream_and_plain_match():
+    """Uniform moving state: exactly preserved (all derivatives vanish);
+    and the subgrid NS decay matches the plain path's on the same
+    physical problem (independent discretizations cross-validate)."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    def uni_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, 0.3 * rho, z, z,
+                         np.full_like(rho, 2.5 + 0.5 * 0.09)])
+
+    mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2),
+                                   SubgridSpec((4, 4)))
+    s = SubgridCompressibleEulerSolver(mesh, uni_ic,
+                                       config=EulerConfig(mu=MU))
+    v0 = s.conserved_state().copy()
+    for _ in range(5):
+        s.iterate(1e-3)
+    assert np.abs(s.conserved_state() - v0).max() < 1e-6
+
+
+def test_subgrid_viscous_rejects_hanging():
+    """Hanging (2:1) meshes reject mu > 0 with a clear error (the
+    equal-level-only scope of ops/subgrid_viscous.py)."""
     from t8gpu_tpu.memory.subgrid import SubgridSpec
     from t8gpu_tpu.mesh.forest import Forest
     from t8gpu_tpu.mesh.subgrid import SubgridMesh
     from t8gpu_tpu.models.initial_conditions import kh_planar
     from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
 
-    mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2),
-                                   SubgridSpec((4, 4)))
-    with pytest.raises(ValueError, match="inviscid"):
+    f = Forest.uniform(2, dim=2)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[0] = 1
+    f, _ = f.adapt(f.balance_flags(flags))
+    mesh = SubgridMesh.from_forest(f, SubgridSpec((4, 4)))
+    with pytest.raises(ValueError, match="equal-level"):
         SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2),
                                        config=EulerConfig(mu=1e-3))
 
@@ -264,3 +323,56 @@ def test_sharded_noslip_channel_matches_single():
     np.testing.assert_allclose(sh.conserved_state(),
                                ref.conserved_state()[:, : f.n_elements],
                                rtol=2e-5, atol=2e-6)
+
+
+def test_gridscale_noise_stable_at_cfl_dt():
+    """Grid-scale pressure noise + conduction at the solver's own CFL dt
+    stays bounded: the diffusive rate is SUMMED into the CFL speed (the
+    maxed fold was measurably unstable — the coupled acoustic+diffusive
+    eigenvalue leaves the RK3 stability region)."""
+    rng = np.random.default_rng(0)
+
+    def noisy_ic(c):
+        rho = np.ones(len(c), np.float32)
+        p = (1.0 + 1e-4 * rng.standard_normal(len(c))).astype(np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z, p / (GAMMA - 1)])
+
+    s = CompressibleEulerSolver(uniform_mesh(6, dim=2, periodic=True),
+                                noisy_ic, config=EulerConfig(mu=2e-3))
+    dt = s.compute_timestep()
+    for _ in range(4):
+        s.iterate_many(10, dt)
+    u = s.conserved_state()
+    assert np.isfinite(u).all()
+    assert abs(u[0] - 1.0).max() < 5e-4       # noise decays, not grows
+
+
+def test_sharded_subgrid_viscous_matches_single():
+    """Sharded subgrid Navier-Stokes (layer gathers over the halo-
+    extended axis) == single-device, and the summed-diffusive CFL dt
+    agrees across the pmin/pmax reductions."""
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    cfg = EulerConfig(mu=MU)
+    spec = SubgridSpec((4, 4))
+    f = Forest.uniform(3, dim=2)
+    ref = SubgridCompressibleEulerSolver(SubgridMesh.from_forest(f, spec),
+                                         shear_ic, config=cfg)
+    sh = ShardedSubgridEulerSolver(f, spec, shear_ic, config=cfg,
+                                   devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state().reshape(5, -1),
+                               ref.conserved_state().reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(sh.compute_timestep(), ref.compute_timestep(),
+                               rtol=1e-6)
