@@ -139,7 +139,12 @@ def load_checkpoint(path: str):
 
 
 def _config_meta(config, amr) -> dict:
-    return {"config": dataclasses.asdict(config), "amr": dataclasses.asdict(amr)}
+    cfg = dataclasses.asdict(config)
+    if callable(cfg.get("wall_velocity")):
+        # per-face callables are not serializable; restarts rebuild the
+        # solver with an explicit config (documented in EulerConfig)
+        cfg["wall_velocity"] = (0.0, 0.0, 0.0)
+    return {"config": cfg, "amr": dataclasses.asdict(amr)}
 
 
 def save_solver(path: str, solver, step: int = 0) -> str:

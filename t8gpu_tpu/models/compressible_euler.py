@@ -60,7 +60,7 @@ class StepList(enum.IntEnum):
 
 def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
                   dim=2, gravity=(0.0, 0.0, 0.0), mu=0.0, prandtl=0.72,
-                  wall="slip"):
+                  wall="slip", wall_velocity=None):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
     (ops/reconstruct.py, beyond-reference), plus the unsplit gravity
@@ -78,7 +78,7 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
     if float(mu) > 0.0:
         from t8gpu_tpu.ops.viscous import with_viscosity
         fn = with_viscosity(fn, conn, inv_volume, gamma, mu, prandtl, dim,
-                            mode, wall=wall)
+                            mode, wall=wall, wall_velocity=wall_velocity)
     from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                       with_gravity)
     if has_gravity(gravity):
@@ -94,12 +94,14 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
               limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0),
-              mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip"):
+              mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip",
+              wall_velocity=None):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
-                            prandtl=prandtl, wall=wall)
+                            prandtl=prandtl, wall=wall,
+                            wall_velocity=wall_velocity)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
@@ -112,13 +114,15 @@ def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                *, n_steps: int, gamma: float, flux: str, mode: str,
                order: int = 1, limiter: str = "bj", dim: int = 2,
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
-               prandtl: float = 0.72, wall: str = "slip"):
+               prandtl: float = 0.72, wall: str = "slip",
+               wall_velocity=None):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
-                            prandtl=prandtl, wall=wall)
+                            prandtl=prandtl, wall=wall,
+                            wall_velocity=wall_velocity)
 
     def body(_i, carry):
         v, _ = carry
@@ -232,6 +236,33 @@ class CompressibleEulerSolver:
                 (5, cap - u.shape[-1]))
             u = jnp.concatenate([u, guard], axis=1)
         self.u = u.astype(dtype)
+        self._wall_vel = self._build_wall_velocity(mesh)
+
+    def _build_wall_velocity(self, mesh):
+        """No-slip wall velocity as a device operand: None (resting
+        walls), a (3,) uniform vector, or — when EulerConfig.wall_velocity
+        is a CALLABLE face_centroids [Fb, 3] -> [3, Fb] — a per-face
+        field (e.g. only the lid of a cavity moving)."""
+        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
+        if (self.config.wall != "noslip"
+                or self.conn.boundary_capacity == 0):
+            return None
+        if callable(wv):
+            if self.conn.d_b is None:
+                raise ValueError("a callable wall_velocity needs the "
+                                 "face-centroid geometry (d_b)")
+            cap = self.conn.inc_slot.shape[0]
+            c3 = np.zeros((cap, 3))
+            cm = np.asarray(mesh.centers)
+            c3[: len(cm), : cm.shape[1]] = cm
+            fc = c3[np.asarray(self.conn.b_elem)] + np.asarray(
+                self.conn.d_b).T                       # [Fbcap, 3]
+            arr = np.asarray(wv(fc), np.float32)
+            assert arr.shape == (3, fc.shape[0]), arr.shape
+            return jnp.asarray(arr, self.dtype)
+        if not any(float(x) != 0.0 for x in wv):
+            return None
+        return jnp.asarray(np.asarray(wv, np.float32), self.dtype)
 
     # -- time stepping (ref solver.cu:75-175) --------------------------------
 
@@ -243,7 +274,8 @@ class CompressibleEulerSolver:
             mode=self.accumulation, order=self.config.order,
             limiter=self.config.limiter, dim=self.mesh_dim,
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
-            prandtl=float(self.config.prandtl), wall=self.config.wall)
+            prandtl=float(self.config.prandtl), wall=self.config.wall,
+            wall_velocity=self._wall_vel)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -254,7 +286,8 @@ class CompressibleEulerSolver:
             mode=self.accumulation, order=self.config.order,
             limiter=self.config.limiter, dim=self.mesh_dim,
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
-            prandtl=float(self.config.prandtl), wall=self.config.wall)
+            prandtl=float(self.config.prandtl), wall=self.config.wall,
+            wall_velocity=self._wall_vel)
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -292,7 +325,8 @@ class CompressibleEulerSolver:
                 order=self.config.order, limiter=self.config.limiter,
                 dim=self.mesh_dim, gravity=tuple(self.config.gravity),
                 mu=float(self.config.mu),
-                prandtl=float(self.config.prandtl), wall=self.config.wall)
+                prandtl=float(self.config.prandtl), wall=self.config.wall,
+                wall_velocity=self._wall_vel)
             _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements

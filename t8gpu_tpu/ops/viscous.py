@@ -139,27 +139,40 @@ def viscous_face_flux(u: jnp.ndarray, conn: FaceConnectivity,
 
 
 def boundary_viscous_flux(u: jnp.ndarray, conn: FaceConnectivity,
-                          gamma: float, mu: float):
+                          gamma: float, mu: float, wall_velocity=None):
     """Area-scaled PHYSICAL viscous wall flux F_visc . n [5, Fbcap] for
     NO-SLIP adiabatic walls: the wall shear from the one-sided normal
-    derivative (v_wall = 0), zero wall work (the wall is at rest) and
-    zero heat flux (adiabatic), so total energy is conserved while the
-    drained kinetic energy reappears as interior heat — the physical
-    budget.  Slip walls (the default) contribute nothing instead."""
+    derivative toward the wall velocity (its tangential projection —
+    the normal component would violate impermeability), the wall work
+    tau . v_wall (zero for resting walls: drained kinetic energy
+    reappears as interior heat, conserving total energy; a MOVING wall
+    injects energy through its shear — lid-driven cavities, Couette
+    flow), and zero heat flux (adiabatic).  Slip walls (the default)
+    contribute nothing instead."""
     phi = primitive_rows(u, gamma)
     v_own = gather_cols(phi, conn.b_elem)[:3]             # [3, Fb]
     n = conn.b_normal
+    if wall_velocity is None:
+        vw = jnp.zeros((3, 1), u.dtype)
+    else:
+        # a uniform (3,) tuple/array, or a per-face [3, Fb] field (e.g.
+        # only the lid moving) — both broadcast below
+        vw = jnp.asarray(wall_velocity, u.dtype)
+        if vw.ndim == 1:
+            vw = vw[:, None]
+    vw_t = vw - (vw * n).sum(axis=0) * n                  # tangential [3, Fb]
     # wall distance along the normal (d_b = x_face - x_own)
     dn = jnp.abs((conn.d_b * n).sum(axis=0))
     live = (dn > 0).astype(u.dtype)
     dn = jnp.where(dn > 0, dn, 1.0)
-    dvdn = -(v_own / dn) * live                           # (0 - v)/dn
+    dvdn = ((vw_t - v_own) / dn) * live
     # grad v ~ dvdn (x) n  =>  tau . n = mu (dvdn + (1/3)(dvdn.n) n)
     ddn_n = (dvdn * n).sum(axis=0)
     tau_n = mu * (dvdn + (1.0 / 3.0) * ddn_n * n)
+    work = (vw_t * tau_n).sum(axis=0) * live
     zero = jnp.zeros_like(dn)
     return jnp.stack([zero, tau_n[0], tau_n[1], tau_n[2],
-                      zero]) * conn.b_area
+                      work]) * conn.b_area
 
 
 def viscous_speed_bound(u: jnp.ndarray, inv_volume: jnp.ndarray,
@@ -182,7 +195,8 @@ def viscous_speed_bound(u: jnp.ndarray, inv_volume: jnp.ndarray,
 
 def with_viscosity(flux_fn, conn: FaceConnectivity, inv_volume: jnp.ndarray,
                    gamma: float, mu: float, prandtl: float, dim: int,
-                   mode: str = "gather", wall: str = "slip"):
+                   mode: str = "gather", wall: str = "slip",
+                   wall_velocity=None):
     """Wrap a (u -> (divergence, speed)) closure so every evaluation adds
     the viscous divergence (and folds the diffusive dt limit into the
     returned speed) — the same unsplit-composition pattern as
@@ -200,7 +214,7 @@ def with_viscosity(flux_fn, conn: FaceConnectivity, inv_volume: jnp.ndarray,
         fv = viscous_face_flux(u, conn, inv_volume, gamma, mu, prandtl,
                                mode)
         if wall == "noslip" and conn.boundary_capacity:
-            fb = boundary_viscous_flux(u, conn, gamma, mu)
+            fb = boundary_viscous_flux(u, conn, gamma, mu, wall_velocity)
         else:
             fb = jnp.zeros((5, conn.boundary_capacity), u.dtype)
         d = d + accumulate(-fv, -fb, conn, mode)

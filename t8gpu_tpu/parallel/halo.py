@@ -165,7 +165,8 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
                                conn: ShardedConnectivity,
                                inv_volume: jnp.ndarray, gamma: float,
                                mu: float, prandtl: float, dim: int,
-                               wall: str = "slip"):
+                               wall: str = "slip",
+                               wall_velocity=(0.0, 0.0, 0.0)):
     """Per-shard viscous (Navier-Stokes) divergence [5, CL] + the GLOBAL
     diffusive dt limit as a wave-speed equivalent — the multi-chip
     counterpart of ops/viscous.viscous_face_flux.
@@ -209,15 +210,18 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
     if wall == "noslip" and conn.boundary_capacity:
         v_own = gather_cols(phi_ext[:, :CL], conn.b_elem)[:3]
         nb = conn.b_normal
+        vw = jnp.asarray(wall_velocity, u_local.dtype)[:, None]
+        vw_t = vw - (vw * nb).sum(axis=0) * nb
         dn = jnp.abs((conn.d_b * nb).sum(axis=0))
         livew = (dn > 0).astype(u_local.dtype)
         dn = jnp.where(dn > 0, dn, 1.0)
-        dvdn = -(v_own / dn) * livew
+        dvdn = ((vw_t - v_own) / dn) * livew
         ddn_n = (dvdn * nb).sum(axis=0)
         tau_n = mu * (dvdn + (1.0 / 3.0) * ddn_n * nb)
+        work = (vw_t * tau_n).sum(axis=0) * livew
         zero = jnp.zeros_like(dn)
         fb = jnp.stack([zero, tau_n[0], tau_n[1], tau_n[2],
-                        zero]) * conn.b_area
+                        work]) * conn.b_area
     else:
         fb = jnp.zeros((5, conn.boundary_capacity), u_local.dtype)
     acc = accumulate_inc(-fv, -fb, conn.inc_slot, conn.inc_sign)

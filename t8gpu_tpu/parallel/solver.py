@@ -79,6 +79,14 @@ class ShardedEulerSolver:
         self._speed = self._build_speed()
         self._install(forest, ic=ic)
 
+    def _uniform_wall_velocity(self):
+        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
+        if callable(wv):
+            raise NotImplementedError(
+                "per-face (callable) wall_velocity is single-device only; "
+                "the sharded solvers take a uniform (vx, vy, vz) tuple")
+        return tuple(float(x) for x in wv)
+
     def _flux_divergence(self, u, conn):
         """Per-shard (divergence, global max speed) — the ONLY physics
         hook; everything else in this class is model-agnostic."""
@@ -106,7 +114,8 @@ class ShardedEulerSolver:
                     v, conn, inv_vol, self.config.gamma, mu,
                     float(getattr(self.config, "prandtl", 0.72)),
                     self.forest.dim,
-                    wall=getattr(self.config, "wall", "slip"))
+                    wall=getattr(self.config, "wall", "slip"),
+                    wall_velocity=self._uniform_wall_velocity())
                 # summed, not maxed: the coupled acoustic+diffusive
                 # eigenvalue needs dt = cfl h / (adv + visc)
                 return d + dv, sp + sp_v

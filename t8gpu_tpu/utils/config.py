@@ -59,6 +59,14 @@ class EulerConfig:
     # "noslip" = wall shear from the one-sided normal derivative
     # (adiabatic) — channels, cavities, boundary layers.
     wall: str = "slip"
+    # Velocity of no-slip walls (tangential projection per wall; the
+    # normal component is ignored — impermeability stays reflective).
+    # A moving lid drives cavity/Couette flows; its shear does work on
+    # the fluid (energy injection through the wall).  Either a uniform
+    # (vx, vy, vz) tuple, or a CALLABLE face_centroids [Fb, 3] ->
+    # [3, Fb] for per-wall fields (e.g. only the cavity lid moving);
+    # callables are single-device (checkpoint meta stores them as 0).
+    wall_velocity: tuple = (0.0, 0.0, 0.0)
 
 
 @dataclasses.dataclass(frozen=True)

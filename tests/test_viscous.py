@@ -376,3 +376,74 @@ def test_sharded_subgrid_viscous_matches_single():
                                rtol=2e-5, atol=2e-6)
     np.testing.assert_allclose(sh.compute_timestep(), ref.compute_timestep(),
                                rtol=1e-6)
+
+
+def test_moving_wall_couette_spinup_exact():
+    """wall_velocity: a channel at rest between y-moving no-slip x-walls
+    spins up toward the wall speed; the deficit's sin(pi x) projection
+    decays at exactly nu pi^2 (the exact Couette start-up solution), and
+    the wall does positive work (energy grows)."""
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+
+    U = 1e-2
+
+    def rest_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z,
+                         np.full_like(rho, 1.0 / (GAMMA - 1))])
+
+    f = Forest.uniform(6, dim=2, periodic=(False, True))
+    mesh = ForestMesh.from_forest(f)
+    s = CompressibleEulerSolver(
+        mesh, rest_ic, config=EulerConfig(mu=MU, wall="noslip",
+                                          wall_velocity=(0.0, U, 0.0)))
+    e0 = float(s.conserved_state()[4].sum())
+    t_end = 0.5
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state()[:, : mesh.n_elements]
+    x = mesh.centers[:, 0]
+    p1 = 2.0 * np.mean((u[2] / u[0] - U) * np.sin(np.pi * x))
+    expected = (-U * 4 / np.pi) * np.exp(-MU * np.pi ** 2 * t_end)
+    assert abs(p1 / expected - 1.0) < 0.01, (p1, expected)
+    assert (u[2] / u[0]).mean() > 0.0         # fluid entrained by the lid
+    assert float(u[4].sum()) > e0             # the moving wall does work
+
+
+def test_per_face_lid_velocity_cavity():
+    """Callable wall_velocity (only the y=1 lid moves): the top cells
+    are entrained in +x, a return flow develops beneath, the resting
+    walls stay resting (bottom cells slower than the top's mirror), and
+    mass is conserved exactly."""
+    U = 0.1
+
+    def rest_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z,
+                         np.full_like(rho, 1.0 / (GAMMA - 1))])
+
+    def lid(face_centers):
+        on_lid = (face_centers[:, 1] > 1.0 - 1e-6).astype(np.float32)
+        vw = np.zeros((3, len(face_centers)), np.float32)
+        vw[0] = U * on_lid
+        return vw
+
+    mesh = uniform_mesh(4, dim=2, periodic=False)
+    s = CompressibleEulerSolver(
+        mesh, rest_ic, config=EulerConfig(mu=1e-3, wall="noslip",
+                                          wall_velocity=lid))
+    m0 = s.compute_integral()
+    dt = s.compute_timestep()
+    s.iterate_many(int(round(1.0 / dt)), dt)
+    u = s.conserved_state()
+    vx = u[1] / u[0]
+    y = mesh.centers[:, 1]
+    top = vx[y > 0.9]
+    bot = vx[y < 0.1]
+    assert top.mean() > 1e-3                      # entrained by the lid
+    assert abs(bot).max() < abs(top).max() / 3    # bottom wall rests
+    assert np.isfinite(u).all()
+    assert s.compute_integral() == pytest.approx(m0, rel=1e-6)
