@@ -60,7 +60,7 @@ class StepList(enum.IntEnum):
 
 def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
                   dim=2, gravity=(0.0, 0.0, 0.0), mu=0.0, prandtl=0.72,
-                  wall="slip", wall_velocity=None):
+                  wall="slip", wall_velocity=None, wall_temperature=None):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
     (ops/reconstruct.py, beyond-reference), plus the unsplit gravity
@@ -78,7 +78,8 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
     if float(mu) > 0.0:
         from t8gpu_tpu.ops.viscous import with_viscosity
         fn = with_viscosity(fn, conn, inv_volume, gamma, mu, prandtl, dim,
-                            mode, wall=wall, wall_velocity=wall_velocity)
+                            mode, wall=wall, wall_velocity=wall_velocity,
+                            wall_temperature=wall_temperature)
     from t8gpu_tpu.ops.source import (has_gravity, volume_from_inverse,
                                       with_gravity)
     if has_gravity(gravity):
@@ -89,40 +90,43 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "order",
                                     "limiter", "dim", "gravity", "mu",
-                                    "prandtl", "wall"),
+                                    "prandtl", "wall", "wall_temperature"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
               limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0),
               mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip",
-              wall_velocity=None):
+              wall_velocity=None, wall_temperature=None):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
                             prandtl=prandtl, wall=wall,
-                            wall_velocity=wall_velocity)
+                            wall_velocity=wall_velocity,
+                            wall_temperature=wall_temperature)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "mode", "n_steps",
                                     "order", "limiter", "dim", "gravity",
-                                    "mu", "prandtl", "wall"),
+                                    "mu", "prandtl", "wall",
+                                    "wall_temperature"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                *, n_steps: int, gamma: float, flux: str, mode: str,
                order: int = 1, limiter: str = "bj", dim: int = 2,
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
                prandtl: float = 0.72, wall: str = "slip",
-               wall_velocity=None):
+               wall_velocity=None, wall_temperature=None):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
                             prandtl=prandtl, wall=wall,
-                            wall_velocity=wall_velocity)
+                            wall_velocity=wall_velocity,
+                            wall_temperature=wall_temperature)
 
     def body(_i, carry):
         v, _ = carry
@@ -275,7 +279,8 @@ class CompressibleEulerSolver:
             limiter=self.config.limiter, dim=self.mesh_dim,
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
             prandtl=float(self.config.prandtl), wall=self.config.wall,
-            wall_velocity=self._wall_vel)
+            wall_velocity=self._wall_vel,
+            wall_temperature=self.config.wall_temperature)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -287,7 +292,8 @@ class CompressibleEulerSolver:
             limiter=self.config.limiter, dim=self.mesh_dim,
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
             prandtl=float(self.config.prandtl), wall=self.config.wall,
-            wall_velocity=self._wall_vel)
+            wall_velocity=self._wall_vel,
+            wall_temperature=self.config.wall_temperature)
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -326,7 +332,8 @@ class CompressibleEulerSolver:
                 dim=self.mesh_dim, gravity=tuple(self.config.gravity),
                 mu=float(self.config.mu),
                 prandtl=float(self.config.prandtl), wall=self.config.wall,
-                wall_velocity=self._wall_vel)
+                wall_velocity=self._wall_vel,
+                wall_temperature=self.config.wall_temperature)
             _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements

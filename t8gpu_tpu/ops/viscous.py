@@ -139,7 +139,9 @@ def viscous_face_flux(u: jnp.ndarray, conn: FaceConnectivity,
 
 
 def boundary_viscous_flux(u: jnp.ndarray, conn: FaceConnectivity,
-                          gamma: float, mu: float, wall_velocity=None):
+                          gamma: float, mu: float, wall_velocity=None,
+                          prandtl: float = 0.72,
+                          wall_temperature=None):
     """Area-scaled PHYSICAL viscous wall flux F_visc . n [5, Fbcap] for
     NO-SLIP adiabatic walls: the wall shear from the one-sided normal
     derivative toward the wall velocity (its tangential projection —
@@ -147,7 +149,9 @@ def boundary_viscous_flux(u: jnp.ndarray, conn: FaceConnectivity,
     tau . v_wall (zero for resting walls: drained kinetic energy
     reappears as interior heat, conserving total energy; a MOVING wall
     injects energy through its shear — lid-driven cavities, Couette
-    flow), and zero heat flux (adiabatic).  Slip walls (the default)
+    flow), and the wall heat flux kappa (T_wall - T)/dn when a wall
+    temperature is set (isothermal walls — heated/cooled cavities;
+    None = adiabatic, zero heat flux).  Slip walls (the default)
     contribute nothing instead."""
     phi = primitive_rows(u, gamma)
     v_own = gather_cols(phi, conn.b_elem)[:3]             # [3, Fb]
@@ -170,6 +174,10 @@ def boundary_viscous_flux(u: jnp.ndarray, conn: FaceConnectivity,
     ddn_n = (dvdn * n).sum(axis=0)
     tau_n = mu * (dvdn + (1.0 / 3.0) * ddn_n * n)
     work = (vw_t * tau_n).sum(axis=0) * live
+    if wall_temperature is not None:
+        kappa = mu * gamma / ((gamma - 1.0) * prandtl)
+        t_own = gather_cols(phi, conn.b_elem)[3]
+        work = work + kappa * ((wall_temperature - t_own) / dn) * live
     zero = jnp.zeros_like(dn)
     return jnp.stack([zero, tau_n[0], tau_n[1], tau_n[2],
                       work]) * conn.b_area
@@ -196,7 +204,7 @@ def viscous_speed_bound(u: jnp.ndarray, inv_volume: jnp.ndarray,
 def with_viscosity(flux_fn, conn: FaceConnectivity, inv_volume: jnp.ndarray,
                    gamma: float, mu: float, prandtl: float, dim: int,
                    mode: str = "gather", wall: str = "slip",
-                   wall_velocity=None):
+                   wall_velocity=None, wall_temperature=None):
     """Wrap a (u -> (divergence, speed)) closure so every evaluation adds
     the viscous divergence (and folds the diffusive dt limit into the
     returned speed) — the same unsplit-composition pattern as
@@ -214,7 +222,8 @@ def with_viscosity(flux_fn, conn: FaceConnectivity, inv_volume: jnp.ndarray,
         fv = viscous_face_flux(u, conn, inv_volume, gamma, mu, prandtl,
                                mode)
         if wall == "noslip" and conn.boundary_capacity:
-            fb = boundary_viscous_flux(u, conn, gamma, mu, wall_velocity)
+            fb = boundary_viscous_flux(u, conn, gamma, mu, wall_velocity,
+                                       prandtl, wall_temperature)
         else:
             fb = jnp.zeros((5, conn.boundary_capacity), u.dtype)
         d = d + accumulate(-fv, -fb, conn, mode)

@@ -166,7 +166,8 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
                                inv_volume: jnp.ndarray, gamma: float,
                                mu: float, prandtl: float, dim: int,
                                wall: str = "slip",
-                               wall_velocity=(0.0, 0.0, 0.0)):
+                               wall_velocity=(0.0, 0.0, 0.0),
+                               wall_temperature=None):
     """Per-shard viscous (Navier-Stokes) divergence [5, CL] + the GLOBAL
     diffusive dt limit as a wave-speed equivalent — the multi-chip
     counterpart of ops/viscous.viscous_face_flux.
@@ -219,6 +220,10 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
         ddn_n = (dvdn * nb).sum(axis=0)
         tau_n = mu * (dvdn + (1.0 / 3.0) * ddn_n * nb)
         work = (vw_t * tau_n).sum(axis=0) * livew
+        if wall_temperature is not None:
+            kappa = mu * gamma / ((gamma - 1.0) * prandtl)
+            t_own = gather_cols(phi_ext[:, :CL], conn.b_elem)[3]
+            work = work + kappa * ((wall_temperature - t_own) / dn) * livew
         zero = jnp.zeros_like(dn)
         fb = jnp.stack([zero, tau_n[0], tau_n[1], tau_n[2],
                         work]) * conn.b_area

@@ -115,7 +115,9 @@ class ShardedEulerSolver:
                     float(getattr(self.config, "prandtl", 0.72)),
                     self.forest.dim,
                     wall=getattr(self.config, "wall", "slip"),
-                    wall_velocity=self._uniform_wall_velocity())
+                    wall_velocity=self._uniform_wall_velocity(),
+                    wall_temperature=getattr(self.config,
+                                             "wall_temperature", None))
                 # summed, not maxed: the coupled acoustic+diffusive
                 # eigenvalue needs dt = cfl h / (adv + visc)
                 return d + dv, sp + sp_v

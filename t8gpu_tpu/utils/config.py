@@ -67,6 +67,10 @@ class EulerConfig:
     # [3, Fb] for per-wall fields (e.g. only the cavity lid moving);
     # callables are single-device (checkpoint meta stores them as 0).
     wall_velocity: tuple = (0.0, 0.0, 0.0)
+    # No-slip wall thermal condition: None = adiabatic (zero heat flux);
+    # a float = isothermal wall at that temperature (T = p/rho units) —
+    # the wall exchanges heat at kappa (T_wall - T)/dn.
+    wall_temperature: float = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -447,3 +447,48 @@ def test_per_face_lid_velocity_cavity():
     assert abs(bot).max() < abs(top).max() / 3    # bottom wall rests
     assert np.isfinite(u).all()
     assert s.compute_integral() == pytest.approx(m0, rel=1e-6)
+
+
+def test_isothermal_wall_conduction_exact():
+    """wall_temperature: a temperature mode between isothermal x-walls
+    relaxes at exactly (nu/Pr) pi^2 (the Dirichlet conduction
+    eigenvalue); adiabatic walls conserve total energy instead."""
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+
+    A0 = 1e-2
+
+    def hot_ic(c):
+        T = (1.0 + A0 * np.sin(np.pi * c[:, 0])).astype(np.float32)
+        p = np.ones(len(c), np.float32)
+        rho = p / T
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z, p / (GAMMA - 1)])
+
+    f = Forest.uniform(6, dim=2, periodic=(False, True))
+    mesh = ForestMesh.from_forest(f)
+    s = CompressibleEulerSolver(
+        mesh, hot_ic, config=EulerConfig(mu=MU, wall="noslip",
+                                         wall_temperature=1.0))
+    x = mesh.centers[:, 0]
+    t_end = 0.4
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state()[:, : mesh.n_elements]
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / u[0]
+    T = (GAMMA - 1) * (u[4] - ke) / u[0]
+    amp = 2.0 * np.mean((T - 1.0) * np.sin(np.pi * x))
+    expected = A0 * np.exp(-(MU / 0.72) * np.pi ** 2 * t_end)
+    assert abs(amp / expected - 1.0) < 0.02, (amp, expected)
+
+    # adiabatic contrast: same IC, no wall_temperature -> total energy
+    # conserved to roundoff (no heat crosses the walls)
+    s2 = CompressibleEulerSolver(
+        ForestMesh.from_forest(f), hot_ic,
+        config=EulerConfig(mu=MU, wall="noslip"))
+    e0 = float((s2.conserved_state()[4]
+                * np.asarray(s2.volume)[: mesh.n_elements]).sum())
+    s2.iterate_many(n, t_end / n)
+    e1 = float((s2.conserved_state()[4]
+                * np.asarray(s2.volume)[: mesh.n_elements]).sum())
+    assert abs(e1 - e0) / abs(e0) < 1e-5
