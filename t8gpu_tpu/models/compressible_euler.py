@@ -60,7 +60,8 @@ class StepList(enum.IntEnum):
 
 def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
                   dim=2, gravity=(0.0, 0.0, 0.0), mu=0.0, prandtl=0.72,
-                  wall="slip", wall_velocity=None, wall_temperature=None):
+                  wall="slip", wall_velocity=None, wall_temperature=None,
+                  ghost=None):
     """The (state -> (divergence, max_speed)) closure for the RK stages:
     first order (the reference scheme) or MUSCL second order
     (ops/reconstruct.py, beyond-reference), plus the unsplit gravity
@@ -71,10 +72,10 @@ def _make_flux_fn(conn, inv_volume, *, gamma, flux, mode, order, limiter,
         from t8gpu_tpu.ops.reconstruct import flux_divergence_muscl
         fn = lambda v: flux_divergence_muscl(
             v, conn, inv_volume, gamma=gamma, flux=flux, mode=mode,
-            limiter=limiter, dim=dim)
+            limiter=limiter, dim=dim, ghost=ghost)
     else:
         fn = lambda v: flux_divergence(v, conn, gamma=gamma, flux=flux,
-                                       mode=mode)
+                                       mode=mode, ghost=ghost)
     if float(mu) > 0.0:
         from t8gpu_tpu.ops.viscous import with_viscosity
         fn = with_viscosity(fn, conn, inv_volume, gamma, mu, prandtl, dim,
@@ -96,14 +97,14 @@ def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
               *, gamma: float, flux: str, mode: str, order: int = 1,
               limiter: str = "bj", dim: int = 2, gravity=(0.0, 0.0, 0.0),
               mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip",
-              wall_velocity=None, wall_temperature=None):
+              wall_velocity=None, wall_temperature=None, ghost=None):
     """One fused SSP-RK3 step.  Returns (u_next, max_wave_speed)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
                             prandtl=prandtl, wall=wall,
                             wall_velocity=wall_velocity,
-                            wall_temperature=wall_temperature)
+                            wall_temperature=wall_temperature, ghost=ghost)
     return rk.ssp_rk3(u, flux_fn, dt, inv_volume)
 
 
@@ -118,7 +119,7 @@ def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                order: int = 1, limiter: str = "bj", dim: int = 2,
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
                prandtl: float = 0.72, wall: str = "slip",
-               wall_velocity=None, wall_temperature=None):
+               wall_velocity=None, wall_temperature=None, ghost=None):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
     static between adapts, so the batch compiles to one XLA while-loop)."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
@@ -126,7 +127,7 @@ def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
                             dim=dim, gravity=gravity, mu=mu,
                             prandtl=prandtl, wall=wall,
                             wall_velocity=wall_velocity,
-                            wall_temperature=wall_temperature)
+                            wall_temperature=wall_temperature, ghost=ghost)
 
     def body(_i, carry):
         v, _ = carry
@@ -241,6 +242,26 @@ class CompressibleEulerSolver:
             u = jnp.concatenate([u, guard], axis=1)
         self.u = u.astype(dtype)
         self._wall_vel = self._build_wall_velocity(mesh)
+        self._ghost = self._build_ghost()
+
+    def _build_ghost(self):
+        """Farfield ghost fields [C, 1] when EulerConfig.boundary ==
+        "farfield" (open boundaries; None = reflective walls)."""
+        b = getattr(self.config, "boundary", "reflective")
+        if b == "reflective":
+            return None
+        if b != "farfield":
+            raise ValueError(f"unknown boundary model: {b!r}")
+        if self.config.farfield is None:
+            raise ValueError("boundary='farfield' needs farfield="
+                             "(rho, vx, vy, vz, p)")
+        if self.config.wall == "noslip":
+            raise ValueError("farfield boundaries are open — no-slip "
+                             "walls do not apply")
+        from t8gpu_tpu.ops.fluxes import farfield_ghost_fields
+        return farfield_ghost_fields(self.config.farfield,
+                                     self.config.gamma, self.config.flux,
+                                     self.dtype)
 
     def _build_wall_velocity(self, mesh):
         """No-slip wall velocity as a device operand: None (resting
@@ -280,7 +301,8 @@ class CompressibleEulerSolver:
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
             prandtl=float(self.config.prandtl), wall=self.config.wall,
             wall_velocity=self._wall_vel,
-            wall_temperature=self.config.wall_temperature)
+            wall_temperature=self.config.wall_temperature,
+            ghost=self._ghost)
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -293,7 +315,8 @@ class CompressibleEulerSolver:
             gravity=tuple(self.config.gravity), mu=float(self.config.mu),
             prandtl=float(self.config.prandtl), wall=self.config.wall,
             wall_velocity=self._wall_vel,
-            wall_temperature=self.config.wall_temperature)
+            wall_temperature=self.config.wall_temperature,
+            ghost=self._ghost)
 
     # -- diagnostics ---------------------------------------------------------
 
@@ -333,7 +356,8 @@ class CompressibleEulerSolver:
                 mu=float(self.config.mu),
                 prandtl=float(self.config.prandtl), wall=self.config.wall,
                 wall_velocity=self._wall_vel,
-                wall_temperature=self.config.wall_temperature)
+                wall_temperature=self.config.wall_temperature,
+                ghost=self._ghost)
             _, speed = flux_fn(self.u)
             self._max_speed = speed
         # characteristic min cell size: meshes with anisotropic elements

@@ -111,26 +111,42 @@ def boundary_face_fluxes(u: jnp.ndarray, conn: FaceConnectivity,
 
 def boundary_face_fluxes_fields(q: jnp.ndarray, conn: FaceConnectivity,
                                 gamma: float = 1.4, flux: str = "kepes",
-                                derive: bool = False):
+                                derive: bool = False,
+                                ghost: jnp.ndarray = None):
     """boundary_face_fluxes from a precomputed cell-fields array."""
     if conn.boundary_capacity == 0:
         return jnp.zeros((5, 0), q.dtype), jnp.zeros((0,), q.dtype)
     q_in = _fields_of(gather_cols(q, conn.b_elem), gamma, flux, derive)
-    return boundary_fluxes_from_side(q_in, conn, gamma, flux)
+    return boundary_fluxes_from_side(q_in, conn, gamma, flux, ghost)
 
 
 def boundary_fluxes_from_side(q_in: jnp.ndarray, conn: FaceConnectivity,
-                              gamma: float = 1.4, flux: str = "kepes"):
-    """Reflective-wall fluxes from the owner-side FIELD rows [C, Fbcap]
-    (mirror ghost built in the face frame) — shared back half of
-    boundary_face_fluxes_fields; also the reconstruction entry point."""
+                              gamma: float = 1.4, flux: str = "kepes",
+                              ghost: jnp.ndarray = None):
+    """Boundary fluxes from the owner-side FIELD rows [C, Fbcap] — shared
+    back half of boundary_face_fluxes_fields; also the reconstruction
+    entry point.
+
+    ghost = None: reflective walls (mirror ghost built in the face
+    frame, ref kernels.cu:311-469).  ghost = [C, 1] or [C, Fbcap] FIELD
+    rows (UNROTATED frame): farfield/open boundaries — the ghost is the
+    prescribed exterior state and the upwind numerical flux sorts
+    inflow from outflow by itself (supersonic outflow takes the
+    interior state, subsonic lets the exterior pressure act; use an
+    upwind family — hll/hllc — rather than the central KEPES)."""
     if conn.boundary_capacity == 0:
         return jnp.zeros((5, 0), q_in.dtype), jnp.zeros((0,), q_in.dtype)
+    if ghost is not None and ghost.shape[-1] == 1:
+        ghost = jnp.broadcast_to(
+            ghost, ghost.shape[:-1] + (conn.boundary_capacity,))
     if conn.b_axis_ranges is not None:
         fs, sps = [], []
         for a, sgn, s0, s1 in conn.b_axis_ranges:
             q_own = euler.fields_axis_rotate(q_in[:, s0:s1], a)
-            q_ghost = euler.fields_mirror(q_own)
+            if ghost is None:
+                q_ghost = euler.fields_mirror(q_own)
+            else:
+                q_ghost = euler.fields_axis_rotate(ghost[:, s0:s1], a)
             # Outward normal sgn*e_a: F(own, ghost, sgn*e_a) computed in the
             # +a frame via F(l, r, n) = -F(r, l, -n).
             pair = (q_own, q_ghost) if sgn > 0 else (q_ghost, q_own)
@@ -143,8 +159,10 @@ def boundary_fluxes_from_side(q_in: jnp.ndarray, conn: FaceConnectivity,
     else:
         basis = euler.face_basis(conn.b_normal)
         q_rot = euler.fields_rotate(q_in, *basis)
-        f_rot, speed = euler.fields_flux(
-            q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
+        q_ghost = (euler.fields_mirror(q_rot) if ghost is None
+                   else euler.fields_rotate(ghost, *basis))
+        f_rot, speed = euler.fields_flux(q_rot, q_ghost, gamma=gamma,
+                                         flux=flux)
         f = euler.inverse_rotate_state(f_rot, *basis) * conn.b_area
     return f, speed * (conn.b_area > 0)
 
@@ -201,9 +219,22 @@ def accumulate(face_flux: jnp.ndarray, boundary_flux: jnp.ndarray,
 GATHER_MODE = "fields"
 
 
+def farfield_ghost_fields(state, gamma: float, flux: str, dtype):
+    """Cell-field rows [C, 1] of a prescribed exterior (farfield)
+    primitive state (rho, vx, vy, vz, p) — the `ghost` operand of the
+    boundary flux for open boundaries."""
+    import numpy as np
+
+    rho, vx, vy, vz, p = (float(x) for x in state)
+    e = p / (gamma - 1.0) + 0.5 * rho * (vx * vx + vy * vy + vz * vz)
+    u = jnp.asarray(np.array([rho, rho * vx, rho * vy, rho * vz, e],
+                             np.float64)[:, None], dtype)
+    return euler.cell_fields(u, gamma, flux)
+
+
 def flux_divergence(u: jnp.ndarray, conn: FaceConnectivity,
                     gamma: float = 1.4, flux: str = "kepes",
-                    mode: str = "gather"):
+                    mode: str = "gather", ghost: jnp.ndarray = None):
     """Total surface-flux accumulation per element, plus the max wave speed
     (the CFL ingredient, ref solver.cu:213-229).
 
@@ -213,7 +244,8 @@ def flux_divergence(u: jnp.ndarray, conn: FaceConnectivity,
     q = (u if derive
          else euler.maybe_barrier(euler.cell_fields(u, gamma, flux)))
     f, speed = interior_face_fluxes_fields(q, conn, gamma, flux, derive)
-    fb, speed_b = boundary_face_fluxes_fields(q, conn, gamma, flux, derive)
+    fb, speed_b = boundary_face_fluxes_fields(q, conn, gamma, flux, derive,
+                                              ghost)
     acc = accumulate(f, fb, conn, mode)
     max_speed = jnp.maximum(
         speed.max() if speed.size else 0.0,

@@ -216,7 +216,8 @@ def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
 def flux_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity,
                           inv_volume: jnp.ndarray, gamma: float = 1.4,
                           flux: str = "kepes", mode: str = "gather",
-                          limiter: str = "bj", dim: int = 2):
+                          limiter: str = "bj", dim: int = 2,
+                          ghost: jnp.ndarray = None):
     """Second-order counterpart of ops/fluxes.flux_divergence: limited
     MUSCL interface states feeding the same KEPES/HLL numerical flux and
     the same deterministic accumulate.  Returns (accum [5, capacity],
@@ -228,7 +229,8 @@ def flux_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity,
     f, speed = face_fluxes_from_sides(q_l, q_r, conn, gamma, flux)
     if conn.boundary_capacity:
         q_b = euler.cell_fields(u_bf, gamma, flux)
-        fb, speed_b = boundary_fluxes_from_side(q_b, conn, gamma, flux)
+        fb, speed_b = boundary_fluxes_from_side(q_b, conn, gamma, flux,
+                                                ghost)
     else:
         fb = jnp.zeros((5, 0), u.dtype)
         speed_b = jnp.zeros((0,), u.dtype)

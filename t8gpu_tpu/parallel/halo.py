@@ -81,7 +81,7 @@ def sharded_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
 
 
 def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
-                            gamma: float, flux: str):
+                            gamma: float, flux: str, ghost=None):
     """Per-shard surface-flux accumulation [5, CL] + GLOBAL max wave speed.
 
     conn arrays arrive as this shard's slices (leading axis stripped by
@@ -98,7 +98,7 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
                                      conn, gamma, flux)
     if conn.boundary_capacity:
         q_in = gather_cols(q[:, : u_local.shape[1]], conn.b_elem)
-        fb, speed_b = _fields_boundary_flux(q_in, conn, gamma, flux)
+        fb, speed_b = _fields_boundary_flux(q_in, conn, gamma, flux, ghost)
     else:
         fb = jnp.zeros((5, 0), u_local.dtype)
         speed_b = jnp.zeros((0,), u_local.dtype)
@@ -137,13 +137,21 @@ def _fields_interior_flux(q_l, q_r, conn: ShardedConnectivity,
 
 
 def _fields_boundary_flux(q_in, conn: ShardedConnectivity,
-                          gamma: float, flux: str):
-    """Reflective-wall fluxes from the owner-side FIELD rows [C, Bcap]."""
+                          gamma: float, flux: str, ghost=None):
+    """Boundary fluxes from the owner-side FIELD rows [C, Bcap]:
+    reflective mirror ghosts (default), or the prescribed farfield
+    ghost fields [C, 1] (open boundaries, ops/fluxes docs)."""
+    if ghost is not None:
+        ghost = jnp.broadcast_to(ghost,
+                                 ghost.shape[:-1] + (q_in.shape[-1],))
     if conn.b_axis_ranges is not None:
         fs, sps = [], []
         for a, sgn, s0, s1 in conn.b_axis_ranges:
             q_own = euler.fields_axis_rotate(q_in[:, s0:s1], a)
-            q_ghost = euler.fields_mirror(q_own)
+            if ghost is None:
+                q_ghost = euler.fields_mirror(q_own)
+            else:
+                q_ghost = euler.fields_axis_rotate(ghost[:, s0:s1], a)
             pair = (q_own, q_ghost) if sgn > 0 else (q_ghost, q_own)
             fb_rot, sp = euler.fields_flux(*pair, gamma=gamma, flux=flux)
             f_a = euler.flux_axis_unrotate(fb_rot, a)
@@ -154,8 +162,10 @@ def _fields_boundary_flux(q_in, conn: ShardedConnectivity,
     else:
         basis_b = euler.face_basis(conn.b_normal)
         q_rot = euler.fields_rotate(q_in, *basis_b)
-        fb_rot, speed_b = euler.fields_flux(
-            q_rot, euler.fields_mirror(q_rot), gamma=gamma, flux=flux)
+        q_ghost = (euler.fields_mirror(q_rot) if ghost is None
+                   else euler.fields_rotate(ghost, *basis_b))
+        fb_rot, speed_b = euler.fields_flux(q_rot, q_ghost, gamma=gamma,
+                                            flux=flux)
         fb = euler.inverse_rotate_state(fb_rot, *basis_b) * conn.b_area
         speed_b = speed_b * (conn.b_area > 0)
     return fb, speed_b
@@ -247,7 +257,8 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
                                   conn: ShardedConnectivity,
                                   inv_volume: jnp.ndarray,
                                   gamma: float, flux: str,
-                                  limiter: str = "bj", dim: int = 2):
+                                  limiter: str = "bj", dim: int = 2,
+                                  ghost=None):
     """Second-order (MUSCL) per-shard divergence — the multi-chip
     counterpart of ops/reconstruct.flux_divergence_muscl.
 
@@ -327,7 +338,7 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
         u_bf = _positivity_guard(
             u_b + gather_cols(alpha, conn.b_elem) * du_b, u_b, gamma)
         fb, speed_b = _fields_boundary_flux(
-            euler.cell_fields(u_bf, gamma, flux), conn, gamma, flux)
+            euler.cell_fields(u_bf, gamma, flux), conn, gamma, flux, ghost)
     else:
         fb = jnp.zeros((5, 0), u_local.dtype)
         speed_b = jnp.zeros((0,), u_local.dtype)

@@ -79,6 +79,22 @@ class ShardedEulerSolver:
         self._speed = self._build_speed()
         self._install(forest, ic=ic)
 
+    def _ghost_fields(self):
+        """Farfield ghost fields [C, 1] when configured (see
+        CompressibleEulerSolver._build_ghost); None = reflective."""
+        b = getattr(self.config, "boundary", "reflective")
+        if b == "reflective" or self.N_ROWS != 5:
+            return None
+        if b != "farfield":
+            raise ValueError(f"unknown boundary model: {b!r}")
+        if self.config.farfield is None:
+            raise ValueError("boundary='farfield' needs farfield="
+                             "(rho, vx, vy, vz, p)")
+        from t8gpu_tpu.ops.fluxes import farfield_ghost_fields
+        return farfield_ghost_fields(self.config.farfield,
+                                     self.config.gamma, self.config.flux,
+                                     jnp.float32)
+
     def _uniform_wall_velocity(self):
         wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
         if callable(wv):
@@ -91,7 +107,8 @@ class ShardedEulerSolver:
         """Per-shard (divergence, global max speed) — the ONLY physics
         hook; everything else in this class is model-agnostic."""
         return halo.sharded_flux_divergence(u, conn, self.config.gamma,
-                                            self.config.flux)
+                                            self.config.flux,
+                                            ghost=self._ghost_fields())
 
     def _flux_divergence_vol(self, u, conn, inv_vol):
         """Volume-aware variant used by the step: second-order MUSCL needs
@@ -101,7 +118,8 @@ class ShardedEulerSolver:
         if getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5:
             fn = lambda v: halo.sharded_flux_divergence_muscl(
                 v, conn, inv_vol, self.config.gamma, self.config.flux,
-                getattr(self.config, "limiter", "bj"), self.forest.dim)
+                getattr(self.config, "limiter", "bj"), self.forest.dim,
+                ghost=self._ghost_fields())
         else:
             fn = lambda v: self._flux_divergence(v, conn)
         mu = float(getattr(self.config, "mu", 0.0))

@@ -71,6 +71,14 @@ class EulerConfig:
     # a float = isothermal wall at that temperature (T = p/rho units) —
     # the wall exchanges heat at kappa (T_wall - T)/dn.
     wall_temperature: float = None
+    # Boundary model on non-periodic faces: "reflective" (the reference's
+    # walls, kernels.cu:311-469) or "farfield" — open boundaries whose
+    # ghost is the prescribed exterior primitive state `farfield` =
+    # (rho, vx, vy, vz, p); the upwind flux sorts inflow from outflow
+    # (use flux="hll"/"hllc"; plain-element path).  Waves exit without
+    # reflecting; mass/momentum/energy exchange with the exterior.
+    boundary: str = "reflective"
+    farfield: tuple = None
 
 
 @dataclasses.dataclass(frozen=True)
