@@ -164,6 +164,45 @@ def bench_order2():
     }))
 
 
+def bench_ns():
+    """Viscous Navier-Stokes throughput on the flagship config (2.1M
+    cells, Subgrid<8,8,8>, mu=1e-4): the in-VMEM viscous divergence rides
+    the RK-fused stage kernels (ops/pallas_kernels._tile_viscous_divergence)
+    — beyond-reference physics (the reference subgrid kernels are
+    inviscid, examples/subgrid/kernels.inl:335-911)."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.utils.config import EulerConfig
+
+    level, dim = 3, 3
+    mesh = SubgridMesh.from_forest(Forest.uniform(level + 1, dim=dim),
+                                   SubgridSpec((8,) * dim))
+    solver = SubgridCompressibleEulerSolver(
+        mesh, lambda c: kh_planar(c, dim=dim), config=EulerConfig(mu=1e-4))
+    n_cells = solver.n_elements * solver.spec.size
+    dt = solver.compute_timestep()
+
+    def run_and_fetch(n):
+        solver.iterate_many(n, dt)
+        float(solver.u[0].ravel()[0])
+
+    run_and_fetch(10)
+    run_and_fetch(210)
+    per_step = _slope_per_step(run_and_fetch)
+    assert np.isfinite(solver.conserved_state()).all()
+    value = n_cells / per_step
+    print(json.dumps({
+        "metric": "viscous NS DOF-updates/sec/chip (3D KH, 2.1M cells, "
+                  "mu=1e-4, fused viscous kernels)",
+        "value": value,
+        "unit": "cell-updates/s",
+        "vs_baseline": value / NOMINAL_A100_DOF_RATE,
+    }))
+
+
 def bench_amr():
     """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
     with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
@@ -282,8 +321,8 @@ def _arm_stall_guard(seconds: float = 900.0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
-                   choices=("flagship", "plain", "order2", "amr", "sphere",
-                            "all"))
+                   choices=("flagship", "plain", "order2", "ns", "amr",
+                            "sphere", "all"))
     args = p.parse_args()
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
@@ -296,6 +335,8 @@ def main():
         bench_plain()
     if args.config in ("order2", "all"):
         bench_order2()
+    if args.config in ("ns", "all"):
+        bench_ns()
     if args.config in ("amr", "all"):
         bench_amr()
     if args.config in ("sphere", "all"):

@@ -57,6 +57,19 @@ def _use_fused_rk(conn, spec) -> bool:
     return sg.can_fuse_rk(conn, spec) and kernel_mode() != "off"
 
 
+def _viscous_fused(conn, spec, order, gravity, mu) -> bool:
+    """mu > 0 rides the RK-fused Pallas kernels (the in-VMEM viscous
+    divergence, ops/pallas_kernels._tile_viscous_divergence) when the
+    configuration is first-order, gravity-free and the mesh is
+    equal-level (no hanging sides — the solver enforces that scope for
+    mu > 0 anyway; checked again here so the XLA fallback stays the safe
+    default)."""
+    from t8gpu_tpu.ops.source import has_gravity
+
+    return (float(mu) > 0.0 and order == 1 and not has_gravity(gravity)
+            and _use_fused_rk(conn, spec) and not any(conn.has_fine))
+
+
 def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
                   gravity, inv_cell_volume, mu=0.0, prandtl=0.72):
     """The non-RK-fused (divergence, speed) closure: order 1/2, plus the
@@ -104,6 +117,10 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
               prandtl: float = 0.72):
     from t8gpu_tpu.ops.source import has_gravity
+    if _viscous_fused(conn, spec, order, gravity, mu):
+        return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
+                                dt, inv_cell_volume, mu=float(mu),
+                                prandtl=float(prandtl))
     if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
@@ -134,7 +151,13 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
     from t8gpu_tpu.ops.source import has_gravity
-    if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
+    if _viscous_fused(conn, spec, order, gravity, mu):
+        def body(_i, carry):
+            v, _ = carry
+            return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
+                                    dt, inv_cell_volume, mu=float(mu),
+                                    prandtl=float(prandtl))
+    elif order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
                                 prandtl)
@@ -326,20 +349,30 @@ class SubgridCompressibleEulerSolver:
     def compute_timestep_device(self):
         """CFL timestep as a DEVICE scalar — feed it straight to
         iterate/iterate_many to avoid a host round trip per adapt cycle
-        (device->host fetches are latency-bound; BENCHMARKS.md)."""
-        if self._max_speed is None:
-            # the SAME divergence the step runs (order-2 reconstruction
-            # can raise interface wave speeds above any cell state's;
-            # viscosity folds the diffusive dt limit into the speed)
-            flux_fn = _base_flux_fn(
-                self.conn, self.volumes, self.spec, self.config.gamma,
-                self.config.flux, self.config.order, self._sg_limiter(),
-                tuple(self.config.gravity), self.inv_cell_volume,
-                float(self.config.mu), float(self.config.prandtl))
-            _, speed = flux_fn(self.u)
-            self._max_speed = speed
+        (device->host fetches are latency-bound; BENCHMARKS.md).
+
+        The bound uses the AXIS-SUMMED cell speed (ops/euler
+        .cfl_sum_speed — the per-face max speed the reference uses is
+        noise-unstable at cfl 0.7 in 3D, see its docstring) plus the
+        SUMMED diffusive rate when mu > 0."""
+        from t8gpu_tpu.ops.euler import cfl_sum_speed
+
+        gamma = self.config.gamma
+        dim = self.spec.dim
+        live = self.volumes > 0
+        speed = cfl_sum_speed(self.u, gamma, dim, live=live)
         h_min = 0.5 ** self.mesh.max_level / self.spec.extent
-        return jnp.float32(self.config.cfl * h_min) / self._max_speed
+        mu = float(self.config.mu)
+        if mu > 0.0:
+            # diffusive dt limit as a speed, summed (same formula as
+            # _base_flux_fn; max() is NOT stable for the coupled system)
+            rho_min = jnp.where(live, self.u[0].min(
+                axis=tuple(range(self.u.ndim - 2))), jnp.inf).min()
+            h_cell = (jnp.where(live, self.volumes, jnp.inf).min()
+                      ** (1.0 / dim)) / self.spec.extent
+            nu = (mu / rho_min) * max(1.0, gamma / float(self.config.prandtl))
+            speed = speed + 2.0 * dim * nu / h_cell
+        return jnp.float32(self.config.cfl * h_min) / speed
 
     @property
     def n_elements(self) -> int:

@@ -54,6 +54,33 @@ def primitives(u: jnp.ndarray, gamma: float):
     return vel, p
 
 
+def cfl_sum_speed(u: jnp.ndarray, gamma: float, dim: int,
+                  live: jnp.ndarray = None):
+    """Axis-summed CFL wave speed: max over live cells of
+    sum_a |v_a| + dim * c — the stability speed for a flux divergence
+    that SUMS per-axis (or per-face) updates.
+
+    The reference bounds dt with the max per-face speed |u_n| + c
+    (solver.cu:213-229), i.e. dt = cfl h / max_f s_f.  That bound is
+    von-Neumann UNSTABLE for the dim-summed update at cfl 0.7 in 3D:
+    a 1e-6 noise-seeded 3D KH at the max-speed dt blows up in ~20 RK3
+    steps on BOTH the XLA and kernel paths, at every mu in [0, 1e-3]
+    (the canonical planar-KH states survive only because they are exactly
+    y-invariant, so the unstable 3-axis modes are never excited —
+    BENCHMARKS.md round-3e).  The summed speed restores the standard
+    multi-D bound dt * sum_a(|v_a| + c) / h <= cfl; the measured
+    stability boundary for the KEPES/RK3 scheme sits at summed-CFL
+    ~0.95-1.15, so the default cfl = 0.7 keeps ~1.4x margin.
+
+    `live` masks padded element slots (broadcast against u[0]'s shape)."""
+    vel, p = primitives(u, gamma)
+    c = jnp.sqrt(gamma * jnp.maximum(p, 0.0) / u[0])
+    s = sum(jnp.abs(vel[a]) for a in range(dim)) + dim * c
+    if live is not None:
+        s = jnp.where(live, s, 0.0)
+    return s.max()
+
+
 class KepesHats(NamedTuple):
     """Interface-averaged quantities produced alongside the KEPES flux."""
 

@@ -468,6 +468,192 @@ def fused_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
 
 
 # ---------------------------------------------------------------------------
+# Fused viscous (Navier-Stokes) divergence: the in-VMEM evaluation of
+# ops/subgrid_viscous.viscous_divergence, added to the RK-fused stage
+# kernel when mu > 0 so viscous runs never fall back to the XLA stencil
+# (measured: the XLA viscous pass put the 3D flagship at 22.6 ms/step vs
+# 5.2-5.4 inviscid).  Same scope as the XLA pass: equal-level meshes
+# (the solver rejects mu > 0 with AMR); walls contribute zero viscous
+# flux (free-slip adiabatic) through the eq weights.
+# ---------------------------------------------------------------------------
+
+
+def _tile_viscous_divergence(q, others_q, wv_ref, surface, dim: int,
+                             ext: int, gamma: float, flux: str,
+                             mu: float, prandtl: float):
+    """Viscous flux-divergence rows for one element tile — the VMEM
+    transcription of ops/subgrid_viscous.viscous_divergence (see there
+    for the scheme: compact two-point normal derivatives; tangential
+    velocity derivatives from mask-aware centrals at interior interfaces
+    and from the symmetric within-layer differences of the two facing
+    layers at mesh faces, so both sides of every mesh face assemble the
+    IDENTICAL flux).
+
+    q: cell-fields tuple [*(ext,)*dim, TE] rows (kepes or hll/hllc
+    layout — velocities are rows 1..3 and T = p/rho derives from rows
+    4/5); others_q: per side k the neighbor facing layer's field rows
+    [*(ext,)*(dim-1), TE]; wv_ref: [8, TE] with row 0 the guarded cell
+    size h and rows 1..2*dim the per-side equal-level weights
+    mask*(rel==0) (0 at walls: zero viscous wall flux); surface: [TE]
+    interior face area (vol>0-masked).  Returns a list of 5 rows to ADD
+    to the inviscid divergence."""
+    dtype = q[0].dtype
+    TE = q[0].shape[-1]
+    blk = (ext,) * dim + (TE,)
+    kappa = mu * gamma / ((gamma - 1.0) * prandtl)
+    h = wv_ref[0]                                   # [TE], >0 everywhere
+    inv_h = 1.0 / h
+    eq = [wv_ref[1 + k] for k in range(2 * dim)]
+
+    def phi_rows(f):
+        # primitive (v1, v2, v3, T) rows from a cell-fields tuple;
+        # T = p/rho = 1/(rho/p) (kepes row 5) or p/rho directly (hll)
+        T = 1.0 / f[5] if flux == "kepes" else f[4] / f[0]
+        return (f[1], f[2], f[3], T)
+
+    phi = phi_rows(q)
+    lay = [phi_rows(o) for o in others_q]
+
+    def iota(a):
+        return jax.lax.broadcasted_iota(jnp.int32, blk, a)
+
+    def shift_next(r, hrow, a):
+        if a == dim - 1:                     # sublane axis: roll trick
+            rolled = jnp.roll(r, -1, axis=a)
+            return jnp.where(iota(a) == ext - 1,
+                             jnp.expand_dims(hrow, a), rolled)
+        return jnp.concatenate(
+            [jax.lax.slice_in_dim(r, 1, ext, axis=a),
+             jnp.expand_dims(hrow, a)], axis=a)
+
+    def shift_prev(r, lrow, a):
+        if a == dim - 1:
+            rolled = jnp.roll(r, 1, axis=a)
+            return jnp.where(iota(a) == 0, jnp.expand_dims(lrow, a), rolled)
+        return jnp.concatenate(
+            [jnp.expand_dims(lrow, a),
+             jax.lax.slice_in_dim(r, 0, ext - 1, axis=a)], axis=a)
+
+    def lay_dt(row, d):
+        # within-layer tangential derivative of a facing layer
+        # [*(ext,)*(dim-1), TE] along layer dim d: central inside,
+        # one-sided at the layer borders (ops/subgrid_viscous._layer_dt)
+        n = row.shape[d]
+        li = jax.lax.broadcasted_iota(jnp.int32, row.shape, d)
+        if d == row.ndim - 2:                # the layer's sublane axis
+            d_hi = jnp.roll(row, -1, axis=d) - row
+            d_lo = row - jnp.roll(row, 1, axis=d)
+        else:
+            dif = (jax.lax.slice_in_dim(row, 1, n, axis=d)
+                   - jax.lax.slice_in_dim(row, 0, n - 1, axis=d))
+            zpad = jnp.zeros_like(jax.lax.slice_in_dim(row, 0, 1, axis=d))
+            d_hi = jnp.concatenate([dif, zpad], axis=d)
+            d_lo = jnp.concatenate([zpad, dif], axis=d)
+        w_hi = (li < n - 1).astype(dtype)
+        w_lo = (li > 0).astype(dtype)
+        return (d_hi * w_hi + d_lo * w_lo) / (w_hi + w_lo) * inv_h
+
+    def cell_dt(r, hi_row, lo_row, w_hi, w_lo, t):
+        # mask-aware central derivative along block axis t: outward edge
+        # differences use the equal-level facing layers, eq-masked
+        # (one-sided at walls/non-equal sides) — subgrid_viscous._cell_dt
+        d_hi = shift_next(r, hi_row, t) - r
+        d_lo = r - shift_prev(r, lo_row, t)
+        it = iota(t)
+        one = jnp.ones((), dtype)
+        m_hi = jnp.where(it == ext - 1, w_hi, one)
+        m_lo = jnp.where(it == 0, w_lo, one)
+        return (d_hi * m_hi + d_lo * m_lo) / (m_hi + m_lo) * inv_h
+
+    # per-cell tangential derivatives of the velocity rows, per axis
+    cell_d = [[cell_dt(phi[j], lay[2 * t][j], lay[2 * t + 1][j],
+                       eq[2 * t], eq[2 * t + 1], t)
+               for j in range(dim)] for t in range(dim)]
+
+    zero_lay = jnp.zeros((ext,) * (dim - 1) + (TE,), dtype)
+    D = [jnp.zeros(blk, dtype) for _ in range(5)]
+    for a in range(dim):
+        t_axes = [t for t in range(dim) if t != a]
+        hi_lay, lo_lay = lay[2 * a], lay[2 * a + 1]
+        w_hi_f = eq[2 * a] * surface                 # [TE] face weights
+        w_lo_f = eq[2 * a + 1] * surface
+        at_end = iota(a) == ext - 1
+
+        my_hi = [jax.lax.index_in_dim(phi[j], ext - 1, axis=a,
+                                      keepdims=False) for j in range(4)]
+        my_lo = [jax.lax.index_in_dim(phi[j], 0, axis=a,
+                                      keepdims=False) for j in range(4)]
+
+        # ---- interfaces i+1/2 (i = ext-1 is the hi mesh face) --------
+        nxt = [shift_next(phi[j], hi_lay[j], a) for j in range(4)]
+        dn = [(nxt[j] - phi[j]) * inv_h for j in range(4)]
+        v_f = [0.5 * (phi[j] + nxt[j]) for j in range(dim)]
+
+        # face tangential velocity derivatives: only rows {t, a} enter
+        # (t for the divergence, a for the shear)
+        face_dt = {}
+        for t in t_axes:
+            d_lay = t_axes.index(t)          # layer dim of tangent axis t
+            rows = {}
+            for j in {t, a}:
+                interior = 0.5 * (cell_d[t][j]
+                                  + shift_next(cell_d[t][j], zero_lay, a))
+                mesh = 0.5 * (jnp.expand_dims(lay_dt(my_hi[j], d_lay), a)
+                              + jnp.expand_dims(lay_dt(hi_lay[j], d_lay),
+                                                a))
+                rows[j] = jnp.where(at_end, mesh, interior)
+            face_dt[t] = rows
+
+        div_f = dn[a] + sum(face_dt[t][t] for t in t_axes)
+        tau = {a: mu * (2.0 * dn[a] - (2.0 / 3.0) * div_f)}
+        for t in t_axes:
+            tau[t] = mu * (dn[t] + face_dt[t][a])
+        work = sum(v_f[j] * tau[j] for j in range(dim))
+        heat = kappa * dn[3]
+        wgt = jnp.where(at_end, w_hi_f, surface)
+        f = [jnp.zeros(blk, dtype)]
+        for j in range(3):
+            f.append(tau[j] * wgt if j < dim else jnp.zeros(blk, dtype))
+        f.append((work + heat) * wgt)
+
+        # ---- lo mesh face (layer-shaped) -----------------------------
+        dn_lo = [(my_lo[j] - lo_lay[j]) * inv_h for j in range(4)]
+        v_lo = [0.5 * (lo_lay[j] + my_lo[j]) for j in range(dim)]
+        fdt_lo = {}
+        for t in t_axes:
+            d_lay = t_axes.index(t)
+            fdt_lo[t] = {j: 0.5 * (lay_dt(my_lo[j], d_lay)
+                                   + lay_dt(lo_lay[j], d_lay))
+                         for j in {t, a}}
+        div_lo = dn_lo[a] + sum(fdt_lo[t][t] for t in t_axes)
+        tau_lo = {a: mu * (2.0 * dn_lo[a] - (2.0 / 3.0) * div_lo)}
+        for t in t_axes:
+            tau_lo[t] = mu * (dn_lo[t] + fdt_lo[t][a])
+        work_lo = sum(v_lo[j] * tau_lo[j] for j in range(dim))
+        heat_lo = kappa * dn_lo[3]
+        f_lo = [jnp.zeros_like(div_lo)]
+        for j in range(3):
+            f_lo.append(tau_lo[j] * w_lo_f if j < dim
+                        else jnp.zeros_like(div_lo))
+        f_lo.append((work_lo + heat_lo) * w_lo_f)
+
+        # D_visc[i] += f[i] - f[i-1]; f[-1] is the lo mesh-face flux
+        # (opposite sign pattern of the advective stencil — callers ADD)
+        for i in range(5):
+            if a == dim - 1:
+                prev = jnp.roll(f[i], 1, axis=a)
+                prev = jnp.where(iota(a) == 0,
+                                 jnp.expand_dims(f_lo[i], a), prev)
+            else:
+                prev = jnp.concatenate(
+                    [jnp.expand_dims(f_lo[i], a),
+                     jax.lax.slice_in_dim(f[i], 0, ext - 1, axis=a)],
+                    axis=a)
+            D[i] = D[i] + f[i] - prev
+    return D
+
+
+# ---------------------------------------------------------------------------
 # RK-fused variant: one kernel per RK stage computes the per-cell fields
 # IN VMEM from the 5-row state, evaluates the full flux divergence, and
 # applies the SSP-RK stage update — u_next is the only tensor written.
@@ -480,7 +666,8 @@ def fused_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
 
 def _fused_rk_kernel(u_ref, *refs,
                      gamma: float, flux: str, coeffs, dim: int, ext: int,
-                     extra_sides=(), share_prev: bool = False):
+                     extra_sides=(), share_prev: bool = False,
+                     mu: float = 0.0, prandtl: float = 0.72):
     """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*(D(u_stage) + extras).
     u/up [5, *(ext,)*dim, TE] states — or [7, ...] with rows 5-6 carrying
     XLA-precomputed [log rho, log p] (RK_STAGE_INPUTS="logs": the kernel
@@ -503,6 +690,8 @@ def _fused_rk_kernel(u_ref, *refs,
     else:
         up_ref, refs = refs[0], refs[1:]
     w_ref, refs = refs[0], refs[1:]
+    if mu > 0.0:
+        wv_ref, refs = refs[0], refs[1:]
     others = refs[: 2 * dim]
     extras = refs[2 * dim: 2 * dim + len(extra_sides)]
     out_ref, sp_ref = refs[2 * dim + len(extra_sides):]
@@ -521,6 +710,10 @@ def _fused_rk_kernel(u_ref, *refs,
         for o in others)
     D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, ext,
                                      gamma, flux)
+    if mu > 0.0:
+        Dv = _tile_viscous_divergence(q, others_q, wv_ref, w_ref[0],
+                                      dim, ext, gamma, flux, mu, prandtl)
+        D = D + jnp.stack(Dv)
 
     for k, x_ref in zip(extra_sides, extras):
         a = k // 2
@@ -537,25 +730,30 @@ def _fused_rk_kernel(u_ref, *refs,
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "coeffs", "tile",
-                                    "interpret", "extra_sides"))
+                                    "interpret", "extra_sides", "mu",
+                                    "prandtl"))
 def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
                           weights: jnp.ndarray, others,
                           gamma: float, flux: str, coeffs,
                           tile: int = 128, interpret: bool = False,
-                          extra_sides=(), extras=()):
+                          extra_sides=(), extras=(), viscous_weights=None,
+                          mu: float = 0.0, prandtl: float = 0.72):
     """One SSP-RK stage fully in-kernel (see _fused_rk_kernel).
     u_stage/u_prev: [5, *(ext,)*dim, E] (dim 2 or 3, ext 8 or 4);
     u_prev may be None when it equals u_stage (stage 1) — the kernel then
     reads ONE state operand instead of two; weights: [8, E]; others:
     2*dim arrays [5, *(ext,)*(dim-1), E]; extras: per extra_sides[j] an
     additive side-layer divergence [5, *(ext,)*(dim-1), E] (hanging-fine
-    contributions, XLA-computed).  Returns (u_next like u_stage,
-    speed [E])."""
+    contributions, XLA-computed); viscous_weights: [8, E]
+    (ops/subgrid.viscous_weight_rows) when mu > 0 — the stage then also
+    adds the in-VMEM Navier-Stokes divergence (_tile_viscous_divergence).
+    Returns (u_next like u_stage, speed [E])."""
     dim = u_stage.ndim - 2
     ext = u_stage.shape[1]
     E = u_stage.shape[-1]
     C_in = u_stage.shape[0]                  # 5, or 7 with log rows
     share_prev = u_prev is None
+    viscous = mu > 0.0
     E_pad = -(-E // tile) * tile
     if E_pad != E:
         pad = [(0, 0)] * u_stage.ndim
@@ -566,6 +764,11 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
         others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
         extras = tuple(jnp.pad(x, pad[1:]) for x in extras)  # zero-padded
         weights = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
+        if viscous:
+            # edge mode keeps row 0 (the guarded cell size h) positive on
+            # padded slots; their D is finite garbage and sliced off
+            viscous_weights = jnp.pad(viscous_weights,
+                                      [(0, 0), (0, E_pad - E)], mode="edge")
     grid = (E_pad // tile,)
 
     def idx_blk(i):
@@ -582,14 +785,16 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
     lay5 = pl.BlockSpec((5,) + (ext,) * (dim - 1) + (tile,), idx_lay)
     lay_in = pl.BlockSpec((C_in,) + (ext,) * (dim - 1) + (tile,), idx_lay)
     prev_ops = () if share_prev else (u_prev,)
+    visc_ops = (viscous_weights,) if viscous else ()
     u_next, sp = pl.pallas_call(
         functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
                           coeffs=coeffs, dim=dim, ext=ext,
-                          extra_sides=extra_sides, share_prev=share_prev),
+                          extra_sides=extra_sides, share_prev=share_prev,
+                          mu=mu, prandtl=prandtl),
         grid=grid,
         in_specs=[pl.BlockSpec(blk_in, idx_blk)]
                  + [pl.BlockSpec(blk5, idx_blk)] * len(prev_ops)
-                 + [pl.BlockSpec((8, tile), idx2)]
+                 + [pl.BlockSpec((8, tile), idx2)] * (1 + len(visc_ops))
                  + [lay_in] * (2 * dim)
                  + [lay5] * len(extra_sides),
         out_specs=[pl.BlockSpec(blk5, idx_blk),
@@ -600,7 +805,7 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u_stage, *prev_ops, weights, *others, *extras)
+    )(u_stage, *prev_ops, weights, *visc_ops, *others, *extras)
     return u_next[..., :E], sp[0, :E]
 
 

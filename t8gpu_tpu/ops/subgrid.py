@@ -475,6 +475,27 @@ def rk_weights(conn, spec: SubgridSpec,
     return jnp.stack(rows)
 
 
+def viscous_weight_rows(conn, spec: SubgridSpec,
+                        volumes: jnp.ndarray) -> jnp.ndarray:
+    """Packed per-element viscous side table [8, E] for the fused RK
+    stage kernel (ops/pallas_kernels._tile_viscous_divergence): row 0 the
+    guarded subgrid cell size h (1.0 on dead slots — it is only ever
+    used as a reciprocal), rows 1..2*dim the per-side equal-level
+    weights mask*(rel==0) — 0 at walls (zero viscous wall flux,
+    free-slip adiabatic) and on dead slots, exactly the weights of the
+    XLA pass (ops/subgrid_viscous.viscous_divergence)."""
+    dim = spec.dim
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h_cell = h_e / spec.extent
+    rows = [jnp.where(volumes > 0, h_cell, 1.0)]
+    for k in range(2 * dim):
+        rows.append((conn.mask[k] * (conn.rel[k] == 0))
+                    .astype(volumes.dtype))
+    while len(rows) < 8:
+        rows.append(jnp.zeros_like(h_cell))
+    return jnp.stack(rows)
+
+
 def _expand_compact(contrib: jnp.ndarray, inv: jnp.ndarray) -> jnp.ndarray:
     """Compact per-fine-element rows [5, *t_ext, K] -> dense [5, *t_ext, E]
     via the inverse position map (sentinel K -> zero row).  Row-major
@@ -591,12 +612,18 @@ def append_log_rows(u: jnp.ndarray, gamma: float) -> jnp.ndarray:
 
 def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                   conn, spec: SubgridSpec,
-                  gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray):
+                  gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray,
+                  mu: float = 0.0, prandtl: float = 0.72):
     """One SSP-RK3 step with every stage as ONE RK-fused Pallas kernel
     call: flux + divergence + stage update all in VMEM; between stages
     XLA regathers the 2*dim neighbor layer slabs (plus the hanging-fine
     side extras on AMR meshes).  Preconditions: can_fuse_rk.
-    RK_STAGE_INPUTS selects the state- or fields-input stage kernel."""
+    RK_STAGE_INPUTS selects the state- or fields-input stage kernel.
+    mu > 0 adds the in-VMEM Navier-Stokes divergence (equal-level
+    meshes — the solver enforces the scope) and folds the diffusive dt
+    rate into the returned speed (summed, ops/viscous.viscous_speed_bound
+    rationale); the state-input kernel is forced then (the fields layout
+    has no cheap primitive recovery path for the side layers)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
     from t8gpu_tpu.ops.pallas_kernels import (fused_rk_stage_fields_pallas,
                                               fused_rk_stage_pallas,
@@ -605,8 +632,10 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
 
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
-    use_fields = RK_STAGE_INPUTS == "fields"
+    viscous = float(mu) > 0.0
+    use_fields = RK_STAGE_INPUTS == "fields" and not viscous
     use_logs = RK_STAGE_INPUTS == "logs" and flux == "kepes"
+    wv = (viscous_weight_rows(conn, spec, volumes) if viscous else None)
     if not use_fields:
         w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
 
@@ -625,7 +654,9 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
             u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
-                                            extra_sides=sides, extras=extras)
+                                            extra_sides=sides, extras=extras,
+                                            viscous_weights=wv,
+                                            mu=float(mu), prandtl=float(prandtl))
         elif use_fields:
             q = cell_fields_tuple(u_stage, gamma, flux)
             others, w_q = pallas_side_inputs(q, conn, spec, volumes,
@@ -639,13 +670,26 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
             u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
-                                            extra_sides=sides, extras=extras)
+                                            extra_sides=sides, extras=extras,
+                                            viscous_weights=wv,
+                                            mu=float(mu), prandtl=float(prandtl))
         return u_n, jnp.maximum(sp.max(), sp_f)
 
     # stage 1: u_prev == u, passed as None so the kernel reads ONE state
     u1, sp = stage(u, None, (1.0, 0.0, 1.0))
     u2, _ = stage(u1, u, STAGE_2)
     u3, _ = stage(u2, u, STAGE_3)
+    if viscous:
+        # diffusive dt rate, SUMMED into the CFL speed (same bound as
+        # models/subgrid_euler._base_flux_fn's XLA closure)
+        dim = spec.dim
+        live = volumes > 0
+        rho_min = jnp.where(live, u[0].min(
+            axis=tuple(range(u.ndim - 2))), jnp.inf).min()
+        h_min = (jnp.where(live, volumes, jnp.inf).min()
+                 ** (1.0 / dim)) / spec.extent
+        nu = (float(mu) / rho_min) * max(1.0, gamma / float(prandtl))
+        sp = sp + 2.0 * dim * nu / h_min
     return u3, sp
 
 

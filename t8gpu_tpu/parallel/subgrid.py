@@ -533,12 +533,17 @@ def _halo_exchange_state(u, conn):
 
 
 def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
-                          gamma: float, flux: str, dt, inv_cv):
+                          gamma: float, flux: str, dt, inv_cv,
+                          mu: float = 0.0, prandtl: float = 0.72):
     """One SSP-RK3 step per shard with RK-fused Pallas stage kernels
     (runs inside shard_map; preconditions: sg.can_fuse_rk on the shard
     tables).  Each stage: halo ppermute rounds, resolve neighbor layers
     (walls = mirrored own layers, in-kernel), hanging-fine side extras
-    XLA-side, one kernel call."""
+    XLA-side, one kernel call.  mu > 0 adds the in-VMEM viscous
+    divergence (equal-level scope; the viscous tile consumes the SAME
+    resolved side layers as the inviscid stencil, so shard-boundary
+    faces see identical data on both sides and no extra halo round is
+    needed) and folds the GLOBAL diffusive dt rate into the speed."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
     from t8gpu_tpu.ops.pallas_kernels import (fused_rk_stage_fields_pallas,
                                               fused_rk_stage_pallas,
@@ -547,8 +552,10 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
 
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
-    use_fields = sg.RK_STAGE_INPUTS == "fields"
+    viscous = float(mu) > 0.0
+    use_fields = sg.RK_STAGE_INPUTS == "fields" and not viscous
     use_logs = sg.RK_STAGE_INPUTS == "logs" and flux == "kepes"
+    wv = (sg.viscous_weight_rows(conn, spec, volumes) if viscous else None)
     if not use_fields:
         w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
 
@@ -571,7 +578,10 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
             u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
-                                            extra_sides=sides, extras=extras)
+                                            extra_sides=sides, extras=extras,
+                                            viscous_weights=wv,
+                                            mu=float(mu),
+                                            prandtl=float(prandtl))
         elif use_fields:
             CL = u_stage.shape[-1]
             q_ext = cell_fields_tuple(u_ext, gamma, flux)
@@ -589,14 +599,31 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
             u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
-                                            extra_sides=sides, extras=extras)
+                                            extra_sides=sides, extras=extras,
+                                            viscous_weights=wv,
+                                            mu=float(mu),
+                                            prandtl=float(prandtl))
         return u_n, jnp.maximum(sp.max(), sp_f)
 
     # stage 1: u_prev == u, passed as None so the kernel reads ONE state
     u1, sp = stage(u, None, (1.0, 0.0, 1.0))
     u2, _ = stage(u1, u, STAGE_2)
     u3, _ = stage(u2, u, STAGE_3)
-    return u3, jax.lax.pmax(sp, halo.AXIS)
+    sp = jax.lax.pmax(sp, halo.AXIS)
+    if viscous:
+        # GLOBAL diffusive dt rate, summed after the advective pmax
+        # (same bound as _sharded_subgrid_viscous_wrap)
+        dim = spec.dim
+        live = volumes > 0
+        rho_min = jax.lax.pmin(
+            jnp.where(live, u[0].min(axis=tuple(range(u.ndim - 2))),
+                      jnp.inf).min(), halo.AXIS)
+        h_min = jax.lax.pmin(
+            jnp.where(live, volumes, jnp.inf).min(),
+            halo.AXIS) ** (1.0 / dim) / spec.extent
+        nu = (float(mu) / rho_min) * max(1.0, gamma / float(prandtl))
+        sp = sp + 2.0 * dim * nu / h_min
+    return u3, sp
 
 
 class ShardedSubgridEulerSolver:
@@ -696,7 +723,18 @@ class ShardedSubgridEulerSolver:
             from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
             conn = jax.tree.map(lambda x: x[0], conn)
-            if order == 2 or grav or mu > 0.0:
+            if (mu > 0.0 and order == 1 and not grav
+                    and sg.can_fuse_rk(conn, sgspec)
+                    and kernel_mode() != "off"
+                    and not any(conn.has_fine)):
+                # viscous RK-fused path: the in-VMEM Navier-Stokes
+                # divergence rides the stage kernels (equal-level scope)
+                def body(_i, carry):
+                    v, _ = carry
+                    return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
+                                                 gamma, flux, dt, inv_cv,
+                                                 mu=mu, prandtl=prandtl)
+            elif order == 2 or grav or mu > 0.0:
                 if order == 2:
                     flux_fn = (lambda v:
                                sharded_subgrid_flux_divergence_muscl(
@@ -752,35 +790,34 @@ class ShardedSubgridEulerSolver:
             jnp.float32(dt))
 
     def _build_speed(self):
-        gamma, flux = self.config.gamma, self.config.flux
-        order = getattr(self.config, "order", 1)
-        limiter = ("none" if getattr(self.config, "limiter", "bj") == "none"
-                   else "minmod")
+        """CFL speed over the GLOBAL sharded state: the axis-summed cell
+        speed (ops/euler.cfl_sum_speed — a pure cell reduction, no halo
+        and no shard_map; XLA lowers the global max over the sharded
+        element axis to a collective) plus the SUMMED diffusive rate
+        when mu > 0."""
+        gamma = self.config.gamma
         sgspec = self.spec
+        mu = float(getattr(self.config, "mu", 0.0))
+        prandtl = float(getattr(self.config, "prandtl", 0.72))
 
-        @functools.partial(
-            jax.shard_map, mesh=self.mesh_dev,
-            in_specs=(self._u_spec(), P(halo.AXIS), P(halo.AXIS)),
-            out_specs=P(), check_vma=False)
+        @jax.jit
         def speed(u, conn, volumes):
-            conn = jax.tree.map(lambda x: x[0], conn)
-            if order == 2:     # same divergence the step runs (CFL bound)
-                flux_fn = (lambda v:
-                           sharded_subgrid_flux_divergence_muscl(
-                               v, volumes, conn, sgspec, gamma, flux,
-                               limiter))
-            else:
-                flux_fn = lambda v: sharded_subgrid_flux_divergence(
-                    v, volumes, conn, sgspec, gamma, flux)
-            mu = float(getattr(self.config, "mu", 0.0))
-            if mu > 0.0:
-                flux_fn = _sharded_subgrid_viscous_wrap(
-                    flux_fn, volumes, conn, sgspec, gamma, mu,
-                    float(getattr(self.config, "prandtl", 0.72)))
-            _, sp = flux_fn(u)
-            return sp
+            from t8gpu_tpu.ops.euler import cfl_sum_speed
 
-        return jax.jit(speed)
+            del conn                      # kept for call-site signature
+            dim = sgspec.dim
+            live = volumes > 0
+            s = cfl_sum_speed(u, gamma, dim, live=live)
+            if mu > 0.0:
+                rho_min = jnp.where(live, u[0].min(
+                    axis=tuple(range(u.ndim - 2))), jnp.inf).min()
+                h_cell = (jnp.where(live, volumes, jnp.inf).min()
+                          ** (1.0 / dim)) / sgspec.extent
+                nu = (mu / rho_min) * max(1.0, gamma / prandtl)
+                s = s + 2.0 * dim * nu / h_cell
+            return s
+
+        return speed
 
     def adapt(self):
         """Distributed AMR: local H1 criteria -> host adapt -> DEVICE-side
@@ -867,10 +904,9 @@ class ShardedSubgridEulerSolver:
         """CFL timestep as a DEVICE scalar — no host round trip; fetching
         scalars through the TPU tunnel is latency-poison in adapt loops
         (same rationale as the single-device compute_timestep_device)."""
-        if self._max_speed is None:
-            self._max_speed = self._speed_fn(self.u, self.conn, self.volumes)
+        speed = self._speed_fn(self.u, self.conn, self.volumes)
         h_min = 0.5 ** int(self.forest.level.max()) / self.spec.extent
-        return jnp.float32(self.config.cfl * h_min) / self._max_speed
+        return jnp.float32(self.config.cfl * h_min) / speed
 
     @property
     def n_elements(self) -> int:
