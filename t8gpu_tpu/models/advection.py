@@ -147,7 +147,10 @@ class AdvectionSolver:
             if level is None:
                 level = getattr(self.mesh, "level", self.amr.max_level)
             h = 0.5 ** level
-        speed = float(np.linalg.norm(self._vel_host))
+        # axis-summed speed for the dim-summed upwind update (the 2-norm
+        # under-counts diagonal advection by up to sqrt(dim); same
+        # rationale as ops/euler.cfl_sum_speed)
+        speed = float(np.abs(self._vel_host).sum())
         return self.cfl * float(h) / max(speed, 1e-30)
 
     # -- AMR ------------------------------------------------------------------

@@ -424,12 +424,14 @@ class BlockedShellEulerSolver:
 
     def compute_timestep_device(self):
         """CFL dt as a device scalar (contract of
-        CompressibleEulerSolver.compute_timestep_device)."""
-        if self._max_speed is None:
-            _, self._max_speed = _lattice_divergence(
-                self.u, self._geo, self.config.gamma, self.config.flux)
+        CompressibleEulerSolver.compute_timestep_device; axis-summed
+        speed, ops/euler.cfl_sum_speed rationale)."""
+        from t8gpu_tpu.ops.euler import cfl_sum_speed
+
+        speed = cfl_sum_speed(self.u, self.config.gamma, 3,
+                              live=self.volume > 0)
         return jnp.asarray(self.config.cfl * self._cfl_h,
-                           jnp.float32) / self._max_speed
+                           jnp.float32) / speed
 
     def compute_timestep(self) -> float:
         return float(self.compute_timestep_device())

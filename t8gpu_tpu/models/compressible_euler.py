@@ -343,23 +343,22 @@ class CompressibleEulerSolver:
         return float(self.compute_timestep_device())
 
     def compute_timestep_device(self):
-        """CFL timestep as a DEVICE scalar (no host round trip)."""
-        if self._max_speed is None:
-            # bootstrap estimate from the initial state — the SAME
-            # divergence the step runs (order-2 reconstruction can raise
-            # interface wave speeds above any cell state's)
-            flux_fn = _make_flux_fn(
-                self.conn, self.inv_volume, gamma=self.config.gamma,
-                flux=self.config.flux, mode=self.accumulation,
-                order=self.config.order, limiter=self.config.limiter,
-                dim=self.mesh_dim, gravity=tuple(self.config.gravity),
-                mu=float(self.config.mu),
-                prandtl=float(self.config.prandtl), wall=self.config.wall,
-                wall_velocity=self._wall_vel,
-                wall_temperature=self.config.wall_temperature,
-                ghost=self._ghost)
-            _, speed = flux_fn(self.u)
-            self._max_speed = speed
+        """CFL timestep as a DEVICE scalar (no host round trip).
+
+        The bound uses the AXIS-SUMMED cell speed (ops/euler
+        .cfl_sum_speed — the reference's per-face max-speed bound,
+        solver.cu:213-229, is noise-unstable at cfl 0.7 in 3D; see the
+        op's docstring) plus the SUMMED diffusive rate when mu > 0."""
+        from t8gpu_tpu.ops.euler import cfl_sum_speed
+        from t8gpu_tpu.ops.viscous import viscous_speed_bound
+
+        speed = cfl_sum_speed(self.u, self.config.gamma, self.mesh_dim,
+                              live=self.volume > 0)
+        mu = float(self.config.mu)
+        if mu > 0.0:
+            speed = speed + viscous_speed_bound(
+                self.u, self.inv_volume, self.config.gamma, mu,
+                float(self.config.prandtl), self.mesh_dim)
         # characteristic min cell size: meshes with anisotropic elements
         # (shell prisms) provide cfl_h = 2*dim*min(V/sum A), tighter than
         # the 0.5^level estimate used on Cartesian forests
@@ -369,8 +368,7 @@ class CompressibleEulerSolver:
             if level is None:
                 level = getattr(self.mesh, "level", self.amr.max_level)
             h = 0.5 ** level
-        return jnp.asarray(self.config.cfl * h,
-                           self.dtype) / self._max_speed
+        return jnp.asarray(self.config.cfl * h, self.dtype) / speed
 
     # -- AMR cycle (ref solver.cu:243-277) -------------------------------------
 

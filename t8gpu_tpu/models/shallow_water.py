@@ -196,17 +196,24 @@ class ShallowWaterSolver:
     def compute_timestep_device(self):
         """CFL timestep as a DEVICE scalar — feed it straight into
         iterate_many so adapt loops never pay a per-chunk D2H fetch
-        (same contract as CompressibleEulerSolver.compute_timestep_device)."""
-        if self._max_speed is None:
-            _, speed = sw_divergence(self.u, self.conn, self.g)
-            self._max_speed = speed
+        (same contract as CompressibleEulerSolver.compute_timestep_device).
+        Axis-summed cell speed sum_a |v_a| + dim * sqrt(g h) — the
+        per-face max bound is noise-unstable for the dim-summed update
+        (ops/euler.cfl_sum_speed rationale); computed FRESH from the
+        current state, so the stale-batch concern in __init__'s cfl
+        note no longer compounds it."""
+        live = self.volume > 0
+        hw = jnp.maximum(self.u[0], 1e-12)
+        s = ((jnp.abs(self.u[1]) + jnp.abs(self.u[2])) / hw
+             + 2.0 * jnp.sqrt(self.g * hw))
+        speed = jnp.where(live, s, 0.0).max()
         h = getattr(self.mesh, "cfl_h", None)
         if h is None:
             level = getattr(self.mesh, "max_level", None)
             if level is None:
                 level = getattr(self.mesh, "level", self.amr.max_level)
             h = 0.5 ** level
-        return jnp.asarray(self.cfl * float(h), jnp.float32) / self._max_speed
+        return jnp.asarray(self.cfl * float(h), jnp.float32) / speed
 
     # -- AMR -------------------------------------------------------------------
 

@@ -61,7 +61,8 @@ class ShardedAdvectionSolver(ShardedEulerSolver):
     # -- model-specific diagnostics -------------------------------------------
 
     def compute_timestep_device(self):
-        speed = float(np.linalg.norm(self._vel_host))
+        # axis-summed speed (see AdvectionSolver.compute_timestep)
+        speed = float(np.abs(self._vel_host).sum())
         return jnp.float32(self.cfl * self._cfl_h) / max(speed, 1e-30)
 
     def state(self) -> np.ndarray:

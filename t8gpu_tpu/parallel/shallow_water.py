@@ -35,3 +35,13 @@ class ShardedShallowWaterSolver(ShardedEulerSolver):
             u, conn,
             lambda u_l, u_r, n, a: rusanov_face_flux(u_l, u_r, n, a, g),
             lambda u_own, bn, ba: wall_face_flux(u_own, bn, ba, g))
+
+    def _cfl_cell_speed(self, u, live):
+        """SWE CFL speed hook: axis-summed sum_a |v_a| + dim * sqrt(g h)
+        (same rationale as ShallowWaterSolver.compute_timestep_device)."""
+        import jax.numpy as jnp
+
+        hw = jnp.maximum(u[0], 1e-12)
+        s = ((jnp.abs(u[1]) + jnp.abs(u[2])) / hw
+             + 2.0 * jnp.sqrt(self.g * hw))
+        return jnp.where(live, s, 0.0).max()

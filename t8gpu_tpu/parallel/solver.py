@@ -230,21 +230,38 @@ class ShardedEulerSolver:
 
         return jax.jit(criteria)
 
+    def _cfl_cell_speed(self, u, live):
+        """Axis-summed per-cell CFL speed, maxed over live cells —
+        the model hook _build_speed reduces (Euler default; subclasses
+        with other state layouts override)."""
+        from t8gpu_tpu.ops.euler import cfl_sum_speed
+
+        return cfl_sum_speed(u, self.config.gamma, self.forest.dim,
+                             live=live)
+
     def _build_speed(self):
-        # the same divergence the step runs (order-2 reconstruction can
-        # produce interface wave speeds above any cell state's)
-        divergence = self._flux_divergence_vol
+        """CFL speed over the GLOBAL sharded state: a pure cell
+        reduction (ops/euler.cfl_sum_speed — no halo, no shard_map; XLA
+        lowers the global max over the sharded element axis to a
+        collective and returns a replicated scalar), plus the SUMMED
+        diffusive rate when mu > 0."""
+        gamma = self.config.gamma
+        dim = self.forest.dim
+        mu = float(getattr(self.config, "mu", 0.0))
+        prandtl = float(getattr(self.config, "prandtl", 0.72))
+        cell_speed = self._cfl_cell_speed
 
-        @functools.partial(
-            jax.shard_map, mesh=self.mesh_dev,
-            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS)),
-            out_specs=P())
+        @jax.jit
         def speed(u, conn, inv_vol):
-            conn = jax.tree.map(lambda x: x[0], conn)
-            _, sp = divergence(u, conn, inv_vol)
-            return sp
+            del conn                      # kept for call-site signature
+            s = cell_speed(u, inv_vol > 0)
+            if mu > 0.0:
+                from t8gpu_tpu.ops.viscous import viscous_speed_bound
+                s = s + viscous_speed_bound(u, inv_vol, gamma, mu,
+                                            prandtl, dim)
+            return s
 
-        return jax.jit(speed)
+        return speed
 
     # -- time stepping ----------------------------------------------------------
 
@@ -326,10 +343,8 @@ class ShardedEulerSolver:
         The characteristic min cell size comes from the forest's cfl_h()
         (finest edge on bricks; dim*min(V/sum A) on anisotropic prism/tri/
         tet forests), so any SFC forest kind works."""
-        if self._max_speed is None:
-            self._max_speed = self._speed(self.u, self.conn,
-                                          self.inv_volume)
-        return jnp.float32(self.config.cfl * self._cfl_h) / self._max_speed
+        speed = self._speed(self.u, self.conn, self.inv_volume)
+        return jnp.float32(self.config.cfl * self._cfl_h) / speed
 
     @property
     def n_elements(self) -> int:

@@ -446,7 +446,9 @@ def test_per_face_lid_velocity_cavity():
     assert top.mean() > 1e-3                      # entrained by the lid
     assert abs(bot).max() < abs(top).max() / 3    # bottom wall rests
     assert np.isfinite(u).all()
-    assert s.compute_integral() == pytest.approx(m0, rel=1e-6)
+    # f32 flux roundoff accumulates over the ~2.5x more steps the
+    # axis-summed CFL dt takes to reach t=1.0 (measured ~1.1e-6)
+    assert s.compute_integral() == pytest.approx(m0, rel=5e-6)
 
 
 def test_isothermal_wall_conduction_exact():
