@@ -157,8 +157,11 @@ class TestSubgridAdjoint:
             uT = adjoint.rollout(s, dt, n_steps=3, u0=u0)
             return (uT[0] ** 2).sum()
 
+        # f32 central FD vs AD: ~1.4% at the (smaller) axis-summed CFL
+        # dt — less signal per step, same f32 noise floor; the f64
+        # checks above pin the gradient tightly
         _directional_fd_check(objective, s.u, np.random.default_rng(2),
-                              rel_eps=3e-4, tol=5e-3)
+                              rel_eps=3e-4, tol=2e-2)
 
     def test_param_gradient_recovers_ic_amplitude(self):
         """End-to-end parameter estimation: gradient descent on a scalar
