@@ -69,3 +69,43 @@ def kh_sphere(centers: np.ndarray, gamma: float = 1.4) -> np.ndarray:
     mom = rho * (v_phi * e_phi + v_theta * e_theta)
     rho_e = 2.5 / (gamma - 1.0) + 0.5 * (mom**2).sum(axis=0) / rho
     return np.concatenate([rho[None], mom, rho_e[None]]).astype(np.float32)
+
+
+def isentropic_vortex(centers: np.ndarray, t: float = 0.0,
+                      gamma: float = 1.4, beta: float = 5.0,
+                      radius: float = 0.08, v0=(1.0, 0.5),
+                      center=(0.5, 0.5)) -> np.ndarray:
+    """Isentropic vortex on the periodic unit square -> state [5, N].
+
+    The classical smooth EXACT solution of the 2D Euler equations (Shu,
+    1997): an isentropic vortex superposed on a uniform stream advects
+    without deformation, so the exact state at time t is this field
+    evaluated with the center shifted by v0*t (mod 1).  Coordinates are
+    measured in units of `radius`; at the domain edge (>= 5 radii) the
+    perturbation is < exp(-12), compatible with periodicity to f32
+    roundoff.  Used for order-of-accuracy verification on a genuinely
+    nonlinear, non-grid-aligned exact solution (tests/test_vortex.py)
+    — the reference has no quantitative accuracy artifact at all.
+    """
+    xc = (centers[:, 0] - center[0] - v0[0] * t) % 1.0
+    yc = (centers[:, 1] - center[1] - v0[1] * t) % 1.0
+    # wrap displacements into [-0.5, 0.5)
+    xs = (xc + 0.5) % 1.0 - 0.5
+    ys = (yc + 0.5) % 1.0 - 0.5
+    x, y = xs / radius, ys / radius
+    r2 = x * x + y * y
+
+    e = np.exp(0.5 * (1.0 - r2))
+    du = -beta / (2.0 * np.pi) * e * y
+    dv = beta / (2.0 * np.pi) * e * x
+    dT = -(gamma - 1.0) * beta * beta / (8.0 * gamma * np.pi**2) * e * e
+
+    T = 1.0 + dT
+    rho = T ** (1.0 / (gamma - 1.0))
+    p = rho ** gamma
+    u = v0[0] + du
+    v = v0[1] + dv
+
+    z = np.zeros_like(rho)
+    rho_e = p / (gamma - 1.0) + 0.5 * rho * (u * u + v * v)
+    return np.stack([rho, rho * u, rho * v, z, rho_e]).astype(np.float32)
