@@ -101,3 +101,32 @@ def test_sod_converges_under_refinement():
     # shock-dominated: L1 convergence rate ~0.55 measured (plateaus
     # converge at order 1, the smeared discontinuities at ~1/2)
     assert e6 < e5 * 0.75, (e5, e6)
+
+
+def test_sod_subgrid_matches_plain():
+    """The dense-block (subgrid) scheme on the tube: level 3 with 8x8
+    blocks is the same 64-cell/axis discretization as plain level 6 —
+    cell-exact equivalence on uniform meshes is the repo invariant, so
+    the tube (walls + shock + contact) must match the plain result."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    x_p, u_p, _, err_p = _run_sod(level=6, order=1)
+
+    f = Forest.uniform(3, dim=2, periodic=(False, True))
+    spec = SubgridSpec((8, 8))
+    mesh = SubgridMesh.from_forest(f, spec)
+    solver = SubgridCompressibleEulerSolver(mesh, sod_ic,
+                                            config=EulerConfig())
+    dt0 = 0.5 * solver.compute_timestep()
+    n = int(np.ceil(T_END / dt0))
+    solver.iterate_many(n, T_END / n)
+    u_s = np.asarray(solver.conserved_state(), np.float64).reshape(5, -1)
+    x_s = mesh.cell_centers()[:, 0]
+    rho_ex, _, _ = sod_solution(x_s, T_END)
+    err_s = np.mean(np.abs(u_s[0] - rho_ex))
+    assert np.all(np.isfinite(u_s))
+    # same discretization, same scheme -> same error (dt differs only
+    # by the ceil rounding of n)
+    assert abs(err_s - err_p) < 0.1 * err_p, (err_s, err_p)
