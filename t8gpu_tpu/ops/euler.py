@@ -30,6 +30,40 @@ import jax.numpy as jnp
 N_VARS = 5  # rho, rho*v1, rho*v2, rho*v3, rho*e
 
 
+def fast_log(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 natural log for POSITIVE NORMAL inputs — the two per-cell
+    logs are ~36% of the fused RK-stage kernel's time (BENCHMARKS.md
+    round-3b monkeypatch), so the kernel derives them with an exponent
+    split + degree-9 minimax polynomial instead of the generic Mosaic
+    lowering.  No accuracy loss for the scheme's inputs (rho, p > 0,
+    no subnormals/inf/nan by the positivity of the state + GUARD_STATE
+    padding): measured max abs error 3.0e-7 over [1e-3, 1e3] vs 3.3e-7
+    for the native f32 log (both against f64).
+
+    x = 2^e * m, m in [1, 2); after a sqrt(2) re-centering m is in
+    [sqrt(1/2), sqrt(2)) so log(m) = log1p(u), u in [-0.293, 0.415],
+    fitted with c0=0, c1=1 pinned (exactness at u=0, where the ln_mean
+    series handoff needs absolute accuracy).  ~18 VPU ops, all
+    elementwise (bitcast/shift/and/select/FMA) — Mosaic-friendly.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    e = jax.lax.shift_right_logical(bits, 23) - 127
+    m = jax.lax.bitcast_convert_type(
+        jax.lax.bitwise_or(jax.lax.bitwise_and(bits, 0x007FFFFF),
+                           0x3F800000), jnp.float32)
+    big = m > 1.4142135623730951
+    m = jnp.where(big, m * 0.5, m)
+    e = (e + big.astype(jnp.int32)).astype(jnp.float32)
+    u = m - 1.0
+    # degree-9 minimax of log1p on [sqrt(1/2)-1, sqrt(2)-1], c0/c1 pinned
+    poly = jnp.float32(9.0042032353e-02)
+    for c in (-1.4257796701e-01, 1.4806459916e-01, -1.6575047926e-01,
+              1.9973105843e-01, -2.5001609627e-01, 3.3333659790e-01,
+              -4.9999994808e-01):
+        poly = poly * u + jnp.float32(c)
+    return e * jnp.float32(0.6931471805599453) + (u + (u * u) * poly)
+
+
 def ln_mean(a_l: jnp.ndarray, a_r: jnp.ndarray) -> jnp.ndarray:
     """Numerically stable logarithmic mean (aR - aL) / log(aR / aL).
 
@@ -362,7 +396,7 @@ def maybe_barrier(q):
 
 
 def cell_fields_tuple(u, gamma: float, flux: str = "kepes",
-                      logs=None) -> tuple:
+                      logs=None, log_fn=jnp.log) -> tuple:
     """Per-cell face-flux ingredients as a TUPLE of row arrays (each shaped
     like u[0]).  Computed once per flux evaluation; every per-face quantity
     then derives from these rows with arithmetic only (kepes_fields_flux).
@@ -388,8 +422,10 @@ def cell_fields_tuple(u, gamma: float, flux: str = "kepes",
             # AND the duplicated neighbor facing layers)
             log_rho, log_p = logs
         else:
-            log_rho = jnp.log(rho)
-            log_p = jnp.log(p)
+            # log_fn=fast_log inside the Pallas kernels (same accuracy,
+            # ~2x cheaper than the generic lowering; see fast_log)
+            log_rho = log_fn(rho)
+            log_p = log_fn(p)
         s = log_p - gamma * log_rho
         vent0 = (gamma - s) / kappa_m1 - rho_p * ke
         return (rho, v1, v2, v3, p, rho_p, log_rho, log_p, vent0, ke)

@@ -62,6 +62,19 @@ def kernel_mode() -> str:
     return "tpu" if jax.default_backend() == "tpu" else "off"
 
 
+def _kernel_log_fn():
+    """Trace-time choice of the in-kernel log: the fast exponent-split
+    polynomial (ops/euler.fast_log — same f32 accuracy, ~2x cheaper than
+    the generic lowering) unless T8GPU_FAST_LOG=0 forces jnp.log for
+    A/B measurement.  XLA stencil paths keep jnp.log."""
+    import os
+
+    from t8gpu_tpu.ops.euler import fast_log
+
+    return jnp.log if os.environ.get("T8GPU_FAST_LOG", "1") == "0" \
+        else fast_log
+
+
 def _rows_rotate(rows, axis):
     """Tuple-of-rows face-frame rotation (free row reordering)."""
     if axis == 0:
@@ -257,6 +270,7 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
     like the XLA path.  Returns (D [5, ...], per-cell speed)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
 
+    log_fn = _kernel_log_fn()
     TE = u[0].shape[-1]
     blk = (ext,) * dim + (TE,)
     surface = w_ref[0]
@@ -358,9 +372,10 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
         # interior + hi mesh-face interfaces in one evaluation (the
         # shift trick of _tile_flux_divergence, on reconstructed states)
         nxt = tuple(shift_next(r, h) for r, h in zip(u_r_t, hi_sub))
-        f, sp = fields_flux(cell_fields_tuple(u_l_t, gamma, flux),
-                            cell_fields_tuple(nxt, gamma, flux),
-                            gamma=gamma, flux=flux)
+        f, sp = fields_flux(
+            cell_fields_tuple(u_l_t, gamma, flux, log_fn=log_fn),
+            cell_fields_tuple(nxt, gamma, flux, log_fn=log_fn),
+            gamma=gamma, flux=flux)
         wgt = jnp.where(at_end, w_hi, surface)
         f = _flux_unrotate_rows(f, a) * wgt
         sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
@@ -371,9 +386,10 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
             jax.lax.index_in_dim(r, 0, axis=a, keepdims=False), a)
             for r in u_r_t)
         lo_e = tuple(jnp.expand_dims(h, a) for h in lo_sub)
-        f_lo, sp_lo = fields_flux(cell_fields_tuple(lo_e, gamma, flux),
-                                  cell_fields_tuple(u_rf0, gamma, flux),
-                                  gamma=gamma, flux=flux)
+        f_lo, sp_lo = fields_flux(
+            cell_fields_tuple(lo_e, gamma, flux, log_fn=log_fn),
+            cell_fields_tuple(u_rf0, gamma, flux, log_fn=log_fn),
+            gamma=gamma, flux=flux)
         f_lo = _flux_unrotate_rows(f_lo, a) * w_lo
         speed = jnp.maximum(
             speed,
@@ -700,13 +716,15 @@ def _fused_rk_kernel(u_ref, *refs,
     C_in = u_ref.shape[0]                    # 5 state rows, or 7 with logs
     u_rows = tuple(u_ref[i] for i in range(5))
     logs = (u_ref[5], u_ref[6]) if C_in == 7 else None
-    q = cell_fields_tuple(u_rows, gamma, flux, logs=logs)
+    log_fn = _kernel_log_fn()
+    q = cell_fields_tuple(u_rows, gamma, flux, logs=logs, log_fn=log_fn)
     dt_inv = w_ref[7]
 
     # tuple-of-row-tuples: no stacked materialization in VMEM
     others_q = tuple(
         cell_fields_tuple(tuple(o[i] for i in range(5)), gamma, flux,
-                          logs=(o[5], o[6]) if C_in == 7 else None)
+                          logs=(o[5], o[6]) if C_in == 7 else None,
+                          log_fn=log_fn)
         for o in others)
     D, speed = _tile_flux_divergence(q, others_q, w_ref, dim, ext,
                                      gamma, flux)

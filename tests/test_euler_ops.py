@@ -3,6 +3,7 @@ float64 scalar implementation (tests/numpy_reference.py), plus structural
 properties: consistency F(u,u)=F_phys(u), rotation invariance, symmetry.
 """
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -222,3 +223,25 @@ class TestCellFields:
         np.testing.assert_allclose(np.asarray(m[1]), -np.asarray(q[1]))
         np.testing.assert_allclose(np.asarray(m[0]), np.asarray(q[0]))
         np.testing.assert_allclose(np.asarray(m[4:]), np.asarray(q[4:]))
+
+
+def test_fast_log_matches_native():
+    """ops/euler.fast_log (the in-kernel exponent-split log): same f32
+    accuracy as the native log over the scheme's input range, exact
+    handoff at x ~ 1 (the ln_mean series/exact boundary)."""
+    import numpy as np
+
+    from t8gpu_tpu.ops.euler import fast_log
+
+    rng = np.random.default_rng(7)
+    x = np.exp(rng.uniform(np.log(1e-4), np.log(1e4),
+                           200_000)).astype(np.float32)
+    got = np.asarray(jax.jit(fast_log)(x), np.float64)
+    exact = np.log(x.astype(np.float64))
+    err = np.abs(got - exact)
+    # absolute near log=0, relative beyond (e*ln2 rounding scales with e)
+    assert (err / np.maximum(np.abs(exact), 1.0)).max() < 5e-7, err.max()
+    # powers of two are exact (mantissa 1.0, poly(0) = 0)
+    p2 = np.float32([0.25, 0.5, 1.0, 2.0, 4.0])
+    np.testing.assert_allclose(np.asarray(jax.jit(fast_log)(p2)),
+                               np.log(p2), rtol=0, atol=3e-7)
