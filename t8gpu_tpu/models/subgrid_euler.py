@@ -59,22 +59,22 @@ def _use_fused_rk(conn, spec) -> bool:
 
 def _viscous_fused(conn, spec, order, gravity, mu) -> bool:
     """mu > 0 rides the RK-fused Pallas kernels (the in-VMEM viscous
-    divergence, ops/pallas_kernels._tile_viscous_divergence) when the
-    configuration is first-order, gravity-free and the mesh is
-    equal-level (no hanging sides — the solver enforces that scope for
-    mu > 0 anyway; checked again here so the XLA fallback stays the safe
-    default)."""
+    divergence, ops/pallas_kernels._tile_viscous_divergence; hanging 2:1
+    viscous fluxes as additive side extras,
+    ops/subgrid_viscous.viscous_hanging_sides) when the configuration is
+    first-order and gravity-free."""
     from t8gpu_tpu.ops.source import has_gravity
 
     return (float(mu) > 0.0 and order == 1 and not has_gravity(gravity)
-            and _use_fused_rk(conn, spec) and not any(conn.has_fine))
+            and _use_fused_rk(conn, spec))
 
 
 def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
                   gravity, inv_cell_volume, mu=0.0, prandtl=0.72):
     """The non-RK-fused (divergence, speed) closure: order 1/2, plus the
     unsplit gravity source and the viscous (Navier-Stokes) divergence
-    when configured (ops/subgrid_viscous.py — equal-level meshes)."""
+    when configured (ops/subgrid_viscous.py — hanging 2:1 faces handled
+    by its internal virtual-fine pass)."""
     from t8gpu_tpu.ops.source import has_gravity
 
     if order == 2:
@@ -223,13 +223,6 @@ class SubgridCompressibleEulerSolver:
         self._crit_pending = None    # criteria refer to the previous mesh
         self.mesh = mesh
         self.conn = mesh.conn
-        if float(getattr(self.config, "mu", 0.0)) > 0.0 and (
-                any(mesh.conn.has_coarse) or any(mesh.conn.has_fine)):
-            raise ValueError(
-                "subgrid viscosity (EulerConfig.mu > 0) supports "
-                "equal-level meshes only (ops/subgrid_viscous.py); this "
-                "mesh has hanging (2:1) faces — run AMR + Navier-Stokes "
-                "on the plain-element path (CompressibleEulerSolver)")
         cap = mesh.conn.element_capacity
         n = mesh.n_elements
         B = self.spec.size

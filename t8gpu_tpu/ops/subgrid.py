@@ -619,11 +619,14 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
     XLA regathers the 2*dim neighbor layer slabs (plus the hanging-fine
     side extras on AMR meshes).  Preconditions: can_fuse_rk.
     RK_STAGE_INPUTS selects the state- or fields-input stage kernel.
-    mu > 0 adds the in-VMEM Navier-Stokes divergence (equal-level
-    meshes — the solver enforces the scope) and folds the diffusive dt
-    rate into the returned speed (summed, ops/viscous.viscous_speed_bound
-    rationale); the state-input kernel is forced then (the fields layout
-    has no cheap primitive recovery path for the side layers)."""
+    mu > 0 adds the in-VMEM Navier-Stokes divergence (equal-level faces;
+    the hanging 2:1 viscous fluxes ride the same additive `extras` input
+    as the advective virtual-fine pass —
+    ops/subgrid_viscous.viscous_hanging_sides) and folds the diffusive
+    dt rate into the returned speed (summed,
+    ops/viscous.viscous_speed_bound rationale); the state-input kernel
+    is forced then (the fields layout has no cheap primitive recovery
+    path for the side layers)."""
     from t8gpu_tpu.ops.euler import cell_fields_tuple
     from t8gpu_tpu.ops.pallas_kernels import (fused_rk_stage_fields_pallas,
                                               fused_rk_stage_pallas,
@@ -639,12 +642,25 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
     if not use_fields:
         w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
 
+    any_hang = any_fine or any(conn.has_coarse)
+
     def stage(u_stage, u_prev, coeffs):
         if any_fine:
             sides, extras, sp_f = fine_side_extras(
                 u_stage, conn, spec, volumes, gamma, flux)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
+        if viscous and any_hang:
+            # hanging 2:1 viscous fluxes: merged into the same additive
+            # side-layer extras the advective virtual-fine pass uses
+            from t8gpu_tpu.ops.subgrid_viscous import viscous_hanging_sides
+            vs, vx = viscous_hanging_sides(u_stage, volumes, conn, spec,
+                                           gamma, float(mu), float(prandtl))
+            merged = dict(zip(sides, extras))
+            for k, x in zip(vs, vx):
+                merged[k] = merged[k] + x if k in merged else x
+            sides = tuple(sorted(merged))
+            extras = tuple(merged[k] for k in sides)
         if use_logs:
             # XLA evaluates the 2 transcendentals once per cell; the
             # kernel consumes [7, ...] (state + log rho + log p) and

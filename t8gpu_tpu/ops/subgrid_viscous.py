@@ -17,11 +17,19 @@ interface with
     conservation is exact (the invariant every equivalence test leans
     on).
 
-Scope: equal-level meshes (the uniform flagship configuration).
-Hanging (2:1) faces are NOT supported — the solver rejects mu > 0 on
-adaptive subgrid runs (AMR + Navier-Stokes runs on the plain-element
-path, ops/viscous.py) — and wall faces contribute zero viscous flux
-(free-slip adiabatic, the wall model of the inviscid scheme).
+Hanging (2:1) mesh faces are handled by a separate additive pass
+(viscous_hanging_sides) mirroring the advective scheme's virtual-fine
+construction (ops/subgrid.outer_apply pass 2): at each fine subface the
+normal derivative is the compact two-point difference over the 1.5 h_f
+center distance, the tangential derivatives are the mean of the fine
+element's within-layer derivative and the coarse element's within-layer
+derivative (windowed/replicated to the subface), and BOTH sides of the
+face evaluate the identical expression tree from the identical operand
+pairs — so the fine element's per-face flux and the coarse element's
+pooled subface sum cancel exactly (conservation without scatters).
+First-order accurate at hanging faces, like the scheme's MUSCL 2:1
+closure.  Wall faces contribute zero viscous flux here (free-slip
+adiabatic, the wall model of the inviscid scheme).
 """
 
 from __future__ import annotations
@@ -30,7 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from t8gpu_tpu.memory.subgrid import SubgridSpec
-from t8gpu_tpu.ops.subgrid import _gather_layers
+from t8gpu_tpu.ops.subgrid import (_coarse_window, _fine_interleave,
+                                   _gather_layers, _pool2, _slab_add,
+                                   _upsample2)
 from t8gpu_tpu.ops.viscous import primitive_rows
 
 
@@ -208,4 +218,155 @@ def viscous_divergence(u: jnp.ndarray, volumes: jnp.ndarray, conn,
             [f_lo, jax.lax.slice_in_dim(f, 0, ext - 1, axis=ax)], axis=ax)
         D = D + f - prev
 
+    # hanging (2:1) mesh faces: additive virtual-fine pass (compiled away
+    # entirely on equal-level meshes — has_fine/has_coarse are static)
+    if any(conn.has_fine) or any(conn.has_coarse):
+        sides, extras = viscous_hanging_sides(
+            u, volumes, conn, spec, gamma, mu, prandtl, u_src=u_src,
+            phi=phi, phi_src=phi_src)
+        for k, c in zip(sides, extras):
+            D = _slab_add(D, c.reshape(5, -1), k // 2,
+                          layer_hi=(k % 2 == 0), spec=spec)
+
     return D
+
+
+def _hanging_face_rows(dn, face_dt, v_f, a: int, t_axes, dim: int,
+                       mu: float, kappa: float):
+    """Unweighted viscous flux rows (list of 5) at a hanging subface —
+    the ONE expression tree both sides of the face evaluate, from operand
+    pairs ordered identically on both sides, so the two contributions are
+    bitwise negations (exact conservation)."""
+    div_f = dn[a] + sum(face_dt[t][t] for t in t_axes)
+    tau = {a: mu * (2.0 * dn[a] - (2.0 / 3.0) * div_f)}
+    for t in t_axes:
+        tau[t] = mu * (dn[t] + face_dt[t][a])
+    work = sum(v_f[j] * tau[j] for j in range(dim))
+    heat = kappa * dn[3]
+    rows = [jnp.zeros_like(div_f)]
+    for j in range(3):
+        rows.append(tau[j] if j < dim else jnp.zeros_like(div_f))
+    rows.append(work + heat)
+    return rows
+
+
+def viscous_hanging_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,
+                          spec: SubgridSpec, gamma: float, mu: float,
+                          prandtl: float, u_src: jnp.ndarray = None,
+                          phi: jnp.ndarray = None,
+                          phi_src: jnp.ndarray = None):
+    """Viscous fluxes of the hanging (2:1) mesh faces, as additive
+    boundary-layer contributions per side — the viscous counterpart of
+    the advective virtual-fine pass (ops/subgrid.outer_apply pass 2 /
+    fine_side_extras).
+
+    Returns (sides, contribs): for each side k with hanging faces, a
+    dense [5, *t_ext, E] layer in the VISCOUS sign convention (+ on hi
+    sides, - on lo sides — viscous_divergence's mesh-face pattern, the
+    OPPOSITE of the advective extras' sign).  Consumed two ways: the XLA
+    stencil path slab-adds them into D (viscous_divergence above); the
+    RK-fused Pallas path merges them into the stage kernel's additive
+    `extras` input (ops/subgrid.ssp_rk3_fused), which un-fences mu > 0
+    from equal-level meshes.
+
+    Scheme per virtual-fine subface (fine cell f, coarse cell c,
+    h_f = h_c / 2, center distance 1.5 h_f):
+      * normal derivative (upper - lower) / (1.5 h_f) — operands ordered
+        by geometric side, identical on both evaluations;
+      * tangential derivatives 0.5 * (fine element's within-layer
+        derivative at h_f + coarse element's within-layer derivative at
+        h_c windowed/replicated to the subface) — the window/replicate
+        steps are pure selections, so derivative-then-window (fine side)
+        equals derivative-then-upsample (coarse side) exactly;
+      * flux rows and the h_f-subface area evaluated by the shared
+        _hanging_face_rows tree; the coarse side pools the 2^(dim-1)
+        subfaces (exact sum).
+    `u_src` supplies the layer-gather source (halo-extended axis in the
+    sharded path); `phi`/`phi_src` let viscous_divergence share its
+    primitive rows."""
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    lay_axes = tuple(range(1, 1 + n_t))
+    kappa = mu * gamma / ((gamma - 1.0) * prandtl)
+    if u_src is None:
+        u_src = u
+    if phi is None:
+        phi = primitive_rows(u, gamma)
+    if phi_src is None:
+        phi_src = phi if u_src is u else primitive_rows(u_src, gamma)
+
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h = h_e / ext                                    # [E] my cell size
+    live = (volumes > 0).astype(u.dtype)
+
+    sides, contribs = [], []
+    for a in range(dim):
+        t_axes = [t for t in range(dim) if t != a]
+        for s_i, hi in ((0, True), (1, False)):
+            k = 2 * a + s_i
+            if not (conn.has_fine[k] or conn.has_coarse[k]):
+                continue
+            nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
+                                    conn.bits[k], conn.mask[k])
+            my = jax.lax.index_in_dim(phi, ext - 1 if hi else 0,
+                                      axis=1 + a, keepdims=False)
+            opp = jax.lax.index_in_dim(phi_src, 0 if hi else ext - 1,
+                                       axis=1 + a, keepdims=False)
+            contrib = None
+
+            # ---- fine element at its COARSER neighbor ----------------
+            if conn.has_coarse[k]:
+                base = _gather_layers(opp, nbr[:, :1])[..., 0]
+                cw = _coarse_window(base, bits, spec)
+                inv_d = 1.0 / (1.5 * h)
+                dn = [(cw[j] - my[j]) * inv_d if hi
+                      else (my[j] - cw[j]) * inv_d for j in range(4)]
+                d_my = _layer_dt(my[:3], lay_axes, h)
+                d_cw = tuple(_coarse_window(dz, bits, spec)
+                             for dz in _layer_dt(base[:3], lay_axes,
+                                                 2.0 * h))
+                face_dt = {t: {} for t in t_axes}
+                for ti, t in enumerate(t_axes):
+                    for j in {t, a}:
+                        face_dt[t][j] = 0.5 * (d_my[ti][j] + d_cw[ti][j])
+                v_f = [0.5 * (my[j] + cw[j]) for j in range(dim)]
+                rows = _hanging_face_rows(dn, face_dt, v_f, a, t_axes,
+                                          dim, mu, kappa)
+                w = mask * (rel == -1) * (h ** (dim - 1)) * live
+                wr = w.reshape((1,) * (rows[0].ndim - 1) + (-1,))
+                cb = jnp.stack(rows) * wr
+                contrib = cb if hi else -cb
+
+            # ---- coarse element at its FINER neighbors (virtual fine,
+            # pooled) ---------------------------------------------------
+            if conn.has_fine[k]:
+                nb = _gather_layers(opp, nbr)        # [4, *t_ext, E, M]
+                fine = _fine_interleave(nb, spec)    # [4, *(2 t_ext), E]
+                mine = _upsample2(my, lay_axes)
+                hf = 0.5 * h
+                inv_d = 1.0 / (1.5 * hf)
+                dn = [(fine[j] - mine[j]) * inv_d if hi
+                      else (mine[j] - fine[j]) * inv_d for j in range(4)]
+                d_fine = tuple(_fine_interleave(dz, spec)
+                               for dz in _layer_dt(nb[:3], lay_axes,
+                                                   hf[:, None]))
+                d_my_up = tuple(_upsample2(dz, lay_axes)
+                                for dz in _layer_dt(my[:3], lay_axes, h))
+                face_dt = {t: {} for t in t_axes}
+                for ti, t in enumerate(t_axes):
+                    for j in {t, a}:
+                        face_dt[t][j] = 0.5 * (d_fine[ti][j]
+                                               + d_my_up[ti][j])
+                v_f = [0.5 * (mine[j] + fine[j]) for j in range(dim)]
+                rows = _hanging_face_rows(dn, face_dt, v_f, a, t_axes,
+                                          dim, mu, kappa)
+                w = mask * (rel == 1) * (hf ** (dim - 1)) * live
+                wr = w.reshape((1,) * (rows[0].ndim - 1) + (-1,))
+                f2 = _pool2(jnp.stack(rows) * wr, n_t)
+                cf = f2 if hi else -f2
+                contrib = cf if contrib is None else contrib + cf
+
+            sides.append(k)
+            contribs.append(contrib)
+    return tuple(sides), tuple(contribs)

@@ -559,6 +559,8 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
     if not use_fields:
         w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
 
+    any_hang = any_fine or any(conn.has_coarse)
+
     def stage(u_stage, u_prev, coeffs):
         u_ext = _halo_exchange_state(u_stage, conn)
         if any_fine:
@@ -566,6 +568,19 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                 u_stage, conn, spec, volumes, gamma, flux, u_ext=u_ext)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
+        if viscous and any_hang:
+            # hanging 2:1 viscous fluxes through the same extras input;
+            # the halo-extended gather source makes shard-boundary
+            # hanging faces see identical operands on both sides
+            from t8gpu_tpu.ops.subgrid_viscous import viscous_hanging_sides
+            vs, vx = viscous_hanging_sides(u_stage, volumes, conn, spec,
+                                           gamma, float(mu),
+                                           float(prandtl), u_src=u_ext)
+            merged = dict(zip(sides, extras))
+            for k, x in zip(vs, vx):
+                merged[k] = merged[k] + x if k in merged else x
+            sides = tuple(sorted(merged))
+            extras = tuple(merged[k] for k in sides)
         if use_logs:
             # append [log rho, log p] AFTER the halo exchange (5-row
             # ppermute traffic; the 2 transcendentals are evaluated for
@@ -665,13 +680,6 @@ class ShardedSubgridEulerSolver:
         self.forest = forest
         conn, bounds = build_sharded_subgrid_connectivity(
             forest, self.spec, self.n_shards)
-        if float(getattr(self.config, "mu", 0.0)) > 0.0 and (
-                any(conn.has_coarse) or any(conn.has_fine)):
-            raise ValueError(
-                "subgrid viscosity (EulerConfig.mu > 0) supports "
-                "equal-level meshes only (ops/subgrid_viscous.py); this "
-                "mesh has hanging (2:1) faces — run AMR + Navier-Stokes "
-                "on the plain-element path (ShardedEulerSolver)")
         self.bounds = bounds
         CL = conn.local_capacity
         self.local_capacity = CL
@@ -725,10 +733,10 @@ class ShardedSubgridEulerSolver:
             conn = jax.tree.map(lambda x: x[0], conn)
             if (mu > 0.0 and order == 1 and not grav
                     and sg.can_fuse_rk(conn, sgspec)
-                    and kernel_mode() != "off"
-                    and not any(conn.has_fine)):
+                    and kernel_mode() != "off"):
                 # viscous RK-fused path: the in-VMEM Navier-Stokes
-                # divergence rides the stage kernels (equal-level scope)
+                # divergence rides the stage kernels (hanging 2:1 faces
+                # as additive side extras)
                 def body(_i, carry):
                     v, _ = carry
                     return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,

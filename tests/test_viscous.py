@@ -238,23 +238,179 @@ def test_subgrid_viscous_free_stream_and_plain_match():
     assert np.abs(s.conserved_state() - v0).max() < 1e-6
 
 
-def test_subgrid_viscous_rejects_hanging():
-    """Hanging (2:1) meshes reject mu > 0 with a clear error (the
-    equal-level-only scope of ops/subgrid_viscous.py)."""
-    from t8gpu_tpu.memory.subgrid import SubgridSpec
+def _hanging_forest(dim=2, level=2, periodic=True):
+    """2:1 hanging mesh: refine element 0 (+ balance closure)."""
     from t8gpu_tpu.mesh.forest import Forest
-    from t8gpu_tpu.mesh.subgrid import SubgridMesh
-    from t8gpu_tpu.models.initial_conditions import kh_planar
-    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
 
-    f = Forest.uniform(2, dim=2)
+    f = Forest.uniform(level, dim=dim, periodic=periodic)
     flags = np.zeros(f.n_elements, np.int8)
     flags[0] = 1
     f, _ = f.adapt(f.balance_flags(flags))
-    mesh = SubgridMesh.from_forest(f, SubgridSpec((4, 4)))
-    with pytest.raises(ValueError, match="equal-level"):
-        SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2),
-                                       config=EulerConfig(mu=1e-3))
+    return f
+
+
+def test_subgrid_viscous_hanging_free_stream_and_conservation():
+    """Hanging (2:1) subgrid meshes take mu > 0 through the virtual-fine
+    viscous pass (ops/subgrid_viscous.viscous_hanging_sides): a uniform
+    moving state is preserved exactly (all derivatives vanish on both
+    sides of every hanging face), and a sheared state conserves mass
+    exactly and momentum/energy to roundoff (both sides of each hanging
+    subface evaluate the identical flux expression)."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    def uni_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, 0.3 * rho, z, z,
+                         np.full_like(rho, 2.5 + 0.5 * 0.09)])
+
+    mesh = SubgridMesh.from_forest(_hanging_forest(), SubgridSpec((4, 4)))
+    assert any(mesh.conn.has_fine) and any(mesh.conn.has_coarse)
+    s = SubgridCompressibleEulerSolver(mesh, uni_ic,
+                                       config=EulerConfig(mu=MU))
+    v0 = s.conserved_state().copy()
+    for _ in range(5):
+        s.iterate(1e-3)
+    assert np.abs(s.conserved_state() - v0).max() < 1e-6
+
+    s2 = SubgridCompressibleEulerSolver(mesh, shear_ic,
+                                        config=EulerConfig(mu=MU))
+    m0 = s2.compute_integral()
+    # VOLUME-weighted sums: the conserved invariant on mixed-resolution
+    # meshes (element-major cell volumes match conserved_state's layout)
+    vols = np.repeat(np.asarray(mesh.volumes) / mesh.spec.size,
+                     mesh.spec.size)
+    u0 = s2.conserved_state().reshape(5, -1) @ vols
+    for _ in range(20):
+        s2.iterate(5e-4)
+    u = s2.conserved_state().reshape(5, -1) @ vols
+    assert s2.compute_integral() == pytest.approx(m0, rel=1e-6)
+    assert np.abs(u[1:4] - u0[1:4]).max() < 1e-7
+    assert abs(u[4] - u0[4]) / abs(u0[4]) < 1e-5
+
+
+def test_subgrid_viscous_hanging_decay_rate():
+    """The shear mode keeps its nu k^2 decay rate on a mesh with a
+    refined (hanging) region — the 2:1 viscous closure is consistent,
+    not just conservative."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    mesh = SubgridMesh.from_forest(_hanging_forest(level=2),
+                                   SubgridSpec((8, 8)))
+    s = SubgridCompressibleEulerSolver(mesh, shear_ic,
+                                       config=EulerConfig(mu=MU))
+    t_end = 0.5
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state().reshape(5, -1)
+    # element-major cell volumes aligned with conserved_state [5, N, *ext]
+    vols = np.repeat(np.asarray(mesh.volumes) / mesh.spec.size,
+                     mesh.spec.size)
+    y = s.mesh.cell_centers()[:, 1]
+    # volume-weighted mode amplitude (mixed-resolution cells)
+    amp = 2.0 * np.sum((u[1] / u[0]) * np.sin(2 * np.pi * y) * vols) \
+        / np.sum(vols)
+    expected = V0 * np.exp(-MU * (2 * np.pi) ** 2 * t_end)
+    assert abs(amp / expected - 1.0) < 0.05, (amp, expected)
+
+
+def test_subgrid_viscous_hanging_fused_matches_stencil():
+    """T8GPU_PALLAS=interpret (the RK-fused dispatch TPU backends take,
+    with the hanging viscous fluxes riding the kernel's additive extras
+    input) == the XLA stencil path, on a hanging mesh with mu > 0."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    mesh = SubgridMesh.from_forest(_hanging_forest(periodic=False),
+                                   SubgridSpec((8, 8)))
+    cfg = EulerConfig(mu=MU)
+    s0 = SubgridCompressibleEulerSolver(mesh, shear_ic, config=cfg)
+    for _ in range(3):
+        s0.iterate(5e-4)
+    u_ref = s0.conserved_state()
+
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    jax.clear_caches()
+    try:
+        s1 = SubgridCompressibleEulerSolver(mesh, shear_ic, config=cfg)
+        for _ in range(3):
+            s1.iterate(5e-4)
+        u_kern = s1.conserved_state()
+    finally:
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+    np.testing.assert_allclose(u_kern.reshape(5, -1), u_ref.reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_subgrid_viscous_hanging_matches_single():
+    """Sharded subgrid Navier-Stokes on a HANGING mesh == single-device:
+    shard-boundary hanging faces gather their virtual-fine operands from
+    the halo-extended axis on both sides."""
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    cfg = EulerConfig(mu=MU)
+    spec = SubgridSpec((4, 4))
+    f = _hanging_forest(level=3)
+    ref = SubgridCompressibleEulerSolver(SubgridMesh.from_forest(f, spec),
+                                         shear_ic, config=cfg)
+    sh = ShardedSubgridEulerSolver(f, spec, shear_ic, config=cfg,
+                                   devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state().reshape(5, -1),
+                               ref.conserved_state().reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_subgrid_viscous_hanging_3d_free_stream_and_conserves():
+    """3D hanging mesh with mu > 0: free stream exact, momentum/energy
+    conserved (the dim-generic virtual-fine pass, 4 subfaces/face)."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    def shear3(c):
+        rho = np.ones(len(c), np.float32)
+        vx = V0 * np.sin(2 * np.pi * c[:, 1]).astype(np.float32)
+        z = np.zeros_like(rho)
+        e = 1.0 / (GAMMA - 1) + 0.5 * rho * vx * vx
+        return np.stack([rho, rho * vx, z, z, e])
+
+    mesh = SubgridMesh.from_forest(_hanging_forest(dim=3, level=1),
+                                   SubgridSpec((4, 4, 4)))
+    assert any(mesh.conn.has_fine)
+    s = SubgridCompressibleEulerSolver(mesh, shear3,
+                                       config=EulerConfig(mu=MU))
+    m0 = s.compute_integral()
+    vols = np.repeat(np.asarray(mesh.volumes) / mesh.spec.size,
+                     mesh.spec.size)
+    u0 = s.conserved_state().reshape(5, -1) @ vols
+    for _ in range(10):
+        s.iterate(5e-4)
+    u = s.conserved_state().reshape(5, -1)
+    assert np.isfinite(u).all()
+    uw = u @ vols
+    assert s.compute_integral() == pytest.approx(m0, rel=1e-6)
+    assert np.abs(uw[1:4] - u0[1:4]).max() < 1e-7
 
 
 def _channel_ic(c):
