@@ -70,11 +70,14 @@ def _viscous_fused(conn, spec, order, gravity, mu) -> bool:
 
 
 def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
-                  gravity, inv_cell_volume, mu=0.0, prandtl=0.72):
+                  gravity, inv_cell_volume, mu=0.0, prandtl=0.72,
+                  wall="slip", wall_velocity=(0.0, 0.0, 0.0),
+                  wall_temperature=None):
     """The non-RK-fused (divergence, speed) closure: order 1/2, plus the
     unsplit gravity source and the viscous (Navier-Stokes) divergence
     when configured (ops/subgrid_viscous.py — hanging 2:1 faces handled
-    by its internal virtual-fine pass)."""
+    by its internal virtual-fine pass; wall="noslip" adds the one-sided
+    wall shear, viscous_wall_sides)."""
     from t8gpu_tpu.ops.source import has_gravity
 
     if order == 2:
@@ -84,15 +87,24 @@ def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
                                                gamma, flux)
     if float(mu) > 0.0:
-        from t8gpu_tpu.ops.subgrid_viscous import viscous_divergence
+        from t8gpu_tpu.ops.subgrid_viscous import (viscous_divergence,
+                                                   viscous_wall_sides)
         from t8gpu_tpu.ops.viscous import viscous_speed_bound
         base = flux_fn
         dim = spec.dim
+        noslip = wall == "noslip" and bool(conn.b_groups)
 
         def flux_fn(v):
             d, sp = base(v)
             d = d + viscous_divergence(v, volumes, conn, spec, gamma,
                                        float(mu), float(prandtl))
+            if noslip:
+                ws, wx = viscous_wall_sides(
+                    v, volumes, conn, spec, gamma, float(mu),
+                    float(prandtl), wall_velocity, wall_temperature)
+                for k, c in zip(ws, wx):
+                    d = sg._slab_add(d, c.reshape(5, -1), k // 2,
+                                     layer_hi=(k % 2 == 0), spec=spec)
             # diffusive dt limit as a speed (cell size = element h / ext)
             live = volumes > 0
             rho_min = jnp.where(live, v[0].min(
@@ -109,22 +121,28 @@ def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
 
 @functools.partial(jax.jit,
                    static_argnames=("spec", "gamma", "flux", "order",
-                                    "limiter", "gravity", "mu", "prandtl"),
+                                    "limiter", "gravity", "mu", "prandtl",
+                                    "wall", "wall_velocity",
+                                    "wall_temperature"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               *, spec: SubgridSpec, gamma: float, flux: str,
               order: int = 1, limiter: str = "minmod",
               gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
-              prandtl: float = 0.72):
+              prandtl: float = 0.72, wall: str = "slip",
+              wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None):
     from t8gpu_tpu.ops.source import has_gravity
     if _viscous_fused(conn, spec, order, gravity, mu):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
                                 dt, inv_cell_volume, mu=float(mu),
-                                prandtl=float(prandtl))
+                                prandtl=float(prandtl), wall=wall,
+                                wall_velocity=wall_velocity,
+                                wall_temperature=wall_temperature)
     if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
-                                prandtl)
+                                prandtl, wall, wall_velocity,
+                                wall_temperature)
         return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
     if _use_fused_rk(conn, spec):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
@@ -136,13 +154,15 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
 @functools.partial(jax.jit,
                    static_argnames=("spec", "gamma", "flux", "n_steps",
                                     "order", "limiter", "gravity", "mu",
-                                    "prandtl"),
+                                    "prandtl", "wall", "wall_velocity",
+                                    "wall_temperature"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str,
                order: int = 1, limiter: str = "minmod",
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
-               prandtl: float = 0.72):
+               prandtl: float = 0.72, wall: str = "slip",
+               wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None):
     """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
 
     Between adapt events the connectivity is static, so whole step batches
@@ -156,11 +176,14 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
             v, _ = carry
             return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
                                     dt, inv_cell_volume, mu=float(mu),
-                                    prandtl=float(prandtl))
+                                    prandtl=float(prandtl), wall=wall,
+                                    wall_velocity=wall_velocity,
+                                    wall_temperature=wall_temperature)
     elif order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
-                                prandtl)
+                                prandtl, wall, wall_velocity,
+                                wall_temperature)
 
         def body(_i, carry):
             v, _ = carry
@@ -250,7 +273,8 @@ class SubgridCompressibleEulerSolver:
             flux=self.config.flux, order=self.config.order,
             limiter=self._sg_limiter(),
             gravity=tuple(self.config.gravity),
-            mu=float(self.config.mu), prandtl=float(self.config.prandtl))
+            mu=float(self.config.mu), prandtl=float(self.config.prandtl),
+            **self._wall_kwargs())
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program."""
@@ -260,7 +284,24 @@ class SubgridCompressibleEulerSolver:
             gamma=self.config.gamma, flux=self.config.flux,
             order=self.config.order, limiter=self._sg_limiter(),
             gravity=tuple(self.config.gravity),
-            mu=float(self.config.mu), prandtl=float(self.config.prandtl))
+            mu=float(self.config.mu), prandtl=float(self.config.prandtl),
+            **self._wall_kwargs())
+
+    def _wall_kwargs(self) -> dict:
+        """Static no-slip wall parameters for the jitted steps.  The
+        subgrid wall model takes a UNIFORM wall velocity tuple; per-face
+        callables (e.g. only a cavity lid moving) are a plain-path
+        feature (ops/viscous.boundary_viscous_flux)."""
+        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
+        if callable(wv):
+            raise ValueError(
+                "the subgrid path takes a uniform wall_velocity tuple; "
+                "per-face callables run on the plain-element path "
+                "(CompressibleEulerSolver)")
+        wt = getattr(self.config, "wall_temperature", None)
+        return dict(wall=getattr(self.config, "wall", "slip"),
+                    wall_velocity=tuple(float(x) for x in wv),
+                    wall_temperature=None if wt is None else float(wt))
 
     def _sg_limiter(self) -> str:
         # EulerConfig.limiter speaks the plain path's names ("bj"/"none");

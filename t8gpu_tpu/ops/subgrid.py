@@ -613,7 +613,9 @@ def append_log_rows(u: jnp.ndarray, gamma: float) -> jnp.ndarray:
 def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                   conn, spec: SubgridSpec,
                   gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray,
-                  mu: float = 0.0, prandtl: float = 0.72):
+                  mu: float = 0.0, prandtl: float = 0.72,
+                  wall: str = "slip", wall_velocity=(0.0, 0.0, 0.0),
+                  wall_temperature=None):
     """One SSP-RK3 step with every stage as ONE RK-fused Pallas kernel
     call: flux + divergence + stage update all in VMEM; between stages
     XLA regathers the 2*dim neighbor layer slabs (plus the hanging-fine
@@ -643,6 +645,7 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
         w = rk_weights(conn, spec, volumes, dt, inv_cell_volume)
 
     any_hang = any_fine or any(conn.has_coarse)
+    noslip = viscous and wall == "noslip" and bool(conn.b_groups)
 
     def stage(u_stage, u_prev, coeffs):
         if any_fine:
@@ -650,15 +653,25 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                 u_stage, conn, spec, volumes, gamma, flux)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
-        if viscous and any_hang:
-            # hanging 2:1 viscous fluxes: merged into the same additive
-            # side-layer extras the advective virtual-fine pass uses
-            from t8gpu_tpu.ops.subgrid_viscous import viscous_hanging_sides
-            vs, vx = viscous_hanging_sides(u_stage, volumes, conn, spec,
-                                           gamma, float(mu), float(prandtl))
+        if viscous and (any_hang or noslip):
+            # hanging 2:1 + no-slip wall viscous fluxes: merged into the
+            # same additive side-layer extras the advective virtual-fine
+            # pass uses
+            from t8gpu_tpu.ops.subgrid_viscous import (viscous_hanging_sides,
+                                                       viscous_wall_sides)
             merged = dict(zip(sides, extras))
-            for k, x in zip(vs, vx):
-                merged[k] = merged[k] + x if k in merged else x
+            pairs = []
+            if any_hang:
+                pairs.append(viscous_hanging_sides(
+                    u_stage, volumes, conn, spec, gamma, float(mu),
+                    float(prandtl)))
+            if noslip:
+                pairs.append(viscous_wall_sides(
+                    u_stage, volumes, conn, spec, gamma, float(mu),
+                    float(prandtl), wall_velocity, wall_temperature))
+            for vs, vx in pairs:
+                for k, x in zip(vs, vx):
+                    merged[k] = merged[k] + x if k in merged else x
             sides = tuple(sorted(merged))
             extras = tuple(merged[k] for k in sides)
         if use_logs:
@@ -753,19 +766,52 @@ def outer_fine_apply(D: jnp.ndarray, q: tuple,
     return D, speed
 
 
+def farfield_state_rows(farfield, gamma: float, n_rows: int, dtype):
+    """Ghost STATE column [C] for open (farfield) boundaries on the
+    subgrid scheme: the prescribed exterior primitive (rho, vx, vy, vz,
+    p) as conservative rows, plus [log rho, log p] when the logs RK
+    variant reads 7-row states.  The plain-path analogue is
+    ops/fluxes.farfield_ghost_fields."""
+    import numpy as np
+    rho, vx, vy, vz, p = (float(x) for x in farfield)
+    e = p / (gamma - 1.0) + 0.5 * rho * (vx * vx + vy * vy + vz * vz)
+    rows = [rho, rho * vx, rho * vy, rho * vz, e]
+    if n_rows == 7:
+        rows += [np.log(rho), np.log(p)]
+    return jnp.asarray(np.array(rows, np.float64), dtype)
+
+
+def farfield_field_rows(farfield, gamma: float, flux: str, dtype):
+    """Ghost cell-FIELD rows (tuple of [1] arrays) of the prescribed
+    exterior state — the ghost operand for the fields-consuming paths
+    (pallas_side_inputs, boundary_apply)."""
+    from t8gpu_tpu.ops.euler import cell_fields_tuple
+    u = farfield_state_rows(farfield, gamma, 5, dtype)[:, None]
+    return cell_fields_tuple(tuple(u[i] for i in range(5)), gamma, flux)
+
+
 def boundary_apply(D: jnp.ndarray, q_flat: tuple,
                    conn: SubgridConnectivity, spec: SubgridSpec,
-                   gamma: float, flux: str):
-    """Reflective-wall fluxes (mirror ghost: negated normal momentum,
-    ref kernels.inl:913-1107) added into the block divergence, gather-based.
-    q_flat: precomputed cell-fields tuple, rows flattened to [cells] — the
-    mirror ghost only negates the normal velocity row (fields_mirror)."""
+                   gamma: float, flux: str, ghost_fields=None):
+    """Boundary fluxes added into the block divergence, gather-based.
+    ghost_fields = None: reflective walls (mirror ghost: negated normal
+    momentum, ref kernels.inl:913-1107).  ghost_fields = tuple of [1]
+    field rows (UNROTATED frame): farfield/open boundaries — the ghost
+    is the prescribed exterior state and the upwind flux sorts inflow
+    from outflow by itself (ops/fluxes.boundary_fluxes_from_side has the
+    plain-path analogue and the flux-family caveat).
+    q_flat: precomputed cell-fields tuple, rows flattened to [cells]."""
     from t8gpu_tpu.ops.euler import fields_mirror
     speed = jnp.zeros((), q_flat[0].dtype)
     for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
                                         conn.b_area, conn.b_recv):
         q_own = fields_axis_rotate(tuple(r[bc] for r in q_flat), axis)
-        q_ghost = fields_mirror(q_own)
+        if ghost_fields is None:
+            q_ghost = fields_mirror(q_own)
+        else:
+            q_ghost = fields_axis_rotate(
+                tuple(jnp.broadcast_to(g, o.shape)
+                      for g, o in zip(ghost_fields, q_own)), axis)
         if sign > 0:   # outward normal +axis: owner is the left state
             f, sp = fields_flux(q_own, q_ghost, gamma=gamma, flux=flux)
         else:          # outward normal -axis: in the +axis frame the owner

@@ -370,3 +370,64 @@ def viscous_hanging_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,
             sides.append(k)
             contribs.append(contrib)
     return tuple(sides), tuple(contribs)
+
+
+def viscous_wall_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,
+                       spec: SubgridSpec, gamma: float, mu: float,
+                       prandtl: float, wall_velocity=(0.0, 0.0, 0.0),
+                       wall_temperature=None, phi: jnp.ndarray = None):
+    """NO-SLIP wall viscous fluxes for the subgrid scheme, as additive
+    boundary-layer contributions per wall side (viscous sign convention:
+    + on hi sides, - on lo — same consumers as viscous_hanging_sides).
+
+    The subgrid analogue of ops/viscous.boundary_viscous_flux on
+    axis-aligned brick walls: wall shear from the one-sided derivative
+    over the half-cell distance h/2 toward the TANGENTIAL projection of
+    the wall velocity (component along the wall normal dropped —
+    impermeability), tau.n = mu (dv/dn + (1/3)(dv/dn . n) n); wall work
+    v_wall . tau (a moving lid injects energy; resting walls drain
+    kinetic energy that reappears as interior heat, conserving the
+    total); isothermal heat kappa (T_wall - T)/(h/2) when
+    `wall_temperature` is set (None = adiabatic).  Mass flux zero.
+    Slip walls (the solver default) never call this."""
+    dim = spec.dim
+    ext = spec.extent
+    kappa = mu * gamma / ((gamma - 1.0) * prandtl)
+    if phi is None:
+        phi = primitive_rows(u, gamma)
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    h = h_e / ext
+    live = (volumes > 0).astype(u.dtype)
+    inv_dn = 2.0 / h                                  # 1 / (h/2), [E]
+
+    wall_sides = sorted({2 * ax + (0 if sg > 0 else 1)
+                         for ax, sg in conn.b_groups})
+    sides, contribs = [], []
+    for k in wall_sides:
+        a, s_i = k // 2, k % 2
+        hi = s_i == 0
+        wmask = (conn.mask[k] == 0).astype(u.dtype) * live   # [E] walls
+        my = jax.lax.index_in_dim(phi, ext - 1 if hi else 0,
+                                  axis=1 + a, keepdims=False)
+        vw = [float(wall_velocity[j]) for j in range(3)]
+        vw[a] = 0.0                                   # tangential projection
+        if hi:
+            dv = [(vw[j] - my[j]) * inv_dn for j in range(3)]
+        else:
+            dv = [(my[j] - vw[j]) * inv_dn for j in range(3)]
+        tau = [mu * dv[j] for j in range(3)]
+        tau[a] = tau[a] + (mu / 3.0) * dv[a]
+        work = sum(vw[j] * tau[j] for j in range(3))
+        if wall_temperature is not None:
+            dT = ((float(wall_temperature) - my[3]) if hi
+                  else (my[3] - float(wall_temperature)))
+            work = work + kappa * dT * inv_dn
+        zero = jnp.zeros_like(my[0])
+        rows = [zero, tau[0], tau[1], tau[2],
+                work if isinstance(work, jnp.ndarray) else zero + work]
+        w = wmask * (h ** (dim - 1))
+        wr = w.reshape((1,) * (my.ndim - 1) + (-1,))
+        cb = jnp.stack(rows) * wr
+        sides.append(k)
+        contribs.append(cb if hi else -cb)
+    return tuple(sides), tuple(contribs)

@@ -492,7 +492,10 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
 
 def _sharded_subgrid_viscous_wrap(flux_fn, volumes, conn,
                                   spec: SubgridSpec, gamma: float,
-                                  mu: float, prandtl: float):
+                                  mu: float, prandtl: float,
+                                  wall: str = "slip",
+                                  wall_velocity=(0.0, 0.0, 0.0),
+                                  wall_temperature=None):
     """Add the viscous divergence (ops/subgrid_viscous.py, equal-level
     meshes) to a per-shard (divergence, speed) closure: the layer
     gathers read the halo-extended axis, and both sides of a
@@ -500,15 +503,24 @@ def _sharded_subgrid_viscous_wrap(flux_fn, volumes, conn,
     viscous exchange is exactly conservative across shards.  The
     global diffusive dt rate is SUMMED into the speed (see
     ops/viscous.viscous_speed_bound)."""
-    from t8gpu_tpu.ops.subgrid_viscous import viscous_divergence
+    from t8gpu_tpu.ops.subgrid_viscous import (viscous_divergence,
+                                               viscous_wall_sides)
 
     dim = spec.dim
+    noslip = wall == "noslip" and bool(conn.b_groups)
 
     def fn(v):
         d, sp = flux_fn(v)
         u_ext = _halo_exchange_state(v, conn)
         d = d + viscous_divergence(v, volumes, conn, spec, gamma,
                                    float(mu), float(prandtl), u_src=u_ext)
+        if noslip:
+            ws, wx = viscous_wall_sides(v, volumes, conn, spec, gamma,
+                                        float(mu), float(prandtl),
+                                        wall_velocity, wall_temperature)
+            for k, c in zip(ws, wx):
+                d = sg._slab_add(d, c.reshape(5, -1), k // 2,
+                                 layer_hi=(k % 2 == 0), spec=spec)
         live = volumes > 0
         rho_min = jax.lax.pmin(
             jnp.where(live, v[0].min(axis=tuple(range(v.ndim - 2))),
@@ -534,7 +546,10 @@ def _halo_exchange_state(u, conn):
 
 def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                           gamma: float, flux: str, dt, inv_cv,
-                          mu: float = 0.0, prandtl: float = 0.72):
+                          mu: float = 0.0, prandtl: float = 0.72,
+                          wall: str = "slip",
+                          wall_velocity=(0.0, 0.0, 0.0),
+                          wall_temperature=None):
     """One SSP-RK3 step per shard with RK-fused Pallas stage kernels
     (runs inside shard_map; preconditions: sg.can_fuse_rk on the shard
     tables).  Each stage: halo ppermute rounds, resolve neighbor layers
@@ -560,6 +575,7 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
         w = sg.rk_weights(conn, spec, volumes, dt, inv_cv)
 
     any_hang = any_fine or any(conn.has_coarse)
+    noslip = viscous and wall == "noslip" and bool(conn.b_groups)
 
     def stage(u_stage, u_prev, coeffs):
         u_ext = _halo_exchange_state(u_stage, conn)
@@ -568,17 +584,26 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                 u_stage, conn, spec, volumes, gamma, flux, u_ext=u_ext)
         else:
             sides, extras, sp_f = (), (), jnp.zeros((), u.dtype)
-        if viscous and any_hang:
-            # hanging 2:1 viscous fluxes through the same extras input;
-            # the halo-extended gather source makes shard-boundary
-            # hanging faces see identical operands on both sides
-            from t8gpu_tpu.ops.subgrid_viscous import viscous_hanging_sides
-            vs, vx = viscous_hanging_sides(u_stage, volumes, conn, spec,
-                                           gamma, float(mu),
-                                           float(prandtl), u_src=u_ext)
+        if viscous and (any_hang or noslip):
+            # hanging 2:1 + no-slip wall viscous fluxes through the same
+            # extras input; the halo-extended gather source makes
+            # shard-boundary hanging faces see identical operands on both
+            # sides
+            from t8gpu_tpu.ops.subgrid_viscous import (viscous_hanging_sides,
+                                                       viscous_wall_sides)
             merged = dict(zip(sides, extras))
-            for k, x in zip(vs, vx):
-                merged[k] = merged[k] + x if k in merged else x
+            pairs = []
+            if any_hang:
+                pairs.append(viscous_hanging_sides(
+                    u_stage, volumes, conn, spec, gamma, float(mu),
+                    float(prandtl), u_src=u_ext))
+            if noslip:
+                pairs.append(viscous_wall_sides(
+                    u_stage, volumes, conn, spec, gamma, float(mu),
+                    float(prandtl), wall_velocity, wall_temperature))
+            for vs, vx in pairs:
+                for k, x in zip(vs, vx):
+                    merged[k] = merged[k] + x if k in merged else x
             sides = tuple(sorted(merged))
             extras = tuple(merged[k] for k in sides)
         if use_logs:
@@ -720,6 +745,16 @@ class ShardedSubgridEulerSolver:
         grav = has_gravity(gravity)
         mu = float(getattr(self.config, "mu", 0.0))
         prandtl = float(getattr(self.config, "prandtl", 0.72))
+        wall = getattr(self.config, "wall", "slip")
+        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
+        if callable(wv):
+            raise ValueError(
+                "the subgrid path takes a uniform wall_velocity tuple; "
+                "per-face callables run on the plain-element path "
+                "(ShardedEulerSolver)")
+        wv = tuple(float(x) for x in wv)
+        wt = getattr(self.config, "wall_temperature", None)
+        wt = None if wt is None else float(wt)
         sgspec = self.spec
         u_spec = self._u_spec()
 
@@ -741,7 +776,10 @@ class ShardedSubgridEulerSolver:
                     v, _ = carry
                     return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
                                                  gamma, flux, dt, inv_cv,
-                                                 mu=mu, prandtl=prandtl)
+                                                 mu=mu, prandtl=prandtl,
+                                                 wall=wall,
+                                                 wall_velocity=wv,
+                                                 wall_temperature=wt)
             elif order == 2 or grav or mu > 0.0:
                 if order == 2:
                     flux_fn = (lambda v:
@@ -753,7 +791,8 @@ class ShardedSubgridEulerSolver:
                         v, volumes, conn, sgspec, gamma, flux)
                 if mu > 0.0:
                     flux_fn = _sharded_subgrid_viscous_wrap(
-                        flux_fn, volumes, conn, sgspec, gamma, mu, prandtl)
+                        flux_fn, volumes, conn, sgspec, gamma, mu, prandtl,
+                        wall=wall, wall_velocity=wv, wall_temperature=wt)
                 if grav:
                     from t8gpu_tpu.models.subgrid_euler import \
                         _with_cell_gravity

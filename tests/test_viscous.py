@@ -381,6 +381,182 @@ def test_sharded_subgrid_viscous_hanging_matches_single():
                                rtol=2e-5, atol=2e-6)
 
 
+def _subgrid_channel(level=3, ext=8):
+    """x-walled subgrid channel at the plain tests' 64 cells/axis."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+
+    f = Forest.uniform(level, dim=2, periodic=(False, True))
+    return SubgridMesh.from_forest(f, SubgridSpec((ext, ext)))
+
+
+def test_subgrid_noslip_channel_decay_exact():
+    """EulerConfig(wall='noslip') on the SUBGRID path (the one-sided
+    wall shear as additive side extras, viscous_wall_sides): the channel
+    sin(pi x) mode decays at exactly nu pi^2; the slip wall conserves
+    the mode's momentum instead."""
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    t_end = 0.5
+    amps, mom = {}, {}
+    for wall in ("noslip", "slip"):
+        mesh = _subgrid_channel()
+        s = SubgridCompressibleEulerSolver(
+            mesh, _channel_ic, config=EulerConfig(mu=MU, wall=wall))
+        vols = np.repeat(np.asarray(mesh.volumes) / mesh.spec.size,
+                         mesh.spec.size)
+        mom0 = float((s.conserved_state().reshape(5, -1)[2] * vols).sum())
+        dt = s.compute_timestep()
+        n = int(round(t_end / dt))
+        s.iterate_many(n, t_end / n)
+        u = s.conserved_state().reshape(5, -1)
+        x = mesh.cell_centers()[:, 0]
+        amps[wall] = 2.0 * np.mean((u[2] / u[0]) * np.sin(np.pi * x))
+        mom[wall] = (float((u[2] * vols).sum()), mom0)
+    exact = V0 * np.exp(-MU * np.pi ** 2 * t_end)
+    assert abs(amps["noslip"] / exact - 1.0) < 0.01, (amps, exact)
+    m1, m0 = mom["slip"]
+    assert abs(m1 - m0) < 1e-5 * abs(m0), mom["slip"]
+    m1, m0 = mom["noslip"]
+    drained = m1 / m0
+    assert abs(drained - np.exp(-MU * np.pi ** 2 * t_end)) < 5e-4, drained
+
+
+def test_subgrid_moving_wall_couette_spinup_exact():
+    """wall_velocity on the subgrid path: the resting channel spins up
+    toward the y-moving walls; the deficit's sin(pi x) projection decays
+    at exactly nu pi^2 and the walls do positive work."""
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    U = 1e-2
+
+    def rest_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z,
+                         np.full_like(rho, 1.0 / (GAMMA - 1))])
+
+    mesh = _subgrid_channel()
+    s = SubgridCompressibleEulerSolver(
+        mesh, rest_ic, config=EulerConfig(mu=MU, wall="noslip",
+                                          wall_velocity=(0.0, U, 0.0)))
+    e0 = float(s.conserved_state().reshape(5, -1)[4].sum())
+    t_end = 0.5
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state().reshape(5, -1)
+    x = mesh.cell_centers()[:, 0]
+    p1 = 2.0 * np.mean((u[2] / u[0] - U) * np.sin(np.pi * x))
+    expected = (-U * 4 / np.pi) * np.exp(-MU * np.pi ** 2 * t_end)
+    assert abs(p1 / expected - 1.0) < 0.01, (p1, expected)
+    assert (u[2] / u[0]).mean() > 0.0
+    assert float(u[4].sum()) > e0
+
+
+def test_subgrid_isothermal_wall_conduction_exact():
+    """wall_temperature on the subgrid path: the sin(pi x) temperature
+    mode relaxes at exactly (nu/Pr) pi^2; adiabatic no-slip walls
+    conserve total energy instead."""
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    A0 = 1e-2
+
+    def hot_ic(c):
+        T = (1.0 + A0 * np.sin(np.pi * c[:, 0])).astype(np.float32)
+        p = np.ones(len(c), np.float32)
+        rho = p / T
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z, p / (GAMMA - 1)])
+
+    mesh = _subgrid_channel()
+    s = SubgridCompressibleEulerSolver(
+        mesh, hot_ic, config=EulerConfig(mu=MU, wall="noslip",
+                                         wall_temperature=1.0))
+    x = mesh.cell_centers()[:, 0]
+    t_end = 0.4
+    dt = s.compute_timestep()
+    n = int(round(t_end / dt))
+    s.iterate_many(n, t_end / n)
+    u = s.conserved_state().reshape(5, -1)
+    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / u[0]
+    T = (GAMMA - 1) * (u[4] - ke) / u[0]
+    amp = 2.0 * np.mean((T - 1.0) * np.sin(np.pi * x))
+    expected = A0 * np.exp(-(MU / 0.72) * np.pi ** 2 * t_end)
+    assert abs(amp / expected - 1.0) < 0.02, (amp, expected)
+
+    s2 = SubgridCompressibleEulerSolver(
+        _subgrid_channel(), hot_ic,
+        config=EulerConfig(mu=MU, wall="noslip"))
+    vols = np.repeat(np.asarray(s2.mesh.volumes) / s2.mesh.spec.size,
+                     s2.mesh.spec.size)
+    e0 = float((s2.conserved_state().reshape(5, -1)[4] * vols).sum())
+    s2.iterate_many(n, t_end / n)
+    e1 = float((s2.conserved_state().reshape(5, -1)[4] * vols).sum())
+    # adiabatic walls add EXACTLY zero energy flux (work = 0, no heat);
+    # the drift is the interior scheme's f32 accumulation over ~n steps
+    # (same 1e-5 budget as test_subgrid_viscous_decay_and_conservation)
+    assert abs(e1 - e0) < 1e-5 * abs(e0), (e0, e1)
+
+
+def test_subgrid_noslip_fused_matches_stencil():
+    """T8GPU_PALLAS=interpret (wall shear through the RK-fused kernel's
+    extras input) == the XLA stencil path on a walled viscous channel."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    cfg = EulerConfig(mu=MU, wall="noslip", wall_velocity=(0.0, 5e-3, 0.0))
+    mesh = _subgrid_channel(level=2)
+    s0 = SubgridCompressibleEulerSolver(mesh, _channel_ic, config=cfg)
+    for _ in range(3):
+        s0.iterate(5e-4)
+    u_ref = s0.conserved_state()
+
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    jax.clear_caches()
+    try:
+        s1 = SubgridCompressibleEulerSolver(mesh, _channel_ic, config=cfg)
+        for _ in range(3):
+            s1.iterate(5e-4)
+        u_kern = s1.conserved_state()
+    finally:
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+    np.testing.assert_allclose(u_kern.reshape(5, -1), u_ref.reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_subgrid_noslip_matches_single():
+    """Sharded subgrid no-slip walls == single-device (the wall extras
+    are local per shard; no extra halo round)."""
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    cfg = EulerConfig(mu=MU, wall="noslip", wall_temperature=1.0)
+    spec = SubgridSpec((4, 4))
+    f = Forest.uniform(3, dim=2, periodic=(False, True))
+    ref = SubgridCompressibleEulerSolver(SubgridMesh.from_forest(f, spec),
+                                         _channel_ic, config=cfg)
+    sh = ShardedSubgridEulerSolver(f, spec, _channel_ic, config=cfg,
+                                   devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state().reshape(5, -1),
+                               ref.conserved_state().reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+
+
 def test_subgrid_viscous_hanging_3d_free_stream_and_conserves():
     """3D hanging mesh with mu > 0: free stream exact, momentum/energy
     conserved (the dim-generic virtual-fine pass, 4 subfaces/face)."""
