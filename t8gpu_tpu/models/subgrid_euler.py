@@ -72,7 +72,7 @@ def _viscous_fused(conn, spec, order, gravity, mu) -> bool:
 def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
                   gravity, inv_cell_volume, mu=0.0, prandtl=0.72,
                   wall="slip", wall_velocity=(0.0, 0.0, 0.0),
-                  wall_temperature=None):
+                  wall_temperature=None, farfield=None):
     """The non-RK-fused (divergence, speed) closure: order 1/2, plus the
     unsplit gravity source and the viscous (Navier-Stokes) divergence
     when configured (ops/subgrid_viscous.py — hanging 2:1 faces handled
@@ -82,10 +82,12 @@ def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
 
     if order == 2:
         flux_fn = lambda v: sg.flux_divergence_muscl(
-            v, volumes, conn, spec, gamma, flux, limiter=limiter)
+            v, volumes, conn, spec, gamma, flux, limiter=limiter,
+            farfield=farfield)
     else:
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
-                                               gamma, flux)
+                                               gamma, flux,
+                                               farfield=farfield)
     if float(mu) > 0.0:
         from t8gpu_tpu.ops.subgrid_viscous import (viscous_divergence,
                                                    viscous_wall_sides)
@@ -123,31 +125,34 @@ def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
                    static_argnames=("spec", "gamma", "flux", "order",
                                     "limiter", "gravity", "mu", "prandtl",
                                     "wall", "wall_velocity",
-                                    "wall_temperature"),
+                                    "wall_temperature", "farfield"),
                    donate_argnames=("u",))
 def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               *, spec: SubgridSpec, gamma: float, flux: str,
               order: int = 1, limiter: str = "minmod",
               gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
               prandtl: float = 0.72, wall: str = "slip",
-              wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None):
+              wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
+              farfield=None):
     from t8gpu_tpu.ops.source import has_gravity
     if _viscous_fused(conn, spec, order, gravity, mu):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
                                 dt, inv_cell_volume, mu=float(mu),
                                 prandtl=float(prandtl), wall=wall,
                                 wall_velocity=wall_velocity,
-                                wall_temperature=wall_temperature)
+                                wall_temperature=wall_temperature,
+                                farfield=farfield)
     if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
                                 prandtl, wall, wall_velocity,
-                                wall_temperature)
+                                wall_temperature, farfield)
         return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
     if _use_fused_rk(conn, spec):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
-                                dt, inv_cell_volume)
-    flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma, flux)
+                                dt, inv_cell_volume, farfield=farfield)
+    flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma,
+                                           flux, farfield=farfield)
     return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
 
 
@@ -155,14 +160,15 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                    static_argnames=("spec", "gamma", "flux", "n_steps",
                                     "order", "limiter", "gravity", "mu",
                                     "prandtl", "wall", "wall_velocity",
-                                    "wall_temperature"),
+                                    "wall_temperature", "farfield"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str,
                order: int = 1, limiter: str = "minmod",
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
                prandtl: float = 0.72, wall: str = "slip",
-               wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None):
+               wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
+               farfield=None):
     """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
 
     Between adapt events the connectivity is static, so whole step batches
@@ -178,12 +184,13 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                                     dt, inv_cell_volume, mu=float(mu),
                                     prandtl=float(prandtl), wall=wall,
                                     wall_velocity=wall_velocity,
-                                    wall_temperature=wall_temperature)
+                                    wall_temperature=wall_temperature,
+                                    farfield=farfield)
     elif order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
                                 prandtl, wall, wall_velocity,
-                                wall_temperature)
+                                wall_temperature, farfield)
 
         def body(_i, carry):
             v, _ = carry
@@ -192,10 +199,11 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
         def body(_i, carry):
             v, _ = carry
             return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
-                                    dt, inv_cell_volume)
+                                    dt, inv_cell_volume, farfield=farfield)
     else:
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
-                                               gamma, flux)
+                                               gamma, flux,
+                                               farfield=farfield)
 
         def body(_i, carry):
             v, _ = carry
@@ -288,10 +296,11 @@ class SubgridCompressibleEulerSolver:
             **self._wall_kwargs())
 
     def _wall_kwargs(self) -> dict:
-        """Static no-slip wall parameters for the jitted steps.  The
-        subgrid wall model takes a UNIFORM wall velocity tuple; per-face
-        callables (e.g. only a cavity lid moving) are a plain-path
-        feature (ops/viscous.boundary_viscous_flux)."""
+        """Static boundary parameters for the jitted steps (wall model +
+        open boundaries).  The subgrid wall model takes a UNIFORM wall
+        velocity tuple; per-face callables (e.g. only a cavity lid
+        moving) are a plain-path feature
+        (ops/viscous.boundary_viscous_flux)."""
         wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
         if callable(wv):
             raise ValueError(
@@ -299,9 +308,25 @@ class SubgridCompressibleEulerSolver:
                 "per-face callables run on the plain-element path "
                 "(CompressibleEulerSolver)")
         wt = getattr(self.config, "wall_temperature", None)
-        return dict(wall=getattr(self.config, "wall", "slip"),
+        wall = getattr(self.config, "wall", "slip")
+        b = getattr(self.config, "boundary", "reflective")
+        ff = getattr(self.config, "farfield", None)
+        if b == "farfield":
+            if ff is None:
+                raise ValueError("boundary='farfield' needs farfield="
+                                 "(rho, vx, vy, vz, p)")
+            if wall == "noslip":
+                raise ValueError("farfield boundaries are open — no-slip "
+                                 "walls do not compose with them")
+            ff = tuple(float(x) for x in ff)
+        elif b != "reflective":
+            raise ValueError(f"unknown boundary model: {b!r}")
+        else:
+            ff = None
+        return dict(wall=wall,
                     wall_velocity=tuple(float(x) for x in wv),
-                    wall_temperature=None if wt is None else float(wt))
+                    wall_temperature=None if wt is None else float(wt),
+                    farfield=ff)
 
     def _sg_limiter(self) -> str:
         # EulerConfig.limiter speaks the plain path's names ("bj"/"none");

@@ -308,13 +308,15 @@ def _mirror_rows(layer: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def pallas_side_inputs(q: tuple, conn, spec: SubgridSpec,
                        volumes: jnp.ndarray, q_ext: tuple | None = None,
-                       dt_inv=None):
+                       dt_inv=None, ghost_fields=None):
     """Inputs for ops.pallas_kernels.fused_flux_pallas: per side the
     RESOLVED equal/coarse neighbor facing layer (gather + coarse-window,
     identical to outer_apply pass 1) in unrotated field rows
     [C, *t_ext, E], plus the packed per-element weights [8, E]
     (row 0 = interior cell surface, rows 1+k = side-k mesh-face weight,
-    wall sides carrying the wall area with a mirrored own layer).
+    wall sides carrying the wall area with a mirrored own layer — or the
+    prescribed exterior state's field rows when `ghost_fields`
+    (farfield_field_rows) is given: open boundaries).
 
     `q_ext` supplies the gather source rows when the element axis is
     extended with received halo blocks (the sharded path); defaults to q.
@@ -349,12 +351,20 @@ def pallas_side_inputs(q: tuple, conn, spec: SubgridSpec,
                                  base)
             w = mask * area_t * (rel <= 0)
             if walls is not None:
-                own_layer = jnp.stack([
-                    jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
-                                         keepdims=False) for r in q])
                 wall_b = walls[k].reshape((1,) * (base.ndim - 1) + (-1,))
-                base = jnp.where(wall_b > 0, _mirror_rows(own_layer, a),
-                                 base)
+                if ghost_fields is not None:
+                    sub = jnp.stack([
+                        jnp.broadcast_to(
+                            g.reshape((1,) * (base.ndim - 1)),
+                            base.shape[1:])
+                        for g in ghost_fields])
+                else:
+                    own_layer = jnp.stack([
+                        jax.lax.index_in_dim(r, ext - 1 if hi else 0,
+                                             axis=a, keepdims=False)
+                        for r in q])
+                    sub = _mirror_rows(own_layer, a)
+                base = jnp.where(wall_b > 0, sub, base)
                 w = w + walls[k] * area_t
             others.append(base)
             w_rows.append(w)
@@ -410,12 +420,15 @@ def muscl_side_inputs(u: jnp.ndarray, conn, spec: SubgridSpec,
 
 
 def _state_side_layers(u: jnp.ndarray, conn, spec: SubgridSpec,
-                       volumes: jnp.ndarray, u_ext: jnp.ndarray = None):
+                       volumes: jnp.ndarray, u_ext: jnp.ndarray = None,
+                       ghost: jnp.ndarray = None):
     """Per side, the RESOLVED equal/coarse neighbor facing layer as 5-row
     STATE slabs [5, *t_ext, E] (the RK-fused kernel derives their fields
     in VMEM).  The coarse-window resolution is a pure cell selection, so
-    applying it to states is exact.  Wall sides get the mirrored own
-    facing layer (negated normal momentum, ref kernels.inl:913-1107).
+    applying it to states is exact.  Boundary sides get the mirrored own
+    facing layer (negated normal momentum, ref kernels.inl:913-1107) —
+    or, when `ghost` ([C] farfield state rows, farfield_state_rows) is
+    given, the prescribed exterior state (open boundaries).
     `u_ext` supplies the gather source (extended element axis in the
     sharded path); defaults to u."""
     ext = spec.extent
@@ -441,12 +454,16 @@ def _state_side_layers(u: jnp.ndarray, conn, spec: SubgridSpec,
                                  _coarse_window(base, conn.bits[k], spec),
                                  base)
             if walls is not None:
-                own_layer = jnp.stack([
-                    jax.lax.index_in_dim(r, ext - 1 if hi else 0, axis=a,
-                                         keepdims=False) for r in own_rows])
                 wall_b = walls[k].reshape((1,) * (base.ndim - 1) + (-1,))
-                base = jnp.where(wall_b > 0, _mirror_rows(own_layer, a),
-                                 base)
+                if ghost is not None:
+                    sub = ghost.reshape((C,) + (1,) * (base.ndim - 1))
+                else:
+                    own_layer = jnp.stack([
+                        jax.lax.index_in_dim(r, ext - 1 if hi else 0,
+                                             axis=a, keepdims=False)
+                        for r in own_rows])
+                    sub = _mirror_rows(own_layer, a)
+                base = jnp.where(wall_b > 0, sub, base)
             others.append(base)
     return tuple(others)
 
@@ -615,7 +632,7 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                   gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray,
                   mu: float = 0.0, prandtl: float = 0.72,
                   wall: str = "slip", wall_velocity=(0.0, 0.0, 0.0),
-                  wall_temperature=None):
+                  wall_temperature=None, farfield=None):
     """One SSP-RK3 step with every stage as ONE RK-fused Pallas kernel
     call: flux + divergence + stage update all in VMEM; between stages
     XLA regathers the 2*dim neighbor layer slabs (plus the hanging-fine
@@ -646,6 +663,13 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
 
     any_hang = any_fine or any(conn.has_coarse)
     noslip = viscous and wall == "noslip" and bool(conn.b_groups)
+    ghost5 = ghost7 = ghost_q = None
+    if farfield is not None and conn.b_groups:
+        ghost5 = farfield_state_rows(farfield, gamma, 5, u.dtype)
+        ghost7 = (farfield_state_rows(farfield, gamma, 7, u.dtype)
+                  if use_logs else None)
+        ghost_q = (farfield_field_rows(farfield, gamma, flux, u.dtype)
+                   if use_fields else None)
 
     def stage(u_stage, u_prev, coeffs):
         if any_fine:
@@ -679,7 +703,8 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
             # kernel consumes [7, ...] (state + log rho + log p) and
             # derives all fields log-free (incl. the neighbor layers)
             u7 = append_log_rows(u_stage, gamma)
-            others = _state_side_layers(u7, conn, spec, volumes)
+            others = _state_side_layers(u7, conn, spec, volumes,
+                                        ghost=ghost7)
             u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
@@ -689,13 +714,15 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
         elif use_fields:
             q = cell_fields_tuple(u_stage, gamma, flux)
             others, w_q = pallas_side_inputs(q, conn, spec, volumes,
-                                             dt_inv=dt * inv_cell_volume)
+                                             dt_inv=dt * inv_cell_volume,
+                                             ghost_fields=ghost_q)
             u_n, sp = fused_rk_stage_fields_pallas(
                 jnp.stack(q), u_prev, w_q, others, gamma=gamma, flux=flux,
                 coeffs=coeffs, interpret=interp,
                 extra_sides=sides, extras=extras)
         else:
-            others = _state_side_layers(u_stage, conn, spec, volumes)
+            others = _state_side_layers(u_stage, conn, spec, volumes,
+                                        ghost=ghost5)
             u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
@@ -826,10 +853,12 @@ def boundary_apply(D: jnp.ndarray, q_flat: tuple,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("spec", "gamma", "flux", "use_pallas"))
+                   static_argnames=("spec", "gamma", "flux", "use_pallas",
+                                    "farfield"))
 def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                     conn: SubgridConnectivity, spec: SubgridSpec,
-                    gamma: float, flux: str, use_pallas=None):
+                    gamma: float, flux: str, use_pallas=None,
+                    farfield=None):
     """Full surface-flux divergence for the subgrid scheme:
     inner + outer + boundary.  u: [5, *ext, Ecap].  Returns (D, max_speed).
 
@@ -851,10 +880,13 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     explicit = use_pallas
     if use_pallas is None:
         use_pallas = mode != "off"
+    ghost_f = (farfield_field_rows(farfield, gamma, flux, u.dtype)
+               if farfield is not None else None)
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
     if use_pallas and spec.extent in (4, 8):
         from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas
-        others, weights = pallas_side_inputs(q, conn, spec, volumes)
+        others, weights = pallas_side_inputs(q, conn, spec, volumes,
+                                             ghost_fields=ghost_f)
         D, sp_e = fused_flux_pallas(jnp.stack(q), weights, others,
                                     gamma=gamma, flux=flux,
                                     interpret=mode == "interpret")
@@ -873,7 +905,8 @@ def flux_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
         D, sp_o = outer_apply(D, q, conn, spec, volumes, gamma, flux)
         if conn.b_groups:
             D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q),
-                                     conn, spec, gamma, flux)
+                                     conn, spec, gamma, flux,
+                                     ghost_fields=ghost_f)
             sp_o = jnp.maximum(sp_o, sp_b)
     return D, jnp.maximum(sp_i, sp_o)
 
@@ -890,7 +923,7 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
                           conn: SubgridConnectivity, spec: SubgridSpec,
                           gamma: float, flux: str,
                           limiter: str = "minmod",
-                          positivity: bool = True):
+                          positivity: bool = True, farfield=None):
     """Second-order MUSCL flux divergence for the subgrid scheme
     (beyond-reference; the reference's subgrid kernels consume cell states
     directly, kernels.inl:335-911).  u: [5, *ext, Ecap] -> (D, max_speed).
@@ -936,8 +969,11 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
                           exclude_equal=True)
     speed = jnp.maximum(speed, sp_o)
     if conn.b_groups:
+        ghost_f = (farfield_field_rows(farfield, gamma, flux, u.dtype)
+                   if farfield is not None else None)
         D, sp_b = boundary_apply(D, tuple(r.reshape(-1) for r in q),
-                                 conn, spec, gamma, flux)
+                                 conn, spec, gamma, flux,
+                                 ghost_fields=ghost_f)
         speed = jnp.maximum(speed, sp_b)
     return D, speed
 

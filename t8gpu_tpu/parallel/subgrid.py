@@ -258,7 +258,8 @@ def build_sharded_subgrid_connectivity(
 
 
 def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
-                                    gamma: float, flux: str):
+                                    gamma: float, flux: str,
+                                    farfield=None):
     """Per-shard flux divergence [5, *ext, CL] + GLOBAL max wave speed.
     Runs inside shard_map; one set of halo ppermute rounds per call.
     Element-minor layout throughout (see ops/subgrid.py).
@@ -282,22 +283,26 @@ def sharded_subgrid_flux_divergence(u, volumes, conn, spec: SubgridSpec,
     q_loc = tuple(r[..., :CL] for r in q_ext)
 
     from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+    ghost_f = (sg.farfield_field_rows(farfield, gamma, flux, u.dtype)
+               if farfield is not None else None)
     if spec.extent in (4, 8) and kernel_mode() != "off":
         # the fused Pallas kernel per shard (2D/3D, ext 8 or 4): resolved
         # neighbor layers come from the extended element axis, everything
         # else is the single-device path (fused_flux_pallas)
         return _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
-                                   spec, gamma, flux)
+                                   spec, gamma, flux, ghost_fields=ghost_f)
 
     D, sp_i = sg.inner_divergence_fields(q_loc, volumes, spec, gamma, flux)
     D, speed = _sharded_outer_boundary(D, sp_i, q_ext, CL, volumes, conn,
-                                       spec, gamma, flux)
+                                       spec, gamma, flux,
+                                       ghost_fields=ghost_f)
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
 def _sharded_outer_boundary(D, speed, q_ext, CL, volumes, conn,
                             spec: SubgridSpec, gamma: float, flux: str,
-                            exclude_equal: bool = False):
+                            exclude_equal: bool = False,
+                            ghost_fields=None):
     """Slab-exchange outer fluxes + reflective walls from extended-axis
     fields — the per-shard mirror of ops/subgrid.outer_apply +
     boundary_apply.  exclude_equal skips equal-level mesh faces (they are
@@ -371,7 +376,12 @@ def _sharded_outer_boundary(D, speed, q_ext, CL, volumes, conn,
         from t8gpu_tpu.ops.euler import fields_mirror
         q_own = sg.fields_axis_rotate(tuple(r[bc] for r in q_ext_flat),
                                       axis)
-        q_ghost = fields_mirror(q_own)
+        if ghost_fields is None:
+            q_ghost = fields_mirror(q_own)
+        else:
+            q_ghost = sg.fields_axis_rotate(
+                tuple(jnp.broadcast_to(g, o.shape)
+                      for g, o in zip(ghost_fields, q_own)), axis)
         if sign > 0:
             f, sp = sg.fields_flux(q_own, q_ghost, gamma=gamma, flux=flux)
         else:
@@ -389,7 +399,8 @@ def _sharded_outer_boundary(D, speed, q_ext, CL, volumes, conn,
 def sharded_subgrid_flux_divergence_muscl(u, volumes, conn,
                                            spec: SubgridSpec, gamma: float,
                                            flux: str,
-                                           limiter: str = "minmod"):
+                                           limiter: str = "minmod",
+                                           farfield=None):
     """Per-shard second-order MUSCL flux divergence — the multi-chip
     mirror of ops/subgrid.flux_divergence_muscl.
 
@@ -426,19 +437,24 @@ def sharded_subgrid_flux_divergence_muscl(u, volumes, conn,
 
     # hanging (2:1) faces + walls: first-order closure, equal excluded
     q_ext = maybe_barrier(cell_fields_tuple(u_ext, gamma, flux))
+    ghost_f = (sg.farfield_field_rows(farfield, gamma, flux, u.dtype)
+               if farfield is not None else None)
     D, speed = _sharded_outer_boundary(D, speed, q_ext, CL, volumes, conn,
                                        spec, gamma, flux,
-                                       exclude_equal=True)
+                                       exclude_equal=True,
+                                       ghost_fields=ghost_f)
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
 def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
-                        spec: SubgridSpec, gamma: float, flux: str):
+                        spec: SubgridSpec, gamma: float, flux: str,
+                        ghost_fields=None):
     """Per-shard fused-Pallas flux path (2D/3D, ext 8 or 4): the kernel
     covers interior + equal/coarse mesh faces + walls (mirrored side
-    layers); only hanging-fine contributions stay XLA-side, gathering
-    from the extended axis (same structure as ops/subgrid.flux_divergence
-    with extended-axis gather sources)."""
+    layers — or the farfield ghost when `ghost_fields` is given); only
+    hanging-fine contributions stay XLA-side, gathering from the
+    extended axis (same structure as ops/subgrid.flux_divergence with
+    extended-axis gather sources)."""
     from t8gpu_tpu.ops.pallas_kernels import fused_flux_pallas, kernel_mode
 
     dim = spec.dim
@@ -449,7 +465,8 @@ def _sharded_fused_flux(u, u_ext, q_ext, q_loc, volumes, conn,
     area_v = (h_e / ext) ** n_t / (2 ** n_t)
 
     others, weights = sg.pallas_side_inputs(q_loc, conn, spec, volumes,
-                                            q_ext=q_ext)
+                                            q_ext=q_ext,
+                                            ghost_fields=ghost_fields)
     D, sp_e = fused_flux_pallas(jnp.stack(q_loc), weights, others,
                                 gamma=gamma, flux=flux,
                                 interpret=kernel_mode() == "interpret")
@@ -549,7 +566,7 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                           mu: float = 0.0, prandtl: float = 0.72,
                           wall: str = "slip",
                           wall_velocity=(0.0, 0.0, 0.0),
-                          wall_temperature=None):
+                          wall_temperature=None, farfield=None):
     """One SSP-RK3 step per shard with RK-fused Pallas stage kernels
     (runs inside shard_map; preconditions: sg.can_fuse_rk on the shard
     tables).  Each stage: halo ppermute rounds, resolve neighbor layers
@@ -576,6 +593,13 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
 
     any_hang = any_fine or any(conn.has_coarse)
     noslip = viscous and wall == "noslip" and bool(conn.b_groups)
+    ghost5 = ghost7 = ghost_q = None
+    if farfield is not None and conn.b_groups:
+        ghost5 = sg.farfield_state_rows(farfield, gamma, 5, u.dtype)
+        ghost7 = (sg.farfield_state_rows(farfield, gamma, 7, u.dtype)
+                  if use_logs else None)
+        ghost_q = (sg.farfield_field_rows(farfield, gamma, flux, u.dtype)
+                   if use_fields else None)
 
     def stage(u_stage, u_prev, coeffs):
         u_ext = _halo_exchange_state(u_stage, conn)
@@ -614,7 +638,7 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
             u7_ext = sg.append_log_rows(u_ext, gamma)
             u7 = u7_ext[..., :CL]
             others = sg._state_side_layers(u7, conn, spec, volumes,
-                                           u_ext=u7_ext)
+                                           u_ext=u7_ext, ghost=ghost7)
             u_n, sp = fused_rk_stage_pallas(u7, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
@@ -628,14 +652,15 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
             q_loc = tuple(r[..., :CL] for r in q_ext)
             others, w_q = sg.pallas_side_inputs(q_loc, conn, spec, volumes,
                                                 q_ext=q_ext,
-                                                dt_inv=dt * inv_cv)
+                                                dt_inv=dt * inv_cv,
+                                                ghost_fields=ghost_q)
             u_n, sp = fused_rk_stage_fields_pallas(
                 jnp.stack(q_loc), u_prev, w_q, others, gamma=gamma,
                 flux=flux, coeffs=coeffs, interpret=interp,
                 extra_sides=sides, extras=extras)
         else:
             others = sg._state_side_layers(u_stage, conn, spec, volumes,
-                                           u_ext=u_ext)
+                                           u_ext=u_ext, ghost=ghost5)
             u_n, sp = fused_rk_stage_pallas(u_stage, u_prev, w, others,
                                             gamma=gamma, flux=flux,
                                             coeffs=coeffs, interpret=interp,
@@ -755,6 +780,20 @@ class ShardedSubgridEulerSolver:
         wv = tuple(float(x) for x in wv)
         wt = getattr(self.config, "wall_temperature", None)
         wt = None if wt is None else float(wt)
+        b = getattr(self.config, "boundary", "reflective")
+        ff = getattr(self.config, "farfield", None)
+        if b == "farfield":
+            if ff is None:
+                raise ValueError("boundary='farfield' needs farfield="
+                                 "(rho, vx, vy, vz, p)")
+            if wall == "noslip":
+                raise ValueError("farfield boundaries are open — no-slip "
+                                 "walls do not compose with them")
+            ff = tuple(float(x) for x in ff)
+        elif b != "reflective":
+            raise ValueError(f"unknown boundary model: {b!r}")
+        else:
+            ff = None
         sgspec = self.spec
         u_spec = self._u_spec()
 
@@ -779,16 +818,17 @@ class ShardedSubgridEulerSolver:
                                                  mu=mu, prandtl=prandtl,
                                                  wall=wall,
                                                  wall_velocity=wv,
-                                                 wall_temperature=wt)
+                                                 wall_temperature=wt,
+                                                 farfield=ff)
             elif order == 2 or grav or mu > 0.0:
                 if order == 2:
                     flux_fn = (lambda v:
                                sharded_subgrid_flux_divergence_muscl(
                                    v, volumes, conn, sgspec, gamma, flux,
-                                   limiter))
+                                   limiter, farfield=ff))
                 else:
                     flux_fn = lambda v: sharded_subgrid_flux_divergence(
-                        v, volumes, conn, sgspec, gamma, flux)
+                        v, volumes, conn, sgspec, gamma, flux, farfield=ff)
                 if mu > 0.0:
                     flux_fn = _sharded_subgrid_viscous_wrap(
                         flux_fn, volumes, conn, sgspec, gamma, mu, prandtl,
@@ -805,10 +845,11 @@ class ShardedSubgridEulerSolver:
                 def body(_i, carry):
                     v, _ = carry
                     return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
-                                                 gamma, flux, dt, inv_cv)
+                                                 gamma, flux, dt, inv_cv,
+                                                 farfield=ff)
             else:
                 flux_fn = lambda v: sharded_subgrid_flux_divergence(
-                    v, volumes, conn, sgspec, gamma, flux)
+                    v, volumes, conn, sgspec, gamma, flux, farfield=ff)
 
                 def body(_i, carry):
                     v, _ = carry

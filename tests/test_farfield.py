@@ -97,3 +97,115 @@ def test_validation_errors():
             mesh, uni_ic,
             config=EulerConfig(boundary="farfield", farfield=FF,
                                mu=1e-3, wall="noslip"))
+
+
+# ---------------------------------------------------------------------------
+# Subgrid path: the farfield ghost substitutes the mirror in the side-layer
+# builders (ops/subgrid._state_side_layers / pallas_side_inputs /
+# boundary_apply), so open boundaries ride both the XLA stencil and the
+# fused Pallas kernels.
+# ---------------------------------------------------------------------------
+
+
+def _sg_mesh(level=2, ext=8):
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+
+    f = Forest.uniform(level, dim=2, periodic=False)
+    return SubgridMesh.from_forest(f, SubgridSpec((ext, ext)))
+
+
+def test_subgrid_free_stream_passes_through():
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    s = SubgridCompressibleEulerSolver(_sg_mesh(), uni_ic, config=CFG)
+    u0 = s.conserved_state().copy()
+    for _ in range(10):
+        s.iterate(2e-3)
+    assert np.abs(s.conserved_state() - u0).max() < 1e-5
+
+
+def test_subgrid_bump_exits_without_reflection():
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    mesh = _sg_mesh(level=2, ext=8)          # 32 cells/axis
+    s = SubgridCompressibleEulerSolver(mesh, bump_ic, config=CFG)
+    dt = s.compute_timestep()
+    s.iterate_many(700, dt)
+    u = s.conserved_state()
+    assert np.isfinite(u).all()
+    assert np.abs(u[0] - FF[0]).max() < 1e-4
+
+
+def test_subgrid_farfield_fused_matches_stencil():
+    """T8GPU_PALLAS=interpret (farfield ghost as the kernels' wall side
+    layers) == the XLA stencil path, order 1 and order 2."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    for order in (1, 2):
+        cfg = EulerConfig(flux="hllc", boundary="farfield", farfield=FF,
+                          order=order)
+        mesh = _sg_mesh()
+        s0 = SubgridCompressibleEulerSolver(mesh, bump_ic, config=cfg)
+        for _ in range(3):
+            s0.iterate(1e-3)
+        u_ref = s0.conserved_state()
+
+        os.environ["T8GPU_PALLAS"] = "interpret"
+        jax.clear_caches()
+        try:
+            s1 = SubgridCompressibleEulerSolver(mesh, bump_ic, config=cfg)
+            for _ in range(3):
+                s1.iterate(1e-3)
+            u_kern = s1.conserved_state()
+        finally:
+            os.environ.pop("T8GPU_PALLAS", None)
+            jax.clear_caches()
+        np.testing.assert_allclose(u_kern.reshape(5, -1),
+                                   u_ref.reshape(5, -1),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_subgrid_farfield_sharded_matches_single():
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    spec = SubgridSpec((4, 4))
+    f = Forest.uniform(3, dim=2, periodic=False)
+    ref = SubgridCompressibleEulerSolver(SubgridMesh.from_forest(f, spec),
+                                         bump_ic, config=CFG)
+    sh = ShardedSubgridEulerSolver(f, spec, bump_ic, config=CFG,
+                                   devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state().reshape(5, -1),
+                               ref.conserved_state().reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_subgrid_validation_errors():
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    mesh = _sg_mesh()
+    with pytest.raises(ValueError, match="farfield"):
+        s = SubgridCompressibleEulerSolver(
+            mesh, uni_ic, config=EulerConfig(boundary="farfield"))
+        s.iterate(1e-3)
+    with pytest.raises(ValueError, match="no-slip"):
+        s = SubgridCompressibleEulerSolver(
+            mesh, uni_ic,
+            config=EulerConfig(boundary="farfield", farfield=FF,
+                               mu=1e-3, wall="noslip"))
+        s.iterate(1e-3)
