@@ -57,16 +57,15 @@ def _use_fused_rk(conn, spec) -> bool:
     return sg.can_fuse_rk(conn, spec) and kernel_mode() != "off"
 
 
-def _viscous_fused(conn, spec, order, gravity, mu) -> bool:
-    """mu > 0 rides the RK-fused Pallas kernels (the in-VMEM viscous
-    divergence, ops/pallas_kernels._tile_viscous_divergence; hanging 2:1
-    viscous fluxes as additive side extras,
-    ops/subgrid_viscous.viscous_hanging_sides) when the configuration is
-    first-order and gravity-free."""
-    from t8gpu_tpu.ops.source import has_gravity
-
-    return (float(mu) > 0.0 and order == 1 and not has_gravity(gravity)
-            and _use_fused_rk(conn, spec))
+def _fused_path(conn, spec, order) -> bool:
+    """EVERY first-order configuration rides the RK-fused Pallas kernels
+    on TPU backends: viscosity runs in-VMEM
+    (ops/pallas_kernels._tile_viscous_divergence) with hanging 2:1 and
+    no-slip wall fluxes as additive side extras
+    (ops/subgrid_viscous.viscous_hanging_sides / viscous_wall_sides),
+    gravity as the in-kernel unsplit source, farfield as the ghost side
+    layers.  Order 2 has its own fused kernel (flux_divergence_muscl)."""
+    return order == 1 and _use_fused_rk(conn, spec)
 
 
 def _base_flux_fn(conn, volumes, spec, gamma, flux, order, limiter,
@@ -135,22 +134,19 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
               farfield=None):
     from t8gpu_tpu.ops.source import has_gravity
-    if _viscous_fused(conn, spec, order, gravity, mu):
+    if _fused_path(conn, spec, order):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
                                 dt, inv_cell_volume, mu=float(mu),
                                 prandtl=float(prandtl), wall=wall,
                                 wall_velocity=wall_velocity,
                                 wall_temperature=wall_temperature,
-                                farfield=farfield)
+                                farfield=farfield, gravity=tuple(gravity))
     if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
                                 prandtl, wall, wall_velocity,
                                 wall_temperature, farfield)
         return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
-    if _use_fused_rk(conn, spec):
-        return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
-                                dt, inv_cell_volume, farfield=farfield)
     flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec, gamma,
                                            flux, farfield=farfield)
     return rk.ssp_rk3(u, flux_fn, dt, inv_cell_volume)
@@ -177,7 +173,7 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
     from t8gpu_tpu.ops.source import has_gravity
-    if _viscous_fused(conn, spec, order, gravity, mu):
+    if _fused_path(conn, spec, order):
         def body(_i, carry):
             v, _ = carry
             return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
@@ -185,7 +181,8 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                                     prandtl=float(prandtl), wall=wall,
                                     wall_velocity=wall_velocity,
                                     wall_temperature=wall_temperature,
-                                    farfield=farfield)
+                                    farfield=farfield,
+                                    gravity=tuple(gravity))
     elif order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
@@ -195,11 +192,6 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
         def body(_i, carry):
             v, _ = carry
             return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
-    elif _use_fused_rk(conn, spec):
-        def body(_i, carry):
-            v, _ = carry
-            return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
-                                    dt, inv_cell_volume, farfield=farfield)
     else:
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
                                                gamma, flux,

@@ -683,7 +683,8 @@ def _tile_viscous_divergence(q, others_q, wv_ref, surface, dim: int,
 def _fused_rk_kernel(u_ref, *refs,
                      gamma: float, flux: str, coeffs, dim: int, ext: int,
                      extra_sides=(), share_prev: bool = False,
-                     mu: float = 0.0, prandtl: float = 0.72):
+                     mu: float = 0.0, prandtl: float = 0.72,
+                     gravity=(0.0, 0.0, 0.0)):
     """u_next = a*u_prev + b*u_stage + c*(dt/V_cell)*(D(u_stage) + extras).
     u/up [5, *(ext,)*dim, TE] states — or [7, ...] with rows 5-6 carrying
     XLA-precomputed [log rho, log p] (RK_STAGE_INPUTS="logs": the kernel
@@ -739,6 +740,25 @@ def _fused_rk_kernel(u_ref, *refs,
         idx = jax.lax.broadcasted_iota(jnp.int32, D.shape, 1 + a)
         D = D + jnp.where(idx == at, jnp.expand_dims(x_ref[...], 1 + a), 0.0)
 
+    g = tuple(float(c) for c in gravity)
+    if any(c != 0.0 for c in g):
+        # unsplit gravity source IN-KERNEL (ops/source.with_gravity's
+        # math): D carries surface-integral units, so the source enters
+        # as S * V_cell.  V_cell derives from the surface row (w[0] =
+        # h_cell^(dim-1), 0 on guard slots — which zeroes the source on
+        # padding exactly like volume_from_inverse).
+        surface = w_ref[0]
+        v_cell = (surface * surface if dim == 2
+                  else surface * jnp.sqrt(surface))
+        zero = jnp.zeros_like(u_rows[0])
+        src = jnp.stack([
+            zero,
+            u_rows[0] * g[0] if g[0] else zero,
+            u_rows[0] * g[1] if g[1] else zero,
+            u_rows[0] * g[2] if g[2] else zero,
+            u_rows[1] * g[0] + u_rows[2] * g[1] + u_rows[3] * g[2],
+        ])
+        D = D + src * v_cell
     u_b = u_ref[...] if C_in == 5 else u_ref[:5]
     up_b = u_b if up_ref is None else up_ref[...]
     out_ref[...] = a_c * up_b + b_c * u_b + c_c * dt_inv * D
@@ -749,13 +769,14 @@ def _fused_rk_kernel(u_ref, *refs,
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "coeffs", "tile",
                                     "interpret", "extra_sides", "mu",
-                                    "prandtl"))
+                                    "prandtl", "gravity"))
 def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
                           weights: jnp.ndarray, others,
                           gamma: float, flux: str, coeffs,
                           tile: int = 128, interpret: bool = False,
                           extra_sides=(), extras=(), viscous_weights=None,
-                          mu: float = 0.0, prandtl: float = 0.72):
+                          mu: float = 0.0, prandtl: float = 0.72,
+                          gravity=(0.0, 0.0, 0.0)):
     """One SSP-RK stage fully in-kernel (see _fused_rk_kernel).
     u_stage/u_prev: [5, *(ext,)*dim, E] (dim 2 or 3, ext 8 or 4);
     u_prev may be None when it equals u_stage (stage 1) — the kernel then
@@ -808,7 +829,7 @@ def fused_rk_stage_pallas(u_stage: jnp.ndarray, u_prev,
         functools.partial(_fused_rk_kernel, gamma=gamma, flux=flux,
                           coeffs=coeffs, dim=dim, ext=ext,
                           extra_sides=extra_sides, share_prev=share_prev,
-                          mu=mu, prandtl=prandtl),
+                          mu=mu, prandtl=prandtl, gravity=gravity),
         grid=grid,
         in_specs=[pl.BlockSpec(blk_in, idx_blk)]
                  + [pl.BlockSpec(blk5, idx_blk)] * len(prev_ops)

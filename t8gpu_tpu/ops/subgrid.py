@@ -632,7 +632,8 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                   gamma: float, flux: str, dt, inv_cell_volume: jnp.ndarray,
                   mu: float = 0.0, prandtl: float = 0.72,
                   wall: str = "slip", wall_velocity=(0.0, 0.0, 0.0),
-                  wall_temperature=None, farfield=None):
+                  wall_temperature=None, farfield=None,
+                  gravity=(0.0, 0.0, 0.0)):
     """One SSP-RK3 step with every stage as ONE RK-fused Pallas kernel
     call: flux + divergence + stage update all in VMEM; between stages
     XLA regathers the 2*dim neighbor layer slabs (plus the hanging-fine
@@ -655,7 +656,11 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
     viscous = float(mu) > 0.0
-    use_fields = RK_STAGE_INPUTS == "fields" and not viscous
+    grav = tuple(float(c) for c in gravity)
+    has_grav = any(c != 0.0 for c in grav)
+    # the fields-input stage kernel has no primitive-recovery path for
+    # viscous terms or the in-kernel gravity source: force state mode
+    use_fields = RK_STAGE_INPUTS == "fields" and not viscous and not has_grav
     use_logs = RK_STAGE_INPUTS == "logs" and flux == "kepes"
     wv = (viscous_weight_rows(conn, spec, volumes) if viscous else None)
     if not use_fields:
@@ -710,7 +715,8 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                                             coeffs=coeffs, interpret=interp,
                                             extra_sides=sides, extras=extras,
                                             viscous_weights=wv,
-                                            mu=float(mu), prandtl=float(prandtl))
+                                            mu=float(mu), prandtl=float(prandtl),
+                                            gravity=grav)
         elif use_fields:
             q = cell_fields_tuple(u_stage, gamma, flux)
             others, w_q = pallas_side_inputs(q, conn, spec, volumes,
@@ -728,7 +734,8 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
                                             coeffs=coeffs, interpret=interp,
                                             extra_sides=sides, extras=extras,
                                             viscous_weights=wv,
-                                            mu=float(mu), prandtl=float(prandtl))
+                                            mu=float(mu), prandtl=float(prandtl),
+                                            gravity=grav)
         return u_n, jnp.maximum(sp.max(), sp_f)
 
     # stage 1: u_prev == u, passed as None so the kernel reads ONE state

@@ -566,7 +566,8 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                           mu: float = 0.0, prandtl: float = 0.72,
                           wall: str = "slip",
                           wall_velocity=(0.0, 0.0, 0.0),
-                          wall_temperature=None, farfield=None):
+                          wall_temperature=None, farfield=None,
+                          gravity=(0.0, 0.0, 0.0)):
     """One SSP-RK3 step per shard with RK-fused Pallas stage kernels
     (runs inside shard_map; preconditions: sg.can_fuse_rk on the shard
     tables).  Each stage: halo ppermute rounds, resolve neighbor layers
@@ -585,7 +586,10 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
     interp = kernel_mode() == "interpret"
     any_fine = any(conn.has_fine)
     viscous = float(mu) > 0.0
-    use_fields = sg.RK_STAGE_INPUTS == "fields" and not viscous
+    grav = tuple(float(c) for c in gravity)
+    has_grav = any(c != 0.0 for c in grav)
+    use_fields = (sg.RK_STAGE_INPUTS == "fields" and not viscous
+                  and not has_grav)
     use_logs = sg.RK_STAGE_INPUTS == "logs" and flux == "kepes"
     wv = (sg.viscous_weight_rows(conn, spec, volumes) if viscous else None)
     if not use_fields:
@@ -645,7 +649,8 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                                             extra_sides=sides, extras=extras,
                                             viscous_weights=wv,
                                             mu=float(mu),
-                                            prandtl=float(prandtl))
+                                            prandtl=float(prandtl),
+                                            gravity=grav)
         elif use_fields:
             CL = u_stage.shape[-1]
             q_ext = cell_fields_tuple(u_ext, gamma, flux)
@@ -667,7 +672,8 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
                                             extra_sides=sides, extras=extras,
                                             viscous_weights=wv,
                                             mu=float(mu),
-                                            prandtl=float(prandtl))
+                                            prandtl=float(prandtl),
+                                            gravity=grav)
         return u_n, jnp.maximum(sp.max(), sp_f)
 
     # stage 1: u_prev == u, passed as None so the kernel reads ONE state
@@ -805,12 +811,12 @@ class ShardedSubgridEulerSolver:
             from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
             conn = jax.tree.map(lambda x: x[0], conn)
-            if (mu > 0.0 and order == 1 and not grav
-                    and sg.can_fuse_rk(conn, sgspec)
+            if (order == 1 and sg.can_fuse_rk(conn, sgspec)
                     and kernel_mode() != "off"):
-                # viscous RK-fused path: the in-VMEM Navier-Stokes
-                # divergence rides the stage kernels (hanging 2:1 faces
-                # as additive side extras)
+                # RK-fused path for EVERY first-order configuration:
+                # viscosity in-VMEM (hanging 2:1 + no-slip walls as
+                # additive side extras), gravity as the in-kernel
+                # unsplit source, farfield as the ghost side layers
                 def body(_i, carry):
                     v, _ = carry
                     return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
@@ -819,7 +825,8 @@ class ShardedSubgridEulerSolver:
                                                  wall=wall,
                                                  wall_velocity=wv,
                                                  wall_temperature=wt,
-                                                 farfield=ff)
+                                                 farfield=ff,
+                                                 gravity=gravity)
             elif order == 2 or grav or mu > 0.0:
                 if order == 2:
                     flux_fn = (lambda v:
@@ -841,12 +848,6 @@ class ShardedSubgridEulerSolver:
                 def body(_i, carry):
                     v, _ = carry
                     return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
-            elif sg.can_fuse_rk(conn, sgspec) and kernel_mode() != "off":
-                def body(_i, carry):
-                    v, _ = carry
-                    return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
-                                                 gamma, flux, dt, inv_cv,
-                                                 farfield=ff)
             else:
                 flux_fn = lambda v: sharded_subgrid_flux_divergence(
                     v, volumes, conn, sgspec, gamma, flux, farfield=ff)

@@ -154,3 +154,50 @@ class TestConservationAndCoupling:
         u = s.conserved_state()
         assert np.isfinite(u).all()
         assert float(np.abs(u[2]).mean()) > 2 * my0   # buoyant acceleration
+
+
+def test_subgrid_gravity_fused_matches_stencil():
+    """T8GPU_PALLAS=interpret: the IN-KERNEL unsplit gravity source of
+    the RK-fused stage kernels (ops/pallas_kernels._fused_rk_kernel —
+    every first-order config now rides the fused path) == the XLA
+    with_gravity closure, on a nontrivial KH state; and the exact
+    uniform-acceleration solution holds through the kernels."""
+    import os
+
+    import jax
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+
+    cfg = EulerConfig(gravity=G)
+    mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2),
+                                   SubgridSpec((8, 8)))
+    s0 = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=2),
+                                        config=cfg)
+    for _ in range(3):
+        s0.iterate(1e-3)
+    u_ref = s0.conserved_state()
+
+    os.environ["T8GPU_PALLAS"] = "interpret"
+    jax.clear_caches()
+    try:
+        s1 = SubgridCompressibleEulerSolver(
+            mesh, lambda c: kh_planar(c, dim=2), config=cfg)
+        for _ in range(3):
+            s1.iterate(1e-3)
+        u_kern = s1.conserved_state()
+
+        s2 = SubgridCompressibleEulerSolver(mesh, uniform_ic, config=cfg)
+        dt, n = 1e-2, 20
+        s2.iterate_many(n, dt)
+        u2 = s2.conserved_state().reshape(5, -1)
+    finally:
+        os.environ.pop("T8GPU_PALLAS", None)
+        jax.clear_caches()
+    np.testing.assert_allclose(u_kern.reshape(5, -1), u_ref.reshape(5, -1),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(u2[2], G[1] * dt * n, rtol=1e-5)
+    np.testing.assert_allclose(u2[0], 1.0, rtol=1e-6)
