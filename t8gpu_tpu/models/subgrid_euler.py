@@ -57,6 +57,44 @@ def _use_fused_rk(conn, spec) -> bool:
     return sg.can_fuse_rk(conn, spec) and kernel_mode() != "off"
 
 
+def validate_subgrid_bc(config, plain_pointer: str) -> dict:
+    """Validate + normalize the boundary/wall options of an EulerConfig
+    into static kwargs for the subgrid step functions — the ONE
+    validator shared by the single-device and sharded subgrid solvers
+    (so the two cannot drift on which configs they accept).
+
+    The subgrid wall model takes a UNIFORM wall velocity tuple; per-face
+    callables (e.g. only a cavity lid moving) are a plain-path feature
+    (ops/viscous.boundary_viscous_flux) — `plain_pointer` names the
+    plain-path solver in the error."""
+    wv = getattr(config, "wall_velocity", (0.0, 0.0, 0.0))
+    if callable(wv):
+        raise ValueError(
+            "the subgrid path takes a uniform wall_velocity tuple; "
+            f"per-face callables run on the plain-element path "
+            f"({plain_pointer})")
+    wt = getattr(config, "wall_temperature", None)
+    wall = getattr(config, "wall", "slip")
+    b = getattr(config, "boundary", "reflective")
+    ff = getattr(config, "farfield", None)
+    if b == "farfield":
+        if ff is None:
+            raise ValueError("boundary='farfield' needs farfield="
+                             "(rho, vx, vy, vz, p)")
+        if wall == "noslip":
+            raise ValueError("farfield boundaries are open — no-slip "
+                             "walls do not compose with them")
+        ff = tuple(float(x) for x in ff)
+    elif b != "reflective":
+        raise ValueError(f"unknown boundary model: {b!r}")
+    else:
+        ff = None
+    return dict(wall=wall,
+                wall_velocity=tuple(float(x) for x in wv),
+                wall_temperature=None if wt is None else float(wt),
+                farfield=ff)
+
+
 def _fused_path(conn, spec, order) -> bool:
     """EVERY first-order configuration rides the RK-fused Pallas kernels
     on TPU backends: viscosity runs in-VMEM
@@ -288,37 +326,7 @@ class SubgridCompressibleEulerSolver:
             **self._wall_kwargs())
 
     def _wall_kwargs(self) -> dict:
-        """Static boundary parameters for the jitted steps (wall model +
-        open boundaries).  The subgrid wall model takes a UNIFORM wall
-        velocity tuple; per-face callables (e.g. only a cavity lid
-        moving) are a plain-path feature
-        (ops/viscous.boundary_viscous_flux)."""
-        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
-        if callable(wv):
-            raise ValueError(
-                "the subgrid path takes a uniform wall_velocity tuple; "
-                "per-face callables run on the plain-element path "
-                "(CompressibleEulerSolver)")
-        wt = getattr(self.config, "wall_temperature", None)
-        wall = getattr(self.config, "wall", "slip")
-        b = getattr(self.config, "boundary", "reflective")
-        ff = getattr(self.config, "farfield", None)
-        if b == "farfield":
-            if ff is None:
-                raise ValueError("boundary='farfield' needs farfield="
-                                 "(rho, vx, vy, vz, p)")
-            if wall == "noslip":
-                raise ValueError("farfield boundaries are open — no-slip "
-                                 "walls do not compose with them")
-            ff = tuple(float(x) for x in ff)
-        elif b != "reflective":
-            raise ValueError(f"unknown boundary model: {b!r}")
-        else:
-            ff = None
-        return dict(wall=wall,
-                    wall_velocity=tuple(float(x) for x in wv),
-                    wall_temperature=None if wt is None else float(wt),
-                    farfield=ff)
+        return validate_subgrid_bc(self.config, "CompressibleEulerSolver")
 
     def _sg_limiter(self) -> str:
         # EulerConfig.limiter speaks the plain path's names ("bj"/"none");

@@ -46,6 +46,8 @@ def fast_log(x: jnp.ndarray) -> jnp.ndarray:
     series handoff needs absolute accuracy).  ~18 VPU ops, all
     elementwise (bitcast/shift/and/select/FMA) — Mosaic-friendly.
     """
+    assert x.dtype == jnp.float32, \
+        f"fast_log is an f32 bit-pattern routine (got {x.dtype})"
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     e = jax.lax.shift_right_logical(bits, 23) - 127
     m = jax.lax.bitcast_convert_type(

@@ -686,23 +686,10 @@ def ssp_rk3_fused(u: jnp.ndarray, volumes: jnp.ndarray,
             # hanging 2:1 + no-slip wall viscous fluxes: merged into the
             # same additive side-layer extras the advective virtual-fine
             # pass uses
-            from t8gpu_tpu.ops.subgrid_viscous import (viscous_hanging_sides,
-                                                       viscous_wall_sides)
-            merged = dict(zip(sides, extras))
-            pairs = []
-            if any_hang:
-                pairs.append(viscous_hanging_sides(
-                    u_stage, volumes, conn, spec, gamma, float(mu),
-                    float(prandtl)))
-            if noslip:
-                pairs.append(viscous_wall_sides(
-                    u_stage, volumes, conn, spec, gamma, float(mu),
-                    float(prandtl), wall_velocity, wall_temperature))
-            for vs, vx in pairs:
-                for k, x in zip(vs, vx):
-                    merged[k] = merged[k] + x if k in merged else x
-            sides = tuple(sorted(merged))
-            extras = tuple(merged[k] for k in sides)
+            from t8gpu_tpu.ops.subgrid_viscous import merge_viscous_extras
+            sides, extras = merge_viscous_extras(
+                sides, extras, u_stage, volumes, conn, spec, gamma, mu,
+                prandtl, wall, wall_velocity, wall_temperature)
         if use_logs:
             # XLA evaluates the 2 transcendentals once per cell; the
             # kernel consumes [7, ...] (state + log rho + log p) and

@@ -38,9 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from t8gpu_tpu.memory.subgrid import SubgridSpec
-from t8gpu_tpu.ops.subgrid import (_coarse_window, _fine_interleave,
-                                   _gather_layers, _pool2, _slab_add,
-                                   _upsample2)
+from t8gpu_tpu.ops.subgrid import (_coarse_window, _expand_compact,
+                                   _fine_interleave, _gather_layers,
+                                   _pool2, _slab_add, _upsample2)
 from t8gpu_tpu.ops.viscous import primitive_rows
 
 
@@ -339,12 +339,17 @@ def viscous_hanging_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,
                 contrib = cb if hi else -cb
 
             # ---- coarse element at its FINER neighbors (virtual fine,
-            # pooled) ---------------------------------------------------
+            # pooled) — on the COMPACT fine-element axis (conn.fine_idx:
+            # only level-boundary elements), expanded by row gather, like
+            # the advective fine_side_extras: the dense variant of that
+            # pass measured 4x the whole step cost on a band-refined mesh
             if conn.has_fine[k]:
-                nb = _gather_layers(opp, nbr)        # [4, *t_ext, E, M]
-                fine = _fine_interleave(nb, spec)    # [4, *(2 t_ext), E]
-                mine = _upsample2(my, lay_axes)
-                hf = 0.5 * h
+                idxk = conn.fine_idx[k]              # [K]
+                my_k = _gather_layers(my, idxk[:, None])[..., 0]
+                nb = _gather_layers(opp, nbr[idxk])  # [4, *t_ext, K, M]
+                fine = _fine_interleave(nb, spec)    # [4, *(2 t_ext), K]
+                mine = _upsample2(my_k, lay_axes)
+                hf = 0.5 * h[idxk]
                 inv_d = 1.0 / (1.5 * hf)
                 dn = [(fine[j] - mine[j]) * inv_d if hi
                       else (mine[j] - fine[j]) * inv_d for j in range(4)]
@@ -352,7 +357,8 @@ def viscous_hanging_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,
                                for dz in _layer_dt(nb[:3], lay_axes,
                                                    hf[:, None]))
                 d_my_up = tuple(_upsample2(dz, lay_axes)
-                                for dz in _layer_dt(my[:3], lay_axes, h))
+                                for dz in _layer_dt(my_k[:3], lay_axes,
+                                                    h[idxk]))
                 face_dt = {t: {} for t in t_axes}
                 for ti, t in enumerate(t_axes):
                     for j in {t, a}:
@@ -361,15 +367,45 @@ def viscous_hanging_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,
                 v_f = [0.5 * (mine[j] + fine[j]) for j in range(dim)]
                 rows = _hanging_face_rows(dn, face_dt, v_f, a, t_axes,
                                           dim, mu, kappa)
-                w = mask * (rel == 1) * (hf ** (dim - 1)) * live
+                w = ((mask * (rel == 1) * live)[idxk]
+                     * (hf ** (dim - 1)))
                 wr = w.reshape((1,) * (rows[0].ndim - 1) + (-1,))
                 f2 = _pool2(jnp.stack(rows) * wr, n_t)
-                cf = f2 if hi else -f2
-                contrib = cf if contrib is None else contrib + cf
+                f2 = _expand_compact(f2 if hi else -f2, conn.fine_inv[k])
+                contrib = f2 if contrib is None else contrib + f2
 
             sides.append(k)
             contribs.append(contrib)
     return tuple(sides), tuple(contribs)
+
+
+def merge_viscous_extras(sides, extras, u_stage, volumes, conn, spec,
+                         gamma: float, mu: float, prandtl: float,
+                         wall: str, wall_velocity, wall_temperature,
+                         u_src=None):
+    """Merge the hanging 2:1 (viscous_hanging_sides) and no-slip wall
+    (viscous_wall_sides) viscous contributions into the advective side
+    extras — the additive input of the RK-fused stage kernels.  The ONE
+    merge shared by the single-device and sharded fused stages
+    (ops/subgrid.ssp_rk3_fused / parallel/subgrid.sharded_ssp_rk3_fused),
+    so the two paths the sharded==single equivalence tests keep in
+    lockstep cannot drift.  Returns (sides, extras) tuples sorted by
+    side index."""
+    merged = dict(zip(sides, extras))
+    pairs = []
+    if any(conn.has_fine) or any(conn.has_coarse):
+        pairs.append(viscous_hanging_sides(
+            u_stage, volumes, conn, spec, gamma, float(mu),
+            float(prandtl), u_src=u_src))
+    if wall == "noslip" and bool(conn.b_groups):
+        pairs.append(viscous_wall_sides(
+            u_stage, volumes, conn, spec, gamma, float(mu),
+            float(prandtl), wall_velocity, wall_temperature))
+    for vs, vx in pairs:
+        for k, x in zip(vs, vx):
+            merged[k] = merged[k] + x if k in merged else x
+    out = tuple(sorted(merged))
+    return out, tuple(merged[k] for k in out)
 
 
 def viscous_wall_sides(u: jnp.ndarray, volumes: jnp.ndarray, conn,

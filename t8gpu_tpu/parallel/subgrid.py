@@ -617,23 +617,11 @@ def sharded_ssp_rk3_fused(u, volumes, conn, spec: SubgridSpec,
             # extras input; the halo-extended gather source makes
             # shard-boundary hanging faces see identical operands on both
             # sides
-            from t8gpu_tpu.ops.subgrid_viscous import (viscous_hanging_sides,
-                                                       viscous_wall_sides)
-            merged = dict(zip(sides, extras))
-            pairs = []
-            if any_hang:
-                pairs.append(viscous_hanging_sides(
-                    u_stage, volumes, conn, spec, gamma, float(mu),
-                    float(prandtl), u_src=u_ext))
-            if noslip:
-                pairs.append(viscous_wall_sides(
-                    u_stage, volumes, conn, spec, gamma, float(mu),
-                    float(prandtl), wall_velocity, wall_temperature))
-            for vs, vx in pairs:
-                for k, x in zip(vs, vx):
-                    merged[k] = merged[k] + x if k in merged else x
-            sides = tuple(sorted(merged))
-            extras = tuple(merged[k] for k in sides)
+            from t8gpu_tpu.ops.subgrid_viscous import merge_viscous_extras
+            sides, extras = merge_viscous_extras(
+                sides, extras, u_stage, volumes, conn, spec, gamma, mu,
+                prandtl, wall, wall_velocity, wall_temperature,
+                u_src=u_ext)
         if use_logs:
             # append [log rho, log p] AFTER the halo exchange (5-row
             # ppermute traffic; the 2 transcendentals are evaluated for
@@ -776,30 +764,10 @@ class ShardedSubgridEulerSolver:
         grav = has_gravity(gravity)
         mu = float(getattr(self.config, "mu", 0.0))
         prandtl = float(getattr(self.config, "prandtl", 0.72))
-        wall = getattr(self.config, "wall", "slip")
-        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
-        if callable(wv):
-            raise ValueError(
-                "the subgrid path takes a uniform wall_velocity tuple; "
-                "per-face callables run on the plain-element path "
-                "(ShardedEulerSolver)")
-        wv = tuple(float(x) for x in wv)
-        wt = getattr(self.config, "wall_temperature", None)
-        wt = None if wt is None else float(wt)
-        b = getattr(self.config, "boundary", "reflective")
-        ff = getattr(self.config, "farfield", None)
-        if b == "farfield":
-            if ff is None:
-                raise ValueError("boundary='farfield' needs farfield="
-                                 "(rho, vx, vy, vz, p)")
-            if wall == "noslip":
-                raise ValueError("farfield boundaries are open — no-slip "
-                                 "walls do not compose with them")
-            ff = tuple(float(x) for x in ff)
-        elif b != "reflective":
-            raise ValueError(f"unknown boundary model: {b!r}")
-        else:
-            ff = None
+        from t8gpu_tpu.models.subgrid_euler import validate_subgrid_bc
+        bc = validate_subgrid_bc(self.config, "ShardedEulerSolver")
+        wall, wv = bc["wall"], bc["wall_velocity"]
+        wt, ff = bc["wall_temperature"], bc["farfield"]
         sgspec = self.spec
         u_spec = self._u_spec()
 

@@ -98,7 +98,7 @@ def test_fused_viscous_matches_xla(dim, ext, periodic):
 def test_solver_routes_viscous_through_fused_kernels():
     """SubgridCompressibleEulerSolver with mu > 0: the interpret-mode run
     (fused viscous stage kernels) matches the default XLA run step for
-    step — the _viscous_fused dispatch is transparent to users."""
+    step — the _fused_path dispatch is transparent to users."""
     spec = SubgridSpec((8, 8))
     mesh = SubgridMesh.from_forest(Forest.uniform(2, dim=2), spec)
     cfg = EulerConfig(mu=MU)
