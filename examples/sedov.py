@@ -1,0 +1,176 @@
+"""Sedov-Taylor point blast: strong-shock robustness + exact scaling.
+
+A finite energy deposited at a point in a cold uniform gas drives a
+self-similar blast wave — THE canonical strong-shock stress (the IC
+pressure ratio is ~1e5; the KH cases never leave O(1)).  Two
+parameter-free exact predictions are checked:
+
+  * shock radius R(t) = (E t^2 / (alpha rho0))^(1/(dim+2)) — the
+    EXPONENT 2/(dim+2) (0.5 in 2D cylindrical, 0.4 in 3D spherical)
+    is independent of the unknown similarity constant alpha;
+  * the strong-shock Rankine-Hugoniot density jump
+    (gamma+1)/(gamma-1) = 6 at gamma=1.4, the ceiling the peak
+    compression approaches under refinement.
+
+    python examples/sedov.py --level 7 --order 2 --limiter venkat
+
+The reference ships no blast case and no quantitative validation at
+all (SURVEY.md §4); its acceptance artifact is visual VTK inspection.
+`--vtk` writes one of those too.
+"""
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+from t8gpu_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+from t8gpu_tpu.models.initial_conditions import sedov_blast
+from t8gpu_tpu.utils.config import EulerConfig
+
+GAMMA = 1.4
+
+
+def shock_radius(rho, r, rho0=1.0):
+    """Outermost radius the blast has reached: the ambient gas ahead of
+    the shock is EXACTLY undisturbed, so the largest radius with a
+    density excess locates the front to ~one cell."""
+    hit = rho > 1.05 * rho0
+    return float(r[hit].max()) if hit.any() else 0.0
+
+
+def ke_radius(ke, r):
+    """Kinetic-energy-weighted mean radius.  Under self-similarity EVERY
+    fixed energy-fraction radius scales as t^(2/(dim+2)), and this
+    moment is sub-cell accurate — unlike the threshold front position,
+    which lags by a growing fraction of the smeared shock width as the
+    shock weakens (measured: threshold fit ~0.44 vs KE fit ~0.49-0.52
+    around the exact 0.5 at 64^2 first order)."""
+    return float((ke * r).sum() / ke.sum())
+
+
+def run(level, dim, order, limiter, flux, r0, vtk=False, amr=False,
+        max_level=0, adapt_every=30):
+    ic = lambda c: sedov_blast(c, dim=dim, gamma=GAMMA, r0=r0)
+    cfg = EulerConfig(order=order, limiter=limiter, flux=flux)
+    if amr:
+        # start one level coarser and let the gradient criteria chase the
+        # front — AMR under a STRONG shock is the core AMR use case
+        from t8gpu_tpu.mesh.manager import MeshManager
+        from t8gpu_tpu.utils.config import AMRConfig
+        a = AMRConfig(min_level=max(level - 2, 1),
+                      max_level=max_level or level + 1,
+                      refine_threshold=2.0)
+        solver = CompressibleEulerSolver(
+            MeshManager(Forest.uniform(level, dim=dim), a), ic,
+            config=cfg, amr=a)
+    else:
+        mesh = ForestMesh.from_forest(Forest.uniform(level, dim=dim))
+        solver = CompressibleEulerSolver(mesh, ic, config=cfg)
+    # periodic far field: the shock never reaches the images in the
+    # fitted window
+
+    # fixed dt from the initial (hottest) state; post-shock speeds stay
+    # comparable, the 0.5x margin covers the transient (cf. examples/sod.py)
+    dt = 0.5 * float(solver.compute_timestep())
+    n_exp = 2.0 / (dim + 2.0)
+
+    def probe():
+        m = solver.mesh
+        d = np.asarray(m.centers)[:, :dim] - 0.5
+        r = np.sqrt((d * d).sum(axis=1))
+        u = np.asarray(solver.conserved_state(), np.float64)
+        rho = u[0]
+        ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
+        p = (GAMMA - 1.0) * (u[4] - ke)
+        assert rho.min() > 0 and p.min() > 0, "positivity lost"
+        return shock_radius(rho, r), ke_radius(ke, r), rho.max(), p.min()
+
+    def advance(n):
+        nonlocal t, dt
+        while n > 0:
+            k = min(n, adapt_every - steps_done[0] % adapt_every) if amr else n
+            solver.iterate_many(k, dt)
+            t += k * dt
+            steps_done[0] += k
+            n -= k
+            if amr and steps_done[0] % adapt_every == 0:
+                solver.adapt()
+                # refinement halves h: refresh the dt bound (same 0.5x
+                # post-shock margin; blast speeds only decay from here)
+                dt = 0.5 * float(solver.compute_timestep())
+
+    # self-calibrate the horizon: measure R once the front has cleared
+    # the deposition region, then extrapolate t(R=0.44) from the exact
+    # scaling — no similarity-constant input needed
+    t0 = time.perf_counter()
+    t, R1, steps_done = 0.0, 0.0, [0]
+    while R1 < 2.0 * r0:
+        advance(25)
+        R1, _, _, _ = probe()
+    t_end = t * (0.44 / R1) ** (1.0 / n_exp)
+
+    rows, peak = [], 0.0
+    for t_s in np.geomspace(t, t_end, 8)[1:]:
+        advance(int(round((t_s - t) / dt)))
+        R, Rk, rho_max, p_min = probe()
+        peak = max(peak, rho_max)
+        rows.append((t, R, Rk))
+        print(f"  t={t:.4f}  R={R:.3f}  R_ke={Rk:.4f}  "
+              f"rho_max={rho_max:.2f}  p_min={p_min:.2e}"
+              + (f"  elements={solver.n_elements}" if amr else ""))
+    wall = time.perf_counter() - t0
+
+    # fit only the self-similar, unconfined window: past the finite IC
+    # (R > 3 r0), before the periodic images interact (R < 0.42); the
+    # fitted quantity is the KE-weighted radius (see ke_radius)
+    rows = np.array(rows)
+    ok = (rows[:, 1] > 3 * r0) & (rows[:, 1] < 0.42)
+    slope = np.polyfit(np.log(rows[ok, 0]), np.log(rows[ok, 2]), 1)[0]
+    jump = (GAMMA + 1.0) / (GAMMA - 1.0)
+    print(f"level {level} ({dim}D, {solver.n_elements} cells, {wall:.1f}s"
+          f"{', AMR' if amr else ''}): "
+          f"fitted R ~ t^{slope:.3f} (exact {n_exp}); "
+          f"peak compression {peak:.2f} (strong-shock limit {jump})")
+    if vtk:
+        from t8gpu_tpu.io.vtk import write_vtu
+        m = solver.mesh
+        u = np.asarray(solver.conserved_state(), np.float64)
+        h = np.asarray(m.volumes) ** (1.0 / dim)
+        write_vtu(f"sedov_L{level}.vtu", np.asarray(m.centers), h,
+                  {"density": u[0]}, dim=dim)
+    return slope
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--level", type=int, default=7)
+    p.add_argument("--dim", type=int, default=2, choices=(2, 3))
+    p.add_argument("--order", type=int, default=1, choices=(1, 2))
+    p.add_argument("--limiter", default="venkat",
+                   choices=("bj", "venkat", "none"))
+    p.add_argument("--flux", default="hllc", choices=("kepes", "hll", "hllc"))
+    p.add_argument("--r0", type=float, default=0.06)
+    p.add_argument("--vtk", action="store_true")
+    p.add_argument("--amr", action="store_true",
+                   help="dynamic AMR chasing the front (gradient criteria)")
+    p.add_argument("--max-level", type=int, default=0,
+                   help="AMR refinement bound (default level+1)")
+    p.add_argument("--adapt-every", type=int, default=30)
+    args = p.parse_args()
+    run(args.level, args.dim, args.order, args.limiter, args.flux, args.r0,
+        args.vtk, amr=args.amr, max_level=args.max_level,
+        adapt_every=args.adapt_every)
+
+
+if __name__ == "__main__":
+    main()

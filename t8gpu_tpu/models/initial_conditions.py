@@ -71,6 +71,35 @@ def kh_sphere(centers: np.ndarray, gamma: float = 1.4) -> np.ndarray:
     return np.concatenate([rho[None], mom, rho_e[None]]).astype(np.float32)
 
 
+def sedov_blast(centers: np.ndarray, dim: int, gamma: float = 1.4,
+                energy: float = 1.0, r0: float = 0.06,
+                rho0: float = 1.0, p0: float = 1e-3,
+                center=(0.5, 0.5, 0.5)) -> np.ndarray:
+    """Sedov-Taylor point blast -> conservative state [5, N].
+
+    Total energy `energy` is deposited as internal energy spread over a
+    small disc/ball of radius r0 around `center` (the standard finite-
+    volume regularization of the delta-function blast), on a cold
+    uniform ambient (rho0, p0).  The resulting strong shock expands
+    self-similarly: R(t) = (E t^2 / (alpha rho0))^(1/(dim+2)) — the
+    EXPONENT 2/(dim+2) and the strong-shock density jump
+    (gamma+1)/(gamma-1) are parameter-free exact predictions used by
+    tests/test_sedov.py and examples/sedov.py.  The pressure ratio
+    across the IC is ~1e5: the canonical strong-shock robustness
+    stress (positivity, limiter behavior) the KH cases never reach.
+    The reference ships no blast case (its ICs are the two KH shear
+    layers, solver.cu:17-73, solver.inl:35-103)."""
+    d = centers[:, :dim] - np.asarray(center[:dim])[None, :]
+    r = np.sqrt((d * d).sum(axis=1))
+    vol = np.pi * r0 * r0 if dim == 2 else 4.0 / 3.0 * np.pi * r0 ** 3
+    p_in = (gamma - 1.0) * energy / vol
+    p = np.where(r < r0, p_in, p0)
+    rho = np.full_like(p, rho0)
+    z = np.zeros_like(p)
+    rho_e = p / (gamma - 1.0)
+    return np.stack([rho, z, z, z, rho_e]).astype(np.float32)
+
+
 def isentropic_vortex(centers: np.ndarray, t: float = 0.0,
                       gamma: float = 1.4, beta: float = 5.0,
                       radius: float = 0.08, v0=(1.0, 0.5),
