@@ -134,3 +134,72 @@ def physical_flux(u, gamma=GAMMA):
     v1 = m1 / rho
     p = pressure(u, gamma)
     return np.array([m1, m1 * v1 + p, m2 * v1, m3 * v1, (e + p) * v1])
+
+
+def radial_blast_reference(dim, t_end, n=4096, r_max=0.55, r0=0.06,
+                           energy=1.0, rho0=1.0, p0=1e-3, gamma=GAMMA,
+                           cfl=0.4):
+    """Converged 1D radial (cylindrical dim=2 / spherical dim=3) Euler
+    solution of the Sedov blast — an INDEPENDENT discretization (shell
+    finite volumes, Rusanov flux, well-balanced lateral-pressure
+    geometric source) the multi-D Cartesian runs are binned against.
+    At n=4096 the shell width is ~60x finer than a 64^2 Cartesian cell,
+    so this serves as the reference profile.  Returns (r_centers,
+    rho, u, p) at t_end."""
+    m = dim - 1                           # area ~ r^m
+    edges = np.linspace(0.0, r_max, n + 1)
+    rc = 0.5 * (edges[:-1] + edges[1:])
+    A = edges ** m                        # face areas (A[0]=0 at r=0)
+    V = (edges[1:] ** (m + 1) - edges[:-1] ** (m + 1)) / (m + 1)
+
+    vol0 = np.pi * r0 ** 2 if dim == 2 else 4.0 / 3.0 * np.pi * r0 ** 3
+    # per-radian (2D) / per-steradian-free FV volumes drop the angular
+    # factor consistently on both sides of the comparison
+    p = np.where(rc < r0, (gamma - 1.0) * energy / vol0, p0)
+    rho = np.full(n, rho0)
+    u = np.zeros(n)
+
+    def cons():
+        return np.stack([rho, rho * u, p / (gamma - 1.0) + 0.5 * rho * u * u])
+
+    U = cons()
+    t = 0.0
+    while t < t_end:
+        rho, mom, E = U
+        u = mom / rho
+        p = (gamma - 1.0) * (E - 0.5 * rho * u * u)
+        c = np.sqrt(gamma * p / rho)
+        dt = min(cfl * (edges[1] - edges[0]) / (np.abs(u) + c).max(),
+                 t_end - t)
+
+        # faces 1..n (Rusanov): left cells 0..n-1, right cells 1..n-1
+        # plus an AMBIENT ghost outside face n (farfield; the blast
+        # never reaches it inside the comparison window).  Face 0 sits
+        # at the symmetry center: A[0] = 0 for m > 0, no flux needed.
+        amb = np.array([rho0, 0.0, p0 / (gamma - 1.0)])
+        WL = U
+        WR = np.concatenate([U[:, 1:], amb[:, None]], axis=1)
+        uL, uR = u, np.append(u[1:], 0.0)
+        pL, pR = p, np.append(p[1:], p0)
+        cR = np.append(c[1:], np.sqrt(gamma * p0 / rho0))
+        FL = np.stack([WL[1], WL[1] * uL + pL, (WL[2] + pL) * uL])
+        FR = np.stack([WR[1], WR[1] * uR + pR, (WR[2] + pR) * uR])
+        s = np.maximum(np.abs(uL) + c, np.abs(uR) + cR)
+        F = 0.5 * (FL + FR) - 0.5 * s * (WR - WL)   # [3, n] faces 1..n
+
+        flux = A[1:] * F
+        div = flux.copy()                           # leaves through face i+1
+        div[:, 1:] -= flux[:, :-1]                  # enters through face i
+        U = U - dt * div / V
+        # well-balanced geometric source: ambient pressure on the
+        # lateral shell faces enters the radial momentum exactly
+        U[1] += dt * p * (A[1:] - A[:-1]) / V
+        t += dt
+        rho, mom, E = U
+        if not (np.isfinite(U).all() and rho.min() > 0):
+            raise FloatingPointError(f"radial reference broke at t={t}")
+
+    rho, mom, E = U
+    u = mom / rho
+    p = (gamma - 1.0) * (E - 0.5 * rho * u * u)
+    return rc, rho, u, p
