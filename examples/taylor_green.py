@@ -71,8 +71,17 @@ def main():
     m0 = solver.compute_integral()
     ke0 = float((0.5 * (u0[1] ** 2 + u0[2] ** 2) / u0[0]).mean())
     t0 = time.perf_counter()
-    solver.iterate_many(n, args.t_end / n)
+    # the whole run is ONE dispatch that also records the per-step KE
+    # history on device (models/observables.py) — the decay CURVE, not
+    # just its endpoint, for one device fetch
+    rows = np.asarray(solver.iterate_record(
+        n, args.t_end / n, observables=("kinetic_energy",)))
     wall = time.perf_counter() - t0
+    ts = args.t_end / n * np.arange(1, n + 1)
+    fit = np.polyfit(ts, np.log(rows[:, 0]), 1)[0]
+    print(f"fitted per-step KE decay rate {-fit:.5f} "
+          f"exact {4.0 * nu * K * K:.5f} "
+          f"(ratio {-fit / (4.0 * nu * K * K):.4f})")
 
     u1 = solver.conserved_state()
     ke1 = float((0.5 * (u1[1] ** 2 + u1[2] ** 2) / u1[0]).mean())

@@ -136,6 +136,42 @@ def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
     return jax.lax.fori_loop(0, n_steps, body, (u, jnp.zeros((), u.dtype)))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "flux", "mode", "n_steps",
+                                    "order", "limiter", "dim", "gravity",
+                                    "mu", "prandtl", "wall",
+                                    "wall_temperature", "observables"),
+                   donate_argnames=("u",))
+def _rk3_record(u, conn: FaceConnectivity, inv_volume, volume, dt,
+                *, n_steps: int, observables: tuple, gamma: float,
+                flux: str, mode: str, order: int = 1, limiter: str = "bj",
+                dim: int = 2, gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
+                prandtl: float = 0.72, wall: str = "slip",
+                wall_velocity=None, wall_temperature=None, ghost=None):
+    """Like _rk3_multi, but a lax.scan that also evaluates the requested
+    global observables after EVERY step — one [n_steps, K] device array
+    per batch instead of a host round trip per sample
+    (models/observables.py)."""
+    from t8gpu_tpu.models.observables import resolve
+    fns = resolve(observables)
+    flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
+                            mode=mode, order=order, limiter=limiter,
+                            dim=dim, gravity=gravity, mu=mu,
+                            prandtl=prandtl, wall=wall,
+                            wall_velocity=wall_velocity,
+                            wall_temperature=wall_temperature, ghost=ghost)
+
+    def body(carry, _):
+        v, _sp = carry
+        v, sp = rk.ssp_rk3(v, flux_fn, dt, inv_volume)
+        row = jnp.stack([f(v, volume, gamma) for f in fns])
+        return (v, sp), row
+
+    carry0 = (u, jnp.zeros((), u.dtype))
+    (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
+    return u, sp, rows
+
+
 def _cast_conn(conn: FaceConnectivity, dtype) -> FaceConnectivity:
     """Promote the floating face-geometry arrays (normals, areas, incidence
     signs) to `dtype` so the whole flux path computes in it."""
@@ -317,6 +353,30 @@ class CompressibleEulerSolver:
             wall_velocity=self._wall_vel,
             wall_temperature=self.config.wall_temperature,
             ghost=self._ghost)
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """n_steps fused RK3 steps AND a per-step observable history in
+        one device dispatch: returns a [n_steps, K] device array (one
+        column per requested observable, models/observables.OBSERVABLES)
+        — exact per-step diagnostics (KE decay curves, entropy audits,
+        conservation drift) without a host fetch per step.  The
+        reference's only diagnostic is an on-demand host-side integral
+        (solver.cu:190-211)."""
+        self.u, self._max_speed, rows = _rk3_record(
+            self.u, self.conn, self.inv_volume, self.volume,
+            jnp.asarray(dt, self.dtype),
+            n_steps=n_steps, observables=tuple(observables),
+            gamma=self.config.gamma, flux=self.config.flux,
+            mode=self.accumulation, order=self.config.order,
+            limiter=self.config.limiter, dim=self.mesh_dim,
+            gravity=tuple(self.config.gravity), mu=float(self.config.mu),
+            prandtl=float(self.config.prandtl), wall=self.config.wall,
+            wall_velocity=self._wall_vel,
+            wall_temperature=self.config.wall_temperature,
+            ghost=self._ghost)
+        return rows
 
     # -- diagnostics ---------------------------------------------------------
 

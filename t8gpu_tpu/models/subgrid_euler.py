@@ -210,37 +210,77 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
     step requires host-driven kernel launches + MPI barriers,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
     latency over the batch."""
+    one_step = _step_closure(conn, volumes, spec, gamma, flux, order,
+                             limiter, gravity, inv_cell_volume, mu,
+                             prandtl, wall, wall_velocity,
+                             wall_temperature, farfield, dt)
+
+    def body(_i, carry):
+        return one_step(carry[0])
+
+    return jax.lax.fori_loop(0, n_steps, body,
+                             (u, jnp.zeros((), u.dtype)))
+
+
+def _step_closure(conn, volumes, spec, gamma, flux, order, limiter,
+                  gravity, inv_cell_volume, mu, prandtl, wall,
+                  wall_velocity, wall_temperature, farfield, dt):
+    """The ONE dispatch of a full RK3 step onto the fused Pallas path /
+    the general flux_fn path / the plain stencil, shared by the
+    multi-step and recording batch drivers."""
     from t8gpu_tpu.ops.source import has_gravity
     if _fused_path(conn, spec, order):
-        def body(_i, carry):
-            v, _ = carry
-            return sg.ssp_rk3_fused(v, volumes, conn, spec, gamma, flux,
-                                    dt, inv_cell_volume, mu=float(mu),
-                                    prandtl=float(prandtl), wall=wall,
-                                    wall_velocity=wall_velocity,
-                                    wall_temperature=wall_temperature,
-                                    farfield=farfield,
-                                    gravity=tuple(gravity))
-    elif order == 2 or has_gravity(gravity) or float(mu) > 0.0:
+        return lambda v: sg.ssp_rk3_fused(
+            v, volumes, conn, spec, gamma, flux, dt, inv_cell_volume,
+            mu=float(mu), prandtl=float(prandtl), wall=wall,
+            wall_velocity=wall_velocity,
+            wall_temperature=wall_temperature, farfield=farfield,
+            gravity=tuple(gravity))
+    if order == 2 or has_gravity(gravity) or float(mu) > 0.0:
         flux_fn = _base_flux_fn(conn, volumes, spec, gamma, flux, order,
                                 limiter, gravity, inv_cell_volume, mu,
                                 prandtl, wall, wall_velocity,
                                 wall_temperature, farfield)
-
-        def body(_i, carry):
-            v, _ = carry
-            return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
     else:
         flux_fn = lambda v: sg.flux_divergence(v, volumes, conn, spec,
                                                gamma, flux,
                                                farfield=farfield)
+    return lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
 
-        def body(_i, carry):
-            v, _ = carry
-            return rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
 
-    return jax.lax.fori_loop(0, n_steps, body,
-                             (u, jnp.zeros((), u.dtype)))
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "gamma", "flux", "n_steps",
+                                    "order", "limiter", "gravity", "mu",
+                                    "prandtl", "wall", "wall_velocity",
+                                    "wall_temperature", "farfield",
+                                    "observables"),
+                   donate_argnames=("u",))
+def _rk3_record(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
+                *, n_steps: int, observables: tuple, spec: SubgridSpec,
+                gamma: float, flux: str, order: int = 1,
+                limiter: str = "minmod", gravity=(0.0, 0.0, 0.0),
+                mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip",
+                wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
+                farfield=None):
+    """_rk3_multi as a lax.scan that also evaluates the requested global
+    observables after EVERY step (models/observables.py) — a [n_steps, K]
+    device array per batch, no host fetch per sample."""
+    from t8gpu_tpu.models.observables import resolve
+    fns = resolve(observables)
+    one_step = _step_closure(conn, volumes, spec, gamma, flux, order,
+                             limiter, gravity, inv_cell_volume, mu,
+                             prandtl, wall, wall_velocity,
+                             wall_temperature, farfield, dt)
+    cell_vol = volumes / spec.size
+
+    def body(carry, _):
+        v, sp = one_step(carry[0])
+        row = jnp.stack([f(v, cell_vol, gamma) for f in fns])
+        return (v, sp), row
+
+    carry0 = (u, jnp.zeros((), u.dtype))
+    (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
+    return u, sp, rows
 
 
 @jax.jit
@@ -324,6 +364,24 @@ class SubgridCompressibleEulerSolver:
             gravity=tuple(self.config.gravity),
             mu=float(self.config.mu), prandtl=float(self.config.prandtl),
             **self._wall_kwargs())
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """n_steps fused RK3 steps AND a per-step observable history in
+        one device dispatch — [n_steps, K] device array, one column per
+        name in models/observables.OBSERVABLES (no host fetch per
+        sample; see CompressibleEulerSolver.iterate_record)."""
+        self.u, self._max_speed, rows = _rk3_record(
+            self.u, self.conn, self.volumes, self.inv_cell_volume,
+            jnp.float32(dt), n_steps=n_steps,
+            observables=tuple(observables), spec=self.spec,
+            gamma=self.config.gamma, flux=self.config.flux,
+            order=self.config.order, limiter=self._sg_limiter(),
+            gravity=tuple(self.config.gravity),
+            mu=float(self.config.mu), prandtl=float(self.config.prandtl),
+            **self._wall_kwargs())
+        return rows
 
     def _wall_kwargs(self) -> dict:
         return validate_subgrid_bc(self.config, "CompressibleEulerSolver")
