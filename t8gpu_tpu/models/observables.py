@@ -89,6 +89,13 @@ OBSERVABLES = {
 }
 
 
+# how each observable's per-shard value combines across a device mesh
+# (inside shard_map: "sum" -> lax.psum, "max" -> lax.pmax); every
+# integral is a sum, extrema are maxes
+REDUCERS = {name: "sum" for name in OBSERVABLES}
+REDUCERS["max_mach"] = "max"
+
+
 def resolve(names) -> tuple:
     """Validate observable names -> tuple of functions (registry order
     is the caller's order)."""

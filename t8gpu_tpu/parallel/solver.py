@@ -219,6 +219,59 @@ class ShardedEulerSolver:
             fn = self._steps[n_steps] = self._build_step(n_steps)
         return fn
 
+    def _build_record(self, n_steps: int, observables: tuple):
+        """Like _build_step, as a lax.scan whose body also evaluates the
+        requested global observables after EVERY step: local reductions
+        per shard + psum/pmax over the mesh axis, one replicated
+        [n_steps, K] output (models/observables.py)."""
+        from t8gpu_tpu.models.observables import REDUCERS, resolve
+        fns = resolve(observables)
+        reds = tuple(REDUCERS[n] for n in observables)
+        gamma = self.config.gamma
+        mesh_dev = self.mesh_dev
+        divergence = self._flux_divergence_vol
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh_dev,
+            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS),
+                      P(halo.AXIS), P()),
+            out_specs=(P(None, halo.AXIS), P(), P()))
+        def step(u, conn, inv_vol, vol, dt):
+            conn = jax.tree.map(lambda x: x[0], conn)
+            flux_fn = lambda v: divergence(v, conn, inv_vol)
+
+            def body(carry, _):
+                v, sp = rk.ssp_rk3(carry[0], flux_fn, dt, inv_vol)
+                row = jnp.stack([
+                    jax.lax.psum(f(v, vol, gamma), halo.AXIS) if r == "sum"
+                    else jax.lax.pmax(f(v, vol, gamma), halo.AXIS)
+                    for f, r in zip(fns, reds)])
+                return (v, sp), row
+
+            carry0 = (u, jnp.zeros((), u.dtype))
+            (u_out, sp), rows = jax.lax.scan(body, carry0, None,
+                                             length=n_steps)
+            return u_out, sp, rows
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """n_steps sharded RK3 steps AND per-step global observable
+        history in ONE dispatch — [n_steps, K] replicated device array
+        (see CompressibleEulerSolver.iterate_record; here the reductions
+        ride mesh collectives inside shard_map)."""
+        key = ("record", n_steps, tuple(observables))
+        fn = self._steps.get(key)
+        if fn is None:
+            fn = self._steps[key] = self._build_record(
+                n_steps, tuple(observables))
+        self.u, self._max_speed, rows = fn(
+            self.u, self.conn, self.inv_volume, self.volume,
+            jnp.float32(dt))
+        return rows
+
     def _build_criteria(self, dim: int):
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,

@@ -754,7 +754,7 @@ class ShardedSubgridEulerSolver:
         self.volumes = jax.device_put(jnp.asarray(vol), e_shard)
         self.inv_cell_volume = jax.device_put(jnp.asarray(inv), e_shard)
 
-    def _build_step(self, n_steps: int = 1):
+    def _build_step(self, n_steps: int = 1, observables: tuple = ()):
         gamma, flux = self.config.gamma, self.config.flux
         order = getattr(self.config, "order", 1)
         limiter = ("none" if getattr(self.config, "limiter", "bj") == "none"
@@ -771,10 +771,17 @@ class ShardedSubgridEulerSolver:
         sgspec = self.spec
         u_spec = self._u_spec()
 
+        if observables:
+            from t8gpu_tpu.models.observables import REDUCERS, resolve
+            obs_fns = resolve(observables)
+            obs_reds = tuple(REDUCERS[n] for n in observables)
+        out_specs = ((u_spec, P(), P()) if observables
+                     else (u_spec, P()))
+
         @functools.partial(
             jax.shard_map, mesh=self.mesh_dev,
             in_specs=(u_spec, P(halo.AXIS), P(halo.AXIS), P(halo.AXIS), P()),
-            out_specs=(u_spec, P()), check_vma=False)
+            out_specs=out_specs, check_vma=False)
         def step(u, conn, volumes, inv_cv, dt):
             from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
@@ -785,17 +792,11 @@ class ShardedSubgridEulerSolver:
                 # viscosity in-VMEM (hanging 2:1 + no-slip walls as
                 # additive side extras), gravity as the in-kernel
                 # unsplit source, farfield as the ghost side layers
-                def body(_i, carry):
-                    v, _ = carry
-                    return sharded_ssp_rk3_fused(v, volumes, conn, sgspec,
-                                                 gamma, flux, dt, inv_cv,
-                                                 mu=mu, prandtl=prandtl,
-                                                 wall=wall,
-                                                 wall_velocity=wv,
-                                                 wall_temperature=wt,
-                                                 farfield=ff,
-                                                 gravity=gravity)
-            elif order == 2 or grav or mu > 0.0:
+                one = lambda v: sharded_ssp_rk3_fused(
+                    v, volumes, conn, sgspec, gamma, flux, dt, inv_cv,
+                    mu=mu, prandtl=prandtl, wall=wall, wall_velocity=wv,
+                    wall_temperature=wt, farfield=ff, gravity=gravity)
+            else:
                 if order == 2:
                     flux_fn = (lambda v:
                                sharded_subgrid_flux_divergence_muscl(
@@ -812,17 +813,27 @@ class ShardedSubgridEulerSolver:
                     from t8gpu_tpu.models.subgrid_euler import \
                         _with_cell_gravity
                     flux_fn = _with_cell_gravity(flux_fn, gravity, inv_cv)
+                one = lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_cv)
 
-                def body(_i, carry):
-                    v, _ = carry
-                    return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
-            else:
-                flux_fn = lambda v: sharded_subgrid_flux_divergence(
-                    v, volumes, conn, sgspec, gamma, flux, farfield=ff)
+            if observables:
+                cell_vol = volumes / sgspec.size
 
-                def body(_i, carry):
-                    v, _ = carry
-                    return rk.ssp_rk3(v, flux_fn, dt, inv_cv)
+                def body(carry, _):
+                    v, sp = one(carry[0])
+                    row = jnp.stack([
+                        jax.lax.psum(f(v, cell_vol, gamma), halo.AXIS)
+                        if r == "sum"
+                        else jax.lax.pmax(f(v, cell_vol, gamma), halo.AXIS)
+                        for f, r in zip(obs_fns, obs_reds)])
+                    return (v, sp), row
+
+                carry0 = (u, jnp.zeros((), u.dtype))
+                (u_out, sp), rows = jax.lax.scan(body, carry0, None,
+                                                 length=n_steps)
+                return u_out, sp, rows
+
+            def body(_i, carry):
+                return one(carry[0])
 
             return jax.lax.fori_loop(
                 0, n_steps, body, (u, jnp.zeros((), u.dtype)))
@@ -845,6 +856,23 @@ class ShardedSubgridEulerSolver:
         self.u, self._max_speed = self._get_step(n_steps)(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt))
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """n_steps sharded RK3 steps AND per-step global observable
+        history in ONE dispatch — [n_steps, K] replicated device array
+        (models/observables.py; the reductions ride psum/pmax inside
+        shard_map)."""
+        key = ("record", n_steps, tuple(observables))
+        fn = self._steps.get(key)
+        if fn is None:
+            fn = self._steps[key] = self._build_step(
+                n_steps, observables=tuple(observables))
+        self.u, self._max_speed, rows = fn(
+            self.u, self.conn, self.volumes, self.inv_cell_volume,
+            jnp.float32(dt))
+        return rows
 
     def _build_speed(self):
         """CFL speed over the GLOBAL sharded state: the axis-summed cell

@@ -73,6 +73,44 @@ def test_record_unknown_observable_raises():
         s.iterate_record(2, 1e-4, observables=("massy",))
 
 
+def test_sharded_record_matches_single():
+    """ShardedEulerSolver.iterate_record == the single-device history
+    (the reductions ride psum/pmax inside shard_map) — including the
+    max-reduced column."""
+    from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+
+    obs = ("mass", "total_energy", "max_mach")
+    forest = Forest.uniform(4, dim=2)
+    ic = lambda c: kh_planar(c, dim=2)
+    single = CompressibleEulerSolver(ForestMesh.from_forest(forest), ic)
+    sharded = ShardedEulerSolver(forest, ic)
+    dt = 0.5 * float(single.compute_timestep())
+
+    r1 = np.asarray(single.iterate_record(N_STEPS, dt, observables=obs))
+    r2 = np.asarray(sharded.iterate_record(N_STEPS, dt, observables=obs))
+    np.testing.assert_allclose(r2, r1, rtol=3e-5)
+
+
+def test_sharded_subgrid_record_matches_single():
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.subgrid_euler import SubgridCompressibleEulerSolver
+    from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
+
+    obs = ("mass", "kinetic_energy", "entropy")
+    forest = Forest.uniform(2, dim=2)
+    spec = SubgridSpec((8, 8))
+    ic = lambda c: kh_planar(c, dim=2)
+    single = SubgridCompressibleEulerSolver(
+        SubgridMesh.from_forest(forest, spec), ic)
+    sharded = ShardedSubgridEulerSolver(forest, spec, ic)
+    dt = 0.5 * float(single.compute_timestep())
+
+    r1 = np.asarray(single.iterate_record(N_STEPS, dt, observables=obs))
+    r2 = np.asarray(sharded.iterate_record(N_STEPS, dt, observables=obs))
+    np.testing.assert_allclose(r2, r1, rtol=3e-5)
+
+
 def test_subgrid_record():
     """The subgrid solver records the same histories: mass constant,
     final mass equals compute_integral, KE finite and positive."""
