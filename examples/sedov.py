@@ -135,6 +135,11 @@ def run(level, dim, order, limiter, flux, r0, vtk=False, amr=False,
     # fitted quantity is the KE-weighted radius (see ke_radius)
     rows = np.array(rows)
     ok = (rows[:, 1] > 3 * r0) & (rows[:, 1] < 0.42)
+    if ok.sum() < 2:
+        raise SystemExit(
+            f"only {int(ok.sum())} samples landed in the self-similar fit "
+            f"window (3*r0={3 * r0:.3f} < R < 0.42) — shrink --r0 or add "
+            "resolution; no exponent can be fitted")
     slope = np.polyfit(np.log(rows[ok, 0]), np.log(rows[ok, 2]), 1)[0]
     jump = (GAMMA + 1.0) / (GAMMA - 1.0)
     print(f"level {level} ({dim}D, {solver.n_elements} cells, {wall:.1f}s"

@@ -112,64 +112,48 @@ def _rk3_step(u, conn: FaceConnectivity, inv_volume, dt,
                    static_argnames=("gamma", "flux", "mode", "n_steps",
                                     "order", "limiter", "dim", "gravity",
                                     "mu", "prandtl", "wall",
-                                    "wall_temperature"),
+                                    "wall_temperature", "observables"),
                    donate_argnames=("u",))
-def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt,
+def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, volume=None,
                *, n_steps: int, gamma: float, flux: str, mode: str,
                order: int = 1, limiter: str = "bj", dim: int = 2,
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
                prandtl: float = 0.72, wall: str = "slip",
-               wall_velocity=None, wall_temperature=None, ghost=None):
+               wall_velocity=None, wall_temperature=None, ghost=None,
+               observables: tuple = ()):
     """n_steps fused RK3 steps in one device dispatch (connectivity is
-    static between adapts, so the batch compiles to one XLA while-loop)."""
+    static between adapts, so the batch compiles to one XLA while-loop).
+
+    With `observables` (static names from models/observables.OBSERVABLES)
+    the batch runs as a lax.scan that also evaluates the requested global
+    reductions after EVERY step and returns (u, speed, rows [n_steps, K])
+    — one device array per batch instead of a host round trip per sample;
+    `volume` must then carry the per-cell volumes."""
     flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
                             mode=mode, order=order, limiter=limiter,
                             dim=dim, gravity=gravity, mu=mu,
                             prandtl=prandtl, wall=wall,
                             wall_velocity=wall_velocity,
                             wall_temperature=wall_temperature, ghost=ghost)
+
+    if observables:
+        from t8gpu_tpu.models.observables import resolve
+        fns = resolve(observables)
+
+        def body(carry, _):
+            v, sp = rk.ssp_rk3(carry[0], flux_fn, dt, inv_volume)
+            row = jnp.stack([f(v, volume, gamma) for f in fns])
+            return (v, sp), row
+
+        carry0 = (u, jnp.zeros((), u.dtype))
+        (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
+        return u, sp, rows
 
     def body(_i, carry):
         v, _ = carry
         return rk.ssp_rk3(v, flux_fn, dt, inv_volume)
 
     return jax.lax.fori_loop(0, n_steps, body, (u, jnp.zeros((), u.dtype)))
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("gamma", "flux", "mode", "n_steps",
-                                    "order", "limiter", "dim", "gravity",
-                                    "mu", "prandtl", "wall",
-                                    "wall_temperature", "observables"),
-                   donate_argnames=("u",))
-def _rk3_record(u, conn: FaceConnectivity, inv_volume, volume, dt,
-                *, n_steps: int, observables: tuple, gamma: float,
-                flux: str, mode: str, order: int = 1, limiter: str = "bj",
-                dim: int = 2, gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
-                prandtl: float = 0.72, wall: str = "slip",
-                wall_velocity=None, wall_temperature=None, ghost=None):
-    """Like _rk3_multi, but a lax.scan that also evaluates the requested
-    global observables after EVERY step — one [n_steps, K] device array
-    per batch instead of a host round trip per sample
-    (models/observables.py)."""
-    from t8gpu_tpu.models.observables import resolve
-    fns = resolve(observables)
-    flux_fn = _make_flux_fn(conn, inv_volume, gamma=gamma, flux=flux,
-                            mode=mode, order=order, limiter=limiter,
-                            dim=dim, gravity=gravity, mu=mu,
-                            prandtl=prandtl, wall=wall,
-                            wall_velocity=wall_velocity,
-                            wall_temperature=wall_temperature, ghost=ghost)
-
-    def body(carry, _):
-        v, _sp = carry
-        v, sp = rk.ssp_rk3(v, flux_fn, dt, inv_volume)
-        row = jnp.stack([f(v, volume, gamma) for f in fns])
-        return (v, sp), row
-
-    carry0 = (u, jnp.zeros((), u.dtype))
-    (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
-    return u, sp, rows
 
 
 def _cast_conn(conn: FaceConnectivity, dtype) -> FaceConnectivity:
@@ -196,12 +180,10 @@ def _integral(u_rho, volume):
 @functools.partial(jax.jit, static_argnames=("gamma",))
 def _entropy(u, volume, gamma: float):
     """Total entropy function U = -rho log(p rho^-gamma) / (gamma-1),
-    integrated over the domain.  Padded slots carry zero volume."""
-    rho = u[0]
-    ke = 0.5 * (u[1] ** 2 + u[2] ** 2 + u[3] ** 2) / rho
-    p = (gamma - 1.0) * (u[4] - ke)
-    s = jnp.log(p) - gamma * jnp.log(rho)
-    return (-rho * s / (gamma - 1.0) * volume).sum()
+    integrated over the domain (padded slots carry zero volume) — the
+    registry function is the single source of the formula."""
+    from t8gpu_tpu.models.observables import entropy
+    return entropy(u, volume, gamma)
 
 
 class CompressibleEulerSolver:
@@ -364,9 +346,11 @@ class CompressibleEulerSolver:
         conservation drift) without a host fetch per step.  The
         reference's only diagnostic is an on-demand host-side integral
         (solver.cu:190-211)."""
-        self.u, self._max_speed, rows = _rk3_record(
-            self.u, self.conn, self.inv_volume, self.volume,
-            jnp.asarray(dt, self.dtype),
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables)  # validate eagerly: empty/unknown names
+        self.u, self._max_speed, rows = _rk3_multi(
+            self.u, self.conn, self.inv_volume,
+            jnp.asarray(dt, self.dtype), self.volume,
             n_steps=n_steps, observables=tuple(observables),
             gamma=self.config.gamma, flux=self.config.flux,
             mode=self.accumulation, order=self.config.order,

@@ -98,7 +98,12 @@ REDUCERS["max_mach"] = "max"
 
 def resolve(names) -> tuple:
     """Validate observable names -> tuple of functions (registry order
-    is the caller's order)."""
+    is the caller's order).  Rejects an empty request up front — an
+    empty jnp.stack would otherwise fail obscurely at trace time."""
+    names = tuple(names)
+    if not names:
+        raise ValueError("iterate_record needs at least one observable; "
+                         f"available: {sorted(OBSERVABLES)}")
     unknown = [n for n in names if n not in OBSERVABLES]
     if unknown:
         raise ValueError(f"unknown observables {unknown}; "

@@ -194,7 +194,8 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                    static_argnames=("spec", "gamma", "flux", "n_steps",
                                     "order", "limiter", "gravity", "mu",
                                     "prandtl", "wall", "wall_velocity",
-                                    "wall_temperature", "farfield"),
+                                    "wall_temperature", "farfield",
+                                    "observables"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                *, n_steps: int, spec: SubgridSpec, gamma: float, flux: str,
@@ -202,18 +203,36 @@ def _rk3_multi(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
                gravity=(0.0, 0.0, 0.0), mu: float = 0.0,
                prandtl: float = 0.72, wall: str = "slip",
                wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
-               farfield=None):
+               farfield=None, observables: tuple = ()):
     """n_steps fused RK3 steps in ONE device dispatch (lax.fori_loop).
 
     Between adapt events the connectivity is static, so whole step batches
     compile to a single XLA while-loop — the reference cannot do this (its
     step requires host-driven kernel launches + MPI barriers,
     solver.inl:152-266); on TPU it also amortizes host->device dispatch
-    latency over the batch."""
+    latency over the batch.
+
+    With `observables` (static names, models/observables.OBSERVABLES) the
+    batch runs as a lax.scan that also evaluates the requested global
+    reductions after every step, returning (u, speed, rows [n_steps, K])."""
     one_step = _step_closure(conn, volumes, spec, gamma, flux, order,
                              limiter, gravity, inv_cell_volume, mu,
                              prandtl, wall, wall_velocity,
                              wall_temperature, farfield, dt)
+
+    if observables:
+        from t8gpu_tpu.models.observables import resolve
+        fns = resolve(observables)
+        cell_vol = volumes / spec.size
+
+        def body(carry, _):
+            v, sp = one_step(carry[0])
+            row = jnp.stack([f(v, cell_vol, gamma) for f in fns])
+            return (v, sp), row
+
+        carry0 = (u, jnp.zeros((), u.dtype))
+        (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
+        return u, sp, rows
 
     def body(_i, carry):
         return one_step(carry[0])
@@ -246,41 +265,6 @@ def _step_closure(conn, volumes, spec, gamma, flux, order, limiter,
                                                gamma, flux,
                                                farfield=farfield)
     return lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_cell_volume)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("spec", "gamma", "flux", "n_steps",
-                                    "order", "limiter", "gravity", "mu",
-                                    "prandtl", "wall", "wall_velocity",
-                                    "wall_temperature", "farfield",
-                                    "observables"),
-                   donate_argnames=("u",))
-def _rk3_record(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
-                *, n_steps: int, observables: tuple, spec: SubgridSpec,
-                gamma: float, flux: str, order: int = 1,
-                limiter: str = "minmod", gravity=(0.0, 0.0, 0.0),
-                mu: float = 0.0, prandtl: float = 0.72, wall: str = "slip",
-                wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
-                farfield=None):
-    """_rk3_multi as a lax.scan that also evaluates the requested global
-    observables after EVERY step (models/observables.py) — a [n_steps, K]
-    device array per batch, no host fetch per sample."""
-    from t8gpu_tpu.models.observables import resolve
-    fns = resolve(observables)
-    one_step = _step_closure(conn, volumes, spec, gamma, flux, order,
-                             limiter, gravity, inv_cell_volume, mu,
-                             prandtl, wall, wall_velocity,
-                             wall_temperature, farfield, dt)
-    cell_vol = volumes / spec.size
-
-    def body(carry, _):
-        v, sp = one_step(carry[0])
-        row = jnp.stack([f(v, cell_vol, gamma) for f in fns])
-        return (v, sp), row
-
-    carry0 = (u, jnp.zeros((), u.dtype))
-    (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
-    return u, sp, rows
 
 
 @jax.jit
@@ -372,7 +356,9 @@ class SubgridCompressibleEulerSolver:
         one device dispatch — [n_steps, K] device array, one column per
         name in models/observables.OBSERVABLES (no host fetch per
         sample; see CompressibleEulerSolver.iterate_record)."""
-        self.u, self._max_speed, rows = _rk3_record(
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables)  # validate eagerly: empty/unknown names
+        self.u, self._max_speed, rows = _rk3_multi(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), n_steps=n_steps,
             observables=tuple(observables), spec=self.spec,

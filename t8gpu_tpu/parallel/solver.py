@@ -190,23 +190,51 @@ class ShardedEulerSolver:
         self.inv_volume = jax.device_put(jnp.asarray(inv), self._sharding(True))
         self.volume = jax.device_put(jnp.asarray(vol), self._sharding(True))
 
-    def _build_step(self, n_steps: int = 1):
+    def _build_step(self, n_steps: int = 1, observables: tuple = ()):
+        """One jitted shard_map step batch.  With `observables` the body
+        is a lax.scan that also evaluates the requested global
+        reductions after EVERY step — local per shard, then psum/pmax
+        over the mesh axis (models/observables.REDUCERS picks the
+        combiner), one replicated [n_steps, K] output."""
         mesh_dev = self.mesh_dev
         divergence = self._flux_divergence_vol
+        if observables:
+            from t8gpu_tpu.models.observables import REDUCERS, resolve
+            obs_fns = resolve(observables)
+            obs_reds = tuple(REDUCERS[n] for n in observables)
+            gamma = self.config.gamma
+        out_specs = ((P(None, halo.AXIS), P(), P()) if observables
+                     else (P(None, halo.AXIS), P()))
 
         @functools.partial(
             jax.shard_map, mesh=mesh_dev,
-            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS), P()),
-            out_specs=(P(None, halo.AXIS), P()))
-        def step(u, conn, inv_vol, dt):
+            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS),
+                      P(halo.AXIS), P()),
+            out_specs=out_specs)
+        def step(u, conn, inv_vol, vol, dt):
             # only conn keeps a leading stacked shard axis; u/inv_vol are
             # sliced along their element axis by the in_specs
             conn = jax.tree.map(lambda x: x[0], conn)
             flux_fn = lambda v: divergence(v, conn, inv_vol)
+            one = lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_vol)
+
+            if observables:
+                def body(carry, _):
+                    v, sp = one(carry[0])
+                    row = jnp.stack([
+                        jax.lax.psum(f(v, vol, gamma), halo.AXIS)
+                        if r == "sum"
+                        else jax.lax.pmax(f(v, vol, gamma), halo.AXIS)
+                        for f, r in zip(obs_fns, obs_reds)])
+                    return (v, sp), row
+
+                carry0 = (u, jnp.zeros((), u.dtype))
+                (u_out, sp), rows = jax.lax.scan(body, carry0, None,
+                                                 length=n_steps)
+                return u_out, sp, rows
 
             def body(_i, carry):
-                v, _ = carry
-                return rk.ssp_rk3(v, flux_fn, dt, inv_vol)
+                return one(carry[0])
 
             return jax.lax.fori_loop(
                 0, n_steps, body, (u, jnp.zeros((), u.dtype)))
@@ -219,42 +247,6 @@ class ShardedEulerSolver:
             fn = self._steps[n_steps] = self._build_step(n_steps)
         return fn
 
-    def _build_record(self, n_steps: int, observables: tuple):
-        """Like _build_step, as a lax.scan whose body also evaluates the
-        requested global observables after EVERY step: local reductions
-        per shard + psum/pmax over the mesh axis, one replicated
-        [n_steps, K] output (models/observables.py)."""
-        from t8gpu_tpu.models.observables import REDUCERS, resolve
-        fns = resolve(observables)
-        reds = tuple(REDUCERS[n] for n in observables)
-        gamma = self.config.gamma
-        mesh_dev = self.mesh_dev
-        divergence = self._flux_divergence_vol
-
-        @functools.partial(
-            jax.shard_map, mesh=mesh_dev,
-            in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS),
-                      P(halo.AXIS), P()),
-            out_specs=(P(None, halo.AXIS), P(), P()))
-        def step(u, conn, inv_vol, vol, dt):
-            conn = jax.tree.map(lambda x: x[0], conn)
-            flux_fn = lambda v: divergence(v, conn, inv_vol)
-
-            def body(carry, _):
-                v, sp = rk.ssp_rk3(carry[0], flux_fn, dt, inv_vol)
-                row = jnp.stack([
-                    jax.lax.psum(f(v, vol, gamma), halo.AXIS) if r == "sum"
-                    else jax.lax.pmax(f(v, vol, gamma), halo.AXIS)
-                    for f, r in zip(fns, reds)])
-                return (v, sp), row
-
-            carry0 = (u, jnp.zeros((), u.dtype))
-            (u_out, sp), rows = jax.lax.scan(body, carry0, None,
-                                             length=n_steps)
-            return u_out, sp, rows
-
-        return jax.jit(step, donate_argnums=(0,))
-
     def iterate_record(self, n_steps: int, dt: float,
                        observables=("mass", "kinetic_energy",
                                     "total_energy")):
@@ -262,11 +254,13 @@ class ShardedEulerSolver:
         history in ONE dispatch — [n_steps, K] replicated device array
         (see CompressibleEulerSolver.iterate_record; here the reductions
         ride mesh collectives inside shard_map)."""
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables)  # validate eagerly: empty/unknown names
         key = ("record", n_steps, tuple(observables))
         fn = self._steps.get(key)
         if fn is None:
-            fn = self._steps[key] = self._build_record(
-                n_steps, tuple(observables))
+            fn = self._steps[key] = self._build_step(
+                n_steps, observables=tuple(observables))
         self.u, self._max_speed, rows = fn(
             self.u, self.conn, self.inv_volume, self.volume,
             jnp.float32(dt))
@@ -320,13 +314,15 @@ class ShardedEulerSolver:
 
     def iterate(self, dt: float):
         self.u, self._max_speed = self._get_step(1)(
-            self.u, self.conn, self.inv_volume, jnp.float32(dt))
+            self.u, self.conn, self.inv_volume, self.volume,
+            jnp.float32(dt))
 
     def iterate_many(self, n_steps: int, dt: float):
         """Run n_steps RK3 steps as one fused device program (one dispatch,
         halo collectives inside the loop)."""
         self.u, self._max_speed = self._get_step(n_steps)(
-            self.u, self.conn, self.inv_volume, jnp.float32(dt))
+            self.u, self.conn, self.inv_volume, self.volume,
+            jnp.float32(dt))
 
     # -- AMR + repartition (ref solver.inl:327-345, mesh_manager.inl:645-723) ---
 

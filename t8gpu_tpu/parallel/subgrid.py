@@ -864,6 +864,8 @@ class ShardedSubgridEulerSolver:
         history in ONE dispatch — [n_steps, K] replicated device array
         (models/observables.py; the reductions ride psum/pmax inside
         shard_map)."""
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables)  # validate eagerly: empty/unknown names
         key = ("record", n_steps, tuple(observables))
         fn = self._steps.get(key)
         if fn is None:

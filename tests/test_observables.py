@@ -71,6 +71,8 @@ def test_record_unknown_observable_raises():
     s = _solver()
     with pytest.raises(ValueError, match="unknown observables"):
         s.iterate_record(2, 1e-4, observables=("massy",))
+    with pytest.raises(ValueError, match="at least one observable"):
+        s.iterate_record(2, 1e-4, observables=())
 
 
 def test_sharded_record_matches_single():
