@@ -67,12 +67,49 @@ def advection_divergence(u: jnp.ndarray, conn: FaceConnectivity,
     return accumulate(f, bf, conn)
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps",),
+# -- per-step observables (models/observables.py contract) --------------------
+# Signature (u, cell_volume, param) -> scalar; padded slots carry zero
+# volume (and are masked for the extrema).  `param` is unused (the
+# scalar model has no EOS constant).
+
+def _live(u, vol):
+    return vol > 0
+
+
+ADVECTION_OBSERVABLES = {
+    # conserved integral (exact on periodic domains)
+    "integral": lambda u, vol, p: (u[0] * vol).sum(),
+    # L2 energy: non-increasing for the monotone upwind scheme
+    "l2": lambda u, vol, p: (u[0] ** 2 * vol).sum(),
+    # maximum-principle audit: live-cell extrema (min non-decreasing,
+    # max non-increasing under first-order upwind)
+    "min": lambda u, vol, p: jnp.where(_live(u, vol), u[0],
+                                       jnp.inf).min(),
+    "max": lambda u, vol, p: jnp.where(_live(u, vol), u[0],
+                                       -jnp.inf).max(),
+}
+ADVECTION_REDUCERS = {"integral": "sum", "l2": "sum",
+                      "min": "min", "max": "max"}
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "observables"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, velocity,
-               n_steps: int):
+               n_steps: int, volume=None, observables: tuple = ()):
+    flux_fn = lambda w: (advection_divergence(w, conn, velocity), None)
+
+    if observables:
+        from t8gpu_tpu.models.observables import resolve
+        fns = resolve(observables, ADVECTION_OBSERVABLES)
+
+        def sbody(v, _):
+            v2, _sp = rk.ssp_rk3(v, flux_fn, dt, inv_volume)
+            row = jnp.stack([f(v2, volume, 0.0) for f in fns])
+            return v2, row
+
+        return jax.lax.scan(sbody, u, None, length=n_steps)
+
     def body(_i, v):
-        flux_fn = lambda w: (advection_divergence(w, conn, velocity), None)
         v2, _ = rk.ssp_rk3(v, flux_fn, dt, inv_volume)
         return v2
 
@@ -134,6 +171,21 @@ class AdvectionSolver:
     def iterate_many(self, n_steps: int, dt: float):
         self.u = _rk3_multi(self.u, self.conn, self.inv_volume,
                             jnp.float32(dt), self.velocity, n_steps=n_steps)
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("integral", "min", "max")):
+        """n_steps steps AND a per-step observable history in one
+        dispatch — [n_steps, K] device array over
+        ADVECTION_OBSERVABLES (integral / l2 / min / max; the extrema
+        columns audit the upwind scheme's maximum principle).  Same
+        contract as CompressibleEulerSolver.iterate_record."""
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables, ADVECTION_OBSERVABLES)   # eager validation
+        self.u, rows = _rk3_multi(
+            self.u, self.conn, self.inv_volume, jnp.float32(dt),
+            self.velocity, n_steps=n_steps, volume=self.volume,
+            observables=tuple(observables))
+        return rows
 
     # -- diagnostics ----------------------------------------------------------
 

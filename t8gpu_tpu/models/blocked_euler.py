@@ -101,6 +101,16 @@ class BlockedUniformEulerSolver:
     def iterate_many(self, n_steps: int, dt: float):
         self._inner.iterate_many(n_steps, dt)
 
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """Per-step observable history in one dispatch ([n_steps, K];
+        see CompressibleEulerSolver.iterate_record).  Global reductions
+        are permutation-invariant, so the blocked cell order needs no
+        unpermuting."""
+        return self._inner.iterate_record(n_steps, dt,
+                                          observables=observables)
+
     # -- diagnostics ----------------------------------------------------------
 
     def compute_integral(self) -> float:
@@ -170,6 +180,16 @@ class ShardedBlockedEulerSolver:
 
     def iterate_many(self, n_steps: int, dt: float):
         self._inner.iterate_many(n_steps, dt)
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """Per-step observable history in one sharded dispatch
+        ([n_steps, K] replicated; global reductions are
+        permutation-invariant, so the blocked order needs no
+        unpermuting)."""
+        return self._inner.iterate_record(n_steps, dt,
+                                          observables=observables)
 
     def compute_integral(self) -> float:
         return self._inner.compute_integral()

@@ -323,11 +323,29 @@ def _rk3_step(u, geo, inv_volume, dt, *, gamma: float, flux: str):
     return rk.ssp_rk3(u, fn, dt, inv_volume)
 
 
-@functools.partial(jax.jit, static_argnames=("gamma", "flux", "n_steps"),
+@functools.partial(jax.jit, static_argnames=("gamma", "flux", "n_steps",
+                                             "observables"),
                    donate_argnames=("u",))
-def _rk3_multi(u, geo, inv_volume, dt, *, n_steps: int,
-               gamma: float, flux: str):
+def _rk3_multi(u, geo, inv_volume, dt, volume=None, *, n_steps: int,
+               gamma: float, flux: str, observables: tuple = ()):
     fn = lambda v: _lattice_divergence(v, geo, gamma, flux)
+
+    if observables:
+        # lax.scan variant recording per-step global reductions
+        # (models/observables.py; guard slots carry zero volume).  On the
+        # sharded subclass the same program runs under GSPMD, which
+        # partitions the reductions into mesh collectives automatically.
+        from t8gpu_tpu.models.observables import resolve
+        fns = resolve(observables)
+
+        def body(carry, _):
+            v, sp = rk.ssp_rk3(carry[0], fn, dt, inv_volume)
+            row = jnp.stack([f(v, volume, gamma) for f in fns])
+            return (v, sp), row
+
+        carry0 = (u, jnp.zeros((), u.dtype))
+        (u, sp), rows = jax.lax.scan(body, carry0, None, length=n_steps)
+        return u, sp, rows
 
     def body(_i, carry):
         v, _ = carry
@@ -416,6 +434,22 @@ class BlockedShellEulerSolver:
             self.u, self._geo, self.inv_volume,
             jnp.asarray(dt, jnp.float32), n_steps=n_steps,
             gamma=self.config.gamma, flux=self.config.flux)
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("mass", "kinetic_energy",
+                                    "total_energy")):
+        """n_steps fused RK3 steps AND a per-step observable history in
+        one dispatch — [n_steps, K] device array (see
+        CompressibleEulerSolver.iterate_record; global reductions are
+        layout-invariant, so the lattice packing needs no unpermuting)."""
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables)  # validate eagerly: empty/unknown names
+        self.u, self._max_speed, rows = _rk3_multi(
+            self.u, self._geo, self.inv_volume,
+            jnp.asarray(dt, jnp.float32), self.volume,
+            n_steps=n_steps, observables=tuple(observables),
+            gamma=self.config.gamma, flux=self.config.flux)
+        return rows
 
     # -- diagnostics ----------------------------------------------------------
 

@@ -96,16 +96,23 @@ REDUCERS = {name: "sum" for name in OBSERVABLES}
 REDUCERS["max_mach"] = "max"
 
 
-def resolve(names) -> tuple:
+def resolve(names, registry=None) -> tuple:
     """Validate observable names -> tuple of functions (registry order
     is the caller's order).  Rejects an empty request up front — an
-    empty jnp.stack would otherwise fail obscurely at trace time."""
+    empty jnp.stack would otherwise fail obscurely at trace time.
+
+    `registry` defaults to the Euler OBSERVABLES; other model families
+    pass their own dicts (models/advection.ADVECTION_OBSERVABLES,
+    models/shallow_water.SW_OBSERVABLES) — every entry has the same
+    (u, cell_volume, param) -> scalar contract."""
+    if registry is None:
+        registry = OBSERVABLES
     names = tuple(names)
     if not names:
         raise ValueError("iterate_record needs at least one observable; "
-                         f"available: {sorted(OBSERVABLES)}")
-    unknown = [n for n in names if n not in OBSERVABLES]
+                         f"available: {sorted(registry)}")
+    unknown = [n for n in names if n not in registry]
     if unknown:
         raise ValueError(f"unknown observables {unknown}; "
-                         f"available: {sorted(OBSERVABLES)}")
-    return tuple(OBSERVABLES[n] for n in names)
+                         f"available: {sorted(registry)}")
+    return tuple(registry[n] for n in names)

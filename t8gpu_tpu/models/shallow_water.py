@@ -114,13 +114,50 @@ def sw_divergence(u: jnp.ndarray, conn: FaceConnectivity, g: float):
     return accumulate(f, fb, conn), speed
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "g"),
+# -- per-step observables (models/observables.py contract) --------------------
+# Signature (u, cell_volume, g) -> scalar with u = [h, hu, hv]; padded
+# slots carry zero volume (and are masked for the extremum).
+
+SW_OBSERVABLES = {
+    "volume": lambda u, vol, g: (u[0] * vol).sum(),
+    "momentum_x": lambda u, vol, g: (u[1] * vol).sum(),
+    "momentum_y": lambda u, vol, g: (u[2] * vol).sum(),
+    # total energy 0.5 (hu^2 + hv^2)/h + 0.5 g h^2: non-increasing
+    # under the dissipative Rusanov flux (flat bottom, walls/periodic)
+    "energy": lambda u, vol, g: (
+        (0.5 * (u[1] ** 2 + u[2] ** 2) / jnp.maximum(u[0], 1e-12)
+         + 0.5 * g * u[0] ** 2) * vol).sum(),
+    # max Froude number |v| / sqrt(g h) over live cells
+    "max_froude": lambda u, vol, g: jnp.sqrt(jnp.where(
+        vol > 0,
+        (u[1] ** 2 + u[2] ** 2)
+        / (g * jnp.maximum(u[0], 1e-12) ** 3), 0.0).max()),
+}
+SW_REDUCERS = {name: "sum" for name in SW_OBSERVABLES}
+SW_REDUCERS["max_froude"] = "max"
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "g", "observables"),
                    donate_argnames=("u",))
-def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, *,
-               n_steps: int, g: float):
+def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, volume=None, *,
+               n_steps: int, g: float, observables: tuple = ()):
+    flux_fn = lambda w: sw_divergence(w, conn, g)
+
+    if observables:
+        from t8gpu_tpu.models.observables import resolve
+        fns = resolve(observables, SW_OBSERVABLES)
+
+        def sbody(carry, _):
+            v, sp = rk.ssp_rk3(carry[0], flux_fn, dt, inv_volume)
+            row = jnp.stack([f(v, volume, g) for f in fns])
+            return (v, sp), row
+
+        carry0 = (u, jnp.zeros((), u.dtype))
+        (u, sp), rows = jax.lax.scan(sbody, carry0, None, length=n_steps)
+        return u, sp, rows
+
     def body(_i, carry):
         v, _ = carry
-        flux_fn = lambda w: sw_divergence(w, conn, g)
         return rk.ssp_rk3(v, flux_fn, dt, inv_volume)
 
     return jax.lax.fori_loop(0, n_steps, body,
@@ -183,6 +220,21 @@ class ShallowWaterSolver:
         self.u, self._max_speed = _rk3_multi(
             self.u, self.conn, self.inv_volume, jnp.float32(dt),
             n_steps=n_steps, g=self.g)
+
+    def iterate_record(self, n_steps: int, dt: float,
+                       observables=("volume", "energy")):
+        """n_steps steps AND a per-step observable history in one
+        dispatch — [n_steps, K] over SW_OBSERVABLES (volume /
+        momentum_x/y / energy / max_froude; the energy column audits
+        the Rusanov scheme's dissipativity).  Same contract as
+        CompressibleEulerSolver.iterate_record."""
+        from t8gpu_tpu.models.observables import resolve
+        resolve(observables, SW_OBSERVABLES)          # eager validation
+        self.u, self._max_speed, rows = _rk3_multi(
+            self.u, self.conn, self.inv_volume, jnp.float32(dt),
+            self.volume, n_steps=n_steps, g=self.g,
+            observables=tuple(observables))
+        return rows
 
     # -- diagnostics -----------------------------------------------------------
 

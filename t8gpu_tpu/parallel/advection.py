@@ -60,6 +60,19 @@ class ShardedAdvectionSolver(ShardedEulerSolver):
 
     # -- model-specific diagnostics -------------------------------------------
 
+    OBS_DEFAULT = ("integral", "min", "max")
+
+    def _obs_registry(self):
+        """Scalar-advection observables for the inherited
+        iterate_record (integral / l2 / min / max — the extrema ride
+        lax.pmin/pmax across the mesh)."""
+        from t8gpu_tpu.models.advection import (ADVECTION_OBSERVABLES,
+                                                ADVECTION_REDUCERS)
+        return ADVECTION_OBSERVABLES, ADVECTION_REDUCERS
+
+    def _obs_param(self):
+        return 0.0        # no EOS constant in the scalar model
+
     def compute_timestep_device(self):
         # axis-summed speed (see AdvectionSolver.compute_timestep)
         speed = float(np.abs(self._vel_host).sum())

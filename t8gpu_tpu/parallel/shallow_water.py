@@ -36,6 +36,18 @@ class ShardedShallowWaterSolver(ShardedEulerSolver):
             lambda u_l, u_r, n, a: rusanov_face_flux(u_l, u_r, n, a, g),
             lambda u_own, bn, ba: wall_face_flux(u_own, bn, ba, g))
 
+    OBS_DEFAULT = ("volume", "energy")
+
+    def _obs_registry(self):
+        """Shallow-water observables for the inherited iterate_record
+        (volume / momentum / energy / max_froude)."""
+        from t8gpu_tpu.models.shallow_water import (SW_OBSERVABLES,
+                                                    SW_REDUCERS)
+        return SW_OBSERVABLES, SW_REDUCERS
+
+    def _obs_param(self):
+        return self.g
+
     def _cfl_cell_speed(self, u, live):
         """SWE CFL speed hook: axis-summed sum_a |v_a| + dim * sqrt(g h)
         (same rationale as ShallowWaterSolver.compute_timestep_device)."""

@@ -190,19 +190,32 @@ class ShardedEulerSolver:
         self.inv_volume = jax.device_put(jnp.asarray(inv), self._sharding(True))
         self.volume = jax.device_put(jnp.asarray(vol), self._sharding(True))
 
+    def _obs_registry(self):
+        """(registry, reducers) for iterate_record — model families
+        override this pair to expose their own observables (e.g.
+        parallel/advection.py, parallel/shallow_water.py)."""
+        from t8gpu_tpu.models.observables import OBSERVABLES, REDUCERS
+        return OBSERVABLES, REDUCERS
+
+    def _obs_param(self):
+        """Scalar model constant threaded to every observable (gamma
+        for Euler, g for shallow water, unused for advection)."""
+        return self.config.gamma
+
     def _build_step(self, n_steps: int = 1, observables: tuple = ()):
         """One jitted shard_map step batch.  With `observables` the body
         is a lax.scan that also evaluates the requested global
-        reductions after EVERY step — local per shard, then psum/pmax
-        over the mesh axis (models/observables.REDUCERS picks the
-        combiner), one replicated [n_steps, K] output."""
+        reductions after EVERY step — local per shard, then
+        psum/pmax/pmin over the mesh axis (the model's reducer table
+        picks the combiner), one replicated [n_steps, K] output."""
         mesh_dev = self.mesh_dev
         divergence = self._flux_divergence_vol
         if observables:
-            from t8gpu_tpu.models.observables import REDUCERS, resolve
-            obs_fns = resolve(observables)
-            obs_reds = tuple(REDUCERS[n] for n in observables)
-            gamma = self.config.gamma
+            from t8gpu_tpu.models.observables import resolve
+            registry, reducers = self._obs_registry()
+            obs_fns = resolve(observables, registry)
+            obs_reds = tuple(reducers[n] for n in observables)
+            gamma = self._obs_param()
         out_specs = ((P(None, halo.AXIS), P(), P()) if observables
                      else (P(None, halo.AXIS), P()))
 
@@ -219,12 +232,13 @@ class ShardedEulerSolver:
             one = lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_vol)
 
             if observables:
+                combine = {"sum": jax.lax.psum, "max": jax.lax.pmax,
+                           "min": jax.lax.pmin}
+
                 def body(carry, _):
                     v, sp = one(carry[0])
                     row = jnp.stack([
-                        jax.lax.psum(f(v, vol, gamma), halo.AXIS)
-                        if r == "sum"
-                        else jax.lax.pmax(f(v, vol, gamma), halo.AXIS)
+                        combine[r](f(v, vol, gamma), halo.AXIS)
                         for f, r in zip(obs_fns, obs_reds)])
                     return (v, sp), row
 
@@ -247,15 +261,18 @@ class ShardedEulerSolver:
             fn = self._steps[n_steps] = self._build_step(n_steps)
         return fn
 
-    def iterate_record(self, n_steps: int, dt: float,
-                       observables=("mass", "kinetic_energy",
-                                    "total_energy")):
+    # default observables for iterate_record; model families override
+    OBS_DEFAULT = ("mass", "kinetic_energy", "total_energy")
+
+    def iterate_record(self, n_steps: int, dt: float, observables=None):
         """n_steps sharded RK3 steps AND per-step global observable
         history in ONE dispatch — [n_steps, K] replicated device array
         (see CompressibleEulerSolver.iterate_record; here the reductions
         ride mesh collectives inside shard_map)."""
         from t8gpu_tpu.models.observables import resolve
-        resolve(observables)  # validate eagerly: empty/unknown names
+        if observables is None:
+            observables = self.OBS_DEFAULT
+        resolve(observables, self._obs_registry()[0])  # eager validation
         key = ("record", n_steps, tuple(observables))
         fn = self._steps.get(key)
         if fn is None:

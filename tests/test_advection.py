@@ -126,3 +126,37 @@ def test_shell_mesh_runs():
     s.iterate_many(20, 1e-3)
     assert np.isfinite(s.state()).all()
     assert s.compute_integral() <= m0 + 1e-6 * abs(m0)   # outflow only
+
+
+def test_record_maximum_principle_and_sharded():
+    """iterate_record on the advection family: integral column constant
+    (periodic), min non-decreasing / max non-increasing (the upwind
+    scheme's maximum principle, audited per step), l2 non-increasing;
+    the sharded solver (min/max ride lax.pmin/pmax) records the same
+    history."""
+    import jax
+
+    from t8gpu_tpu.parallel.advection import ShardedAdvectionSolver
+
+    obs = ("integral", "l2", "min", "max")
+    vel = (1.0, 0.5)
+    a = AdvectionSolver(ForestMesh.from_forest(Forest.uniform(4, dim=2)),
+                        bump, velocity=vel)
+    sh = ShardedAdvectionSolver(Forest.uniform(4, dim=2), bump, vel,
+                                devices=jax.devices())
+    dt = 0.5 * float(a.compute_timestep())
+
+    rows = np.asarray(a.iterate_record(10, dt, observables=obs))
+    assert rows.shape == (10, 4)
+    integral, l2, mn, mx = rows.T
+    assert np.abs(integral - integral[0]).max() < 1e-5 * abs(integral[0])
+    assert (np.diff(l2) < 1e-6 * abs(l2[0])).all()
+    assert (np.diff(mn) > -1e-6).all()
+    assert (np.diff(mx) < 1e-6).all()
+    assert mn.min() > 1.0 - 1e-5 and mx.max() < 2.0 + 1e-5
+
+    rows_sh = np.asarray(sh.iterate_record(10, dt, observables=obs))
+    np.testing.assert_allclose(rows_sh, rows, rtol=3e-5)
+
+    with pytest.raises(ValueError, match="unknown observables"):
+        a.iterate_record(2, dt, observables=("mass",))   # Euler-only name

@@ -131,3 +131,64 @@ def test_subgrid_record():
     assert np.abs(mass - mass[0]).max() < 1e-5 * abs(mass[0])
     assert (ke > 0).all() and np.isfinite(ke).all()
     assert abs(mass[-1] - s.compute_integral()) < 1e-5 * abs(mass[0])
+
+
+def test_blocked_record_matches_stepwise():
+    """BlockedUniformEulerSolver.iterate_record (the config-1 fast path)
+    equals the per-step host-sampled diagnostics of an identically
+    stepped twin — the recording API survives the blocked layout."""
+    from t8gpu_tpu.models.blocked_euler import BlockedUniformEulerSolver
+
+    ic = lambda c: kh_planar(c, dim=2)
+    a = BlockedUniformEulerSolver(Forest.uniform(4, dim=2), ic)
+    b = BlockedUniformEulerSolver(Forest.uniform(4, dim=2), ic)
+    dt = 0.5 * float(a.compute_timestep())
+
+    rows = np.asarray(a.iterate_record(
+        6, dt, observables=("mass", "total_energy")))
+    assert rows.shape == (6, 2)
+    expect = []
+    for _ in range(6):
+        b.iterate(dt)
+        u = np.asarray(b.u)                           # [5, *ext, E]
+        cell_vol = (np.asarray(b._inner.volumes)      # [E] -> per cell
+                    / b._inner.spec.size)
+        expect.append((b.compute_integral(),
+                       float((u[4] * cell_vol).sum())))
+    np.testing.assert_allclose(rows, np.array(expect), rtol=2e-5)
+    # recording does not perturb stepping
+    np.testing.assert_allclose(a.conserved_state(), b.conserved_state(),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_shell_record():
+    """BlockedShellEulerSolver.iterate_record: mass column constant to
+    roundoff (closed shell), trajectory identical to iterate_many, and
+    the GSPMD-sharded subclass records the same history."""
+    import jax
+
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+    from t8gpu_tpu.models.blocked_shell import (
+        BlockedShellEulerSolver, ShardedBlockedShellEulerSolver)
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    forest = PrismForest.uniform(shell_roots(subdiv=1, n_layers=2), 2)
+    a = BlockedShellEulerSolver(forest, kh_sphere)
+    b = BlockedShellEulerSolver(forest, kh_sphere)
+    sh = ShardedBlockedShellEulerSolver(forest, kh_sphere,
+                                        devices=jax.devices())
+    dt = 2e-4
+    rows = np.asarray(a.iterate_record(
+        5, dt, observables=("mass", "total_energy", "max_mach")))
+    assert rows.shape == (5, 3)
+    mass = rows[:, 0]
+    assert np.abs(mass - mass[0]).max() < 1e-5 * abs(mass[0])
+    assert np.isfinite(rows).all() and (rows[:, 2] > 0).all()
+
+    b.iterate_many(5, dt)
+    np.testing.assert_allclose(a.conserved_state(), b.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+
+    rows_sh = np.asarray(sh.iterate_record(
+        5, dt, observables=("mass", "total_energy", "max_mach")))
+    np.testing.assert_allclose(rows_sh, rows, rtol=3e-5)

@@ -96,3 +96,33 @@ def test_sharded_matches_single_device():
     np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(sh.compute_integral(), m0, rtol=1e-5)
+
+
+def test_record_energy_dissipation_and_sharded():
+    """iterate_record on the shallow-water family: volume column
+    constant, total energy non-increasing (Rusanov dissipativity,
+    audited per step), Froude finite; sharded == single-device."""
+    import jax
+
+    from t8gpu_tpu.parallel.shallow_water import ShardedShallowWaterSolver
+
+    obs = ("volume", "momentum_x", "energy", "max_froude")
+    a = ShallowWaterSolver(MeshManager(Forest.uniform(5, dim=2),
+                                       AMRConfig()), dam_break)
+    sh = ShardedShallowWaterSolver(Forest.uniform(5, dim=2), dam_break,
+                                   devices=jax.devices())
+    dt = 0.25 * float(a.compute_timestep())
+
+    rows = np.asarray(a.iterate_record(12, dt, observables=obs))
+    assert rows.shape == (12, 4)
+    vol, momx, en, fr = rows.T
+    assert np.abs(vol - vol[0]).max() < 1e-5 * abs(vol[0])
+    # radially symmetric dam break: net x-momentum stays ~0
+    assert np.abs(momx).max() < 1e-5 * abs(vol[0])
+    assert (np.diff(en) < 1e-6 * abs(en[0])).all()
+    assert np.isfinite(fr).all() and (fr >= 0).all()
+
+    rows_sh = np.asarray(sh.iterate_record(12, dt, observables=obs))
+    # atol: the momentum column is zero to roundoff (symmetric IC), so a
+    # pure rtol comparison is ill-posed there
+    np.testing.assert_allclose(rows_sh, rows, rtol=3e-5, atol=1e-8)
