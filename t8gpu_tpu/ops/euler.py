@@ -31,11 +31,15 @@ N_VARS = 5  # rho, rho*v1, rho*v2, rho*v3, rho*e
 
 
 def fast_log(x: jnp.ndarray) -> jnp.ndarray:
-    """f32 natural log for POSITIVE NORMAL inputs — the two per-cell
-    logs are ~36% of the fused RK-stage kernel's time (BENCHMARKS.md
-    round-3b monkeypatch), so the kernel derives them with an exponent
-    split + degree-9 minimax polynomial instead of the generic Mosaic
-    lowering.  No accuracy loss for the scheme's inputs (rho, p > 0,
+    """f32 natural log for POSITIVE NORMAL inputs: exponent split +
+    degree-9 minimax polynomial.  Built to attack the two per-cell logs
+    (~36% of the fused RK-stage kernel's time by the round-3b
+    monkeypatch), but the paired A/B MEASURED IT ~4% SLOWER than
+    Mosaic's native log on every fused config (BENCHMARKS.md round-3f)
+    — the hardware transcendental path beats an 18-op VPU polynomial —
+    so it is OPT-IN (T8GPU_FAST_LOG=1), kept as a documented negative
+    result + a re-measurement hook for other TPU generations.
+    No accuracy loss for the scheme's inputs (rho, p > 0,
     no subnormals/inf/nan by the positivity of the state + GUARD_STATE
     padding): measured max abs error 3.0e-7 over [1e-3, 1e3] vs 3.3e-7
     for the native f32 log (both against f64).
@@ -424,8 +428,8 @@ def cell_fields_tuple(u, gamma: float, flux: str = "kepes",
             # AND the duplicated neighbor facing layers)
             log_rho, log_p = logs
         else:
-            # log_fn=fast_log inside the Pallas kernels (same accuracy,
-            # ~2x cheaper than the generic lowering; see fast_log)
+            # log_fn: jnp.log everywhere by default (fast_log is the
+            # opt-in polynomial variant — measured slower, see fast_log)
             log_rho = log_fn(rho)
             log_p = log_fn(p)
         s = log_p - gamma * log_rho

@@ -63,16 +63,19 @@ def kernel_mode() -> str:
 
 
 def _kernel_log_fn():
-    """Trace-time choice of the in-kernel log: the fast exponent-split
-    polynomial (ops/euler.fast_log — same f32 accuracy, ~2x cheaper than
-    the generic lowering) unless T8GPU_FAST_LOG=0 forces jnp.log for
-    A/B measurement.  XLA stencil paths keep jnp.log."""
+    """Trace-time choice of the in-kernel log.  Default: jnp.log —
+    Mosaic's native f32 log lowering MEASURES FASTER than the 18-op
+    exponent-split polynomial (ops/euler.fast_log) on every fused
+    config (quiet-host paired A/B, v5e: 3D flagship 5.27 vs 5.47 ms,
+    2D 1.85 vs 1.90, ext-4 6.94 vs 7.21 — the polynomial costs ~4%;
+    BENCHMARKS.md round-3f).  T8GPU_FAST_LOG=1 opts back into the
+    polynomial for re-measurement on other TPU generations."""
     import os
 
     from t8gpu_tpu.ops.euler import fast_log
 
-    return jnp.log if os.environ.get("T8GPU_FAST_LOG", "1") == "0" \
-        else fast_log
+    return fast_log if os.environ.get("T8GPU_FAST_LOG", "0") == "1" \
+        else jnp.log
 
 
 def _rows_rotate(rows, axis):

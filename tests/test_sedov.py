@@ -140,9 +140,9 @@ def test_blast_amr_tracks_front():
 
 def test_blast_subgrid_fused_kernels():
     """The blast on the SUBGRID scheme through the interpret-mode fused
-    Pallas kernels: the in-kernel field derivation (fast_log bit-pattern
-    log, reciprocal ln_mean) survives the 1e5 pressure ratio — the
-    extreme-argument stress the KH equivalence tests never apply."""
+    Pallas kernels: the in-kernel HLLC field/wave-speed derivation
+    survives the 1e5 pressure ratio — the extreme-argument stress the
+    KH equivalence tests never apply."""
     import os
 
     import jax
