@@ -183,6 +183,11 @@ def _model_meta(solver) -> dict:
         vel = np.asarray(getattr(solver, "_vel_host"))
         return {"model": "advection", "velocity": [float(v) for v in vel],
                 "cfl": solver.cfl, "amr": dataclasses.asdict(solver.amr)}
+    if "MHD" in name:
+        return {"model": "mhd", "gamma": solver.gamma,
+                "glm_alpha": solver.glm_alpha,
+                "cfl": getattr(solver, "cfl", None) or solver.config.cfl,
+                "amr": dataclasses.asdict(solver.amr)}
     return dict(_config_meta(solver.config, solver.amr), model="euler")
 
 
@@ -262,6 +267,12 @@ def restore_solver(path: str):
         return AdvectionSolver(manager, lambda _c: u[0],
                                velocity=meta["velocity"],
                                cfl=meta["cfl"]), meta
+    if model == "mhd":
+        from t8gpu_tpu.models.mhd import MHDSolver
+        manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
+        return MHDSolver(manager, lambda _c: u, gamma=meta["gamma"],
+                         glm_alpha=meta["glm_alpha"],
+                         cfl=meta["cfl"]), meta
 
     config = EulerConfig(**meta["config"])
     if "extents" in meta:
@@ -302,6 +313,12 @@ def restore_sharded_solver(path: str, devices=None):
         return ShardedAdvectionSolver(
             forest, lambda _c: u[0], velocity=meta["velocity"],
             devices=devices, amr=amr, cfl=meta["cfl"]), meta
+    if model == "mhd":
+        from t8gpu_tpu.parallel.mhd import ShardedMHDSolver
+        return ShardedMHDSolver(
+            forest, lambda _c: u, gamma=meta["gamma"],
+            glm_alpha=meta["glm_alpha"], devices=devices, amr=amr,
+            cfl=meta["cfl"]), meta
 
     config = EulerConfig(**meta["config"])
     if "extents" in meta:

@@ -203,3 +203,71 @@ def radial_blast_reference(dim, t_end, n=4096, r_max=0.55, r0=0.06,
     u = mom / rho
     p = (gamma - 1.0) * (E - 0.5 * rho * u * u)
     return rc, rho, u, p
+
+
+def mhd_tube_reference(t_end, n=2048, gamma=2.0, bx=0.75, cfl=0.4,
+                       left=(1.0, 1.0, 1.0), right=(0.125, 0.1, -1.0)):
+    """Converged 1D ideal-MHD shock tube (Brio & Wu 1988 by default) —
+    an INDEPENDENT discretization (scalar forward-Euler Rusanov on a
+    fine grid, Bx constant so no cleaning is involved) that the multi-D
+    GLM-MHD runs are compared against.  left/right = (rho, p, By) of
+    the two initial states; jump at x = 0.5, outflow ends.  Returns
+    (x_centers, rho, u, p, By) at t_end."""
+    dx = 1.0 / n
+    x = (np.arange(n) + 0.5) * dx
+    l = x < 0.5
+    rho = np.where(l, left[0], right[0])
+    p = np.where(l, left[1], right[1])
+    by = np.where(l, left[2], right[2])
+    E = p / (gamma - 1.0) + 0.5 * (bx * bx + by * by)
+    # state rows: rho, mx, my, mz, E, By, Bz
+    U = np.stack([rho, np.zeros(n), np.zeros(n), np.zeros(n), E,
+                  by, np.zeros(n)])
+
+    def flux_and_speed(W):
+        rho = W[0]
+        u, v, w = W[1] / rho, W[2] / rho, W[3] / rho
+        by, bz = W[5], W[6]
+        b2 = bx * bx + by * by + bz * bz
+        p = (gamma - 1.0) * (W[4] - 0.5 * rho * (u * u + v * v + w * w)
+                             - 0.5 * b2)
+        pt = p + 0.5 * b2
+        vb = u * bx + v * by + w * bz
+        F = np.stack([
+            W[1],
+            W[1] * u + pt - bx * bx,
+            W[2] * u - bx * by,
+            W[3] * u - bx * bz,
+            (W[4] + pt) * u - bx * vb,
+            by * u - v * bx,
+            bz * u - w * bx,
+        ])
+        a2 = gamma * np.maximum(p, 1e-12) / rho
+        bb2 = b2 / rho
+        s = a2 + bb2
+        cf = np.sqrt(0.5 * (s + np.sqrt(np.maximum(
+            s * s - 4.0 * a2 * bx * bx / rho, 0.0))))
+        return F, np.abs(u) + cf
+
+    t = 0.0
+    while t < t_end:
+        _, sp = flux_and_speed(U)
+        dt = min(cfl * dx / sp.max(), t_end - t)
+        # outflow (copy) ghosts at both ends
+        Ue = np.concatenate([U[:, :1], U, U[:, -1:]], axis=1)
+        F, s = flux_and_speed(Ue)
+        WL, WR = Ue[:, :-1], Ue[:, 1:]
+        smax = np.maximum(s[:-1], s[1:])
+        Fface = 0.5 * (F[:, :-1] + F[:, 1:]) - 0.5 * smax * (WR - WL)
+        U = U - dt / dx * (Fface[:, 1:] - Fface[:, :-1])
+        t += dt
+        if not np.isfinite(U).all():
+            raise FloatingPointError(f"MHD tube reference broke at t={t}")
+
+    rho = U[0]
+    u = U[1] / rho
+    by, bz = U[5], U[6]
+    b2 = bx * bx + by * by + bz * bz
+    p = (gamma - 1.0) * (U[4] - 0.5 * (U[1] ** 2 + U[2] ** 2
+                                       + U[3] ** 2) / rho - 0.5 * b2)
+    return x, rho, u, p, by
