@@ -203,6 +203,38 @@ def bench_ns():
     }))
 
 
+def bench_mhd():
+    """GLM-MHD throughput (fourth model family, beyond-reference): the
+    Orszag-Tang vortex on the 2D gather path at level 8 = 65 536
+    elements, nine rows per element.  vs_baseline is the fraction of the
+    EULER gather-path rate on the same mesh (10.8 M elem-upd/s,
+    BENCHMARKS.md config 1 fallback) — i.e. what the 9-row MHD physics
+    costs relative to the 5-row Euler arithmetic on identical mesh
+    machinery."""
+    from t8gpu_tpu.mesh.uniform import uniform_mesh
+    from t8gpu_tpu.models.mhd import MHDSolver, orszag_tang
+
+    solver = MHDSolver(uniform_mesh(level=8, dim=2), orszag_tang)
+    dt = 0.5 * solver.compute_timestep()     # fixed dt across the batch
+
+    def run_and_fetch(n):
+        solver.iterate_many(n, dt)
+        float(solver.u[0].ravel()[0])
+
+    run_and_fetch(10)
+    run_and_fetch(210)
+    per_step = _slope_per_step(run_and_fetch)
+    assert np.isfinite(solver.conserved_state()).all()
+    value = solver.n_elements / per_step
+    print(json.dumps({
+        "metric": "GLM-MHD elem-updates/sec/chip (Orszag-Tang, 65k "
+                  "elements, 9 rows)",
+        "value": value,
+        "unit": "elem-updates/s",
+        "vs_baseline": value / 10.8e6,
+    }))
+
+
 def bench_amr():
     """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
     with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
@@ -321,8 +353,8 @@ def _arm_stall_guard(seconds: float = 900.0):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
-                   choices=("flagship", "plain", "order2", "ns", "amr",
-                            "sphere", "all"))
+                   choices=("flagship", "plain", "order2", "ns", "mhd",
+                            "amr", "sphere", "all"))
     args = p.parse_args()
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
@@ -337,6 +369,8 @@ def main():
         bench_order2()
     if args.config in ("ns", "all"):
         bench_ns()
+    if args.config in ("mhd", "all"):
+        bench_mhd()
     if args.config in ("amr", "all"):
         bench_amr()
     if args.config in ("sphere", "all"):

@@ -36,3 +36,35 @@ def debug_mode():
     reference's Debug-build launch checking; noticeably slower)."""
     with jax.debug_nans(True):
         yield
+
+
+def audit_determinism(solver, dt: float, n_steps: int = 3,
+                      what: str = "step batch") -> None:
+    """Race-detection, TPU-style: run the same step batch twice from the
+    identical state and assert BITWISE-equal results.
+
+    The reference accumulates fluxes with `atomicAdd` (kernels.cu:295-308),
+    so its results are run-to-run nondeterministic by design and a data
+    race is indistinguishable from reduction-order noise.  This framework
+    has no atomics and fixed reduction orders, so determinism is an
+    testable invariant: ANY scheduling-dependent behavior (a data race, a
+    nondeterministic collective, an unsynchronized host mutation) trips
+    this audit.  Leaves the solver stepped once (as if iterate_many had
+    been called).  Works on any solver with a `u` state array and
+    `iterate_many` (every model family, single-device and sharded)."""
+    import jax.numpy as jnp
+
+    u0 = jnp.array(solver.u, copy=True)       # survive donation
+    solver.u = jnp.array(u0, copy=True)
+    solver.iterate_many(n_steps, dt)
+    a = np.asarray(solver.u)
+    solver.u = jnp.array(u0, copy=True)
+    solver.iterate_many(n_steps, dt)
+    b = np.asarray(solver.u)
+    if not np.array_equal(a, b):              # bitwise, incl. NaN pattern
+        n_bad = int((a != b).sum())
+        worst = float(np.nanmax(np.abs(a - b)))
+        raise AssertionError(
+            f"nondeterministic {what}: {n_bad} values differ between two "
+            f"identical runs (max |delta| {worst:.3e}) — scheduling-"
+            "dependent behavior (data race / nondeterministic reduction)")
