@@ -54,11 +54,12 @@ def main():
     amr = AMRConfig(min_level=args.level - 1, max_level=args.max_level,
                     refine_threshold=3.0)
     if args.sharded:
+        # composes with --amr (the distributed adapt cycle) but does not
+        # imply it: a plain sharded run stays at the requested level
         from t8gpu_tpu.parallel.mhd import ShardedMHDSolver
         solver = ShardedMHDSolver(Forest.uniform(args.level, dim=2), ic,
                                   gamma=GAMMA, glm_alpha=args.glm_alpha,
                                   amr=amr)
-        args.amr = True
     elif args.amr:
         solver = MHDSolver(MeshManager(Forest.uniform(args.level, dim=2),
                                        amr), ic,
@@ -73,11 +74,16 @@ def main():
     def divb_stat():
         if args.sharded:
             return float("nan")         # diagnostic is single-device
-        d = solver.compute_divergence_b()
-        u = solver.conserved_state()
-        h = float(np.asarray(
-            getattr(solver.mesh, "volumes")).min()) ** 0.5
-        return float(np.abs(d).max() * h / max(np.abs(u[5:8]).max(), 1e-12))
+        # ONE device scalar per print: full-state D2H fetches through the
+        # TPU tunnel are latency-poison (CLAUDE.md measurement protocol)
+        import jax.numpy as jnp
+
+        from t8gpu_tpu.models.mhd import divergence_b
+
+        d = divergence_b(solver.u, solver.conn, solver.volume)
+        h = jnp.where(solver.volume > 0, solver.volume, 1.0).min() ** 0.5
+        b = jnp.abs(solver.u[5:8, : solver.n_elements]).max()
+        return float(jnp.abs(d).max() * h / jnp.maximum(b, 1e-12))
 
     t0 = time.perf_counter()
     t, it, frame = 0.0, 0, 0

@@ -9,8 +9,8 @@ The one genuinely new distributed ingredient: the GLM cleaning speed c_h
 is a GLOBAL scalar, so the divergence hook computes the shard-local
 signal maximum and `lax.pmax`es it over the mesh axis before the face
 fluxes run — every shard then evaluates the 2x2 GLM interface solve with
-the identical c_h, keeping sharded == single-device exact (tested,
-tests/test_mhd.py).
+the identical c_h; sharded == single-device to summation tolerance
+(tested, tests/test_mhd.py).
 """
 
 from __future__ import annotations
@@ -41,9 +41,10 @@ class ShardedMHDSolver(ShardedEulerSolver):
         super().__init__(forest, ic, devices=devices,
                          config=EulerConfig(cfl=cfl, gamma=gamma), amr=amr)
 
-    def _flux_divergence_vol(self, u, conn, inv_vol):
-        """Volume-aware override: the GLM damping source needs V and h;
-        c_h needs a global pmax."""
+    def _flux_divergence_vol(self, u, conn, inv_vol, vol=None):
+        """Volume-aware override: the GLM damping source needs V and h
+        (from the step's exact sharded volume array); c_h needs a global
+        pmax."""
         gamma, alpha = self.gamma, self.glm_alpha
         live = inv_vol > 0
         ch = jnp.maximum(
@@ -53,7 +54,6 @@ class ShardedMHDSolver(ShardedEulerSolver):
             lambda u_l, u_r, n, a: mhd_face_flux(u_l, u_r, n, a, gamma, ch),
             lambda u_own, bn, ba: mhd_wall_flux(u_own, bn, ba, gamma, ch))
         if alpha > 0.0:
-            vol = jnp.where(live, 1.0 / jnp.where(live, inv_vol, 1.0), 0.0)
             h = jnp.where(live, vol, 1.0) ** (1.0 / self.forest.dim)
             acc = acc.at[8].add(-alpha * ch * u[8] * vol / h)
         return acc, speed

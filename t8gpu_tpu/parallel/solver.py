@@ -110,11 +110,13 @@ class ShardedEulerSolver:
                                             self.config.flux,
                                             ghost=self._ghost_fields())
 
-    def _flux_divergence_vol(self, u, conn, inv_vol):
+    def _flux_divergence_vol(self, u, conn, inv_vol, vol=None):
         """Volume-aware variant used by the step: second-order MUSCL needs
-        1/V for the Green-Gauss gradients (EulerConfig(order=2)), and the
-        gravity source needs V; models without those knobs fall through to
-        the plain hook."""
+        1/V for the Green-Gauss gradients (EulerConfig(order=2)), the
+        gravity source needs V, and GLM-MHD's psi damping needs V and h
+        (parallel/mhd.py override consumes `vol` — the exact sharded
+        volume array, not a 1/(1/V) reconstruction); models without those
+        knobs fall through to the plain hook."""
         if getattr(self.config, "order", 1) == 2 and self.N_ROWS == 5:
             fn = lambda v: halo.sharded_flux_divergence_muscl(
                 v, conn, inv_vol, self.config.gamma, self.config.flux,
@@ -228,7 +230,7 @@ class ShardedEulerSolver:
             # only conn keeps a leading stacked shard axis; u/inv_vol are
             # sliced along their element axis by the in_specs
             conn = jax.tree.map(lambda x: x[0], conn)
-            flux_fn = lambda v: divergence(v, conn, inv_vol)
+            flux_fn = lambda v: divergence(v, conn, inv_vol, vol)
             one = lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_vol)
 
             if observables:

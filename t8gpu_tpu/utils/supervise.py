@@ -30,10 +30,12 @@ completion, so an impatient watchdog restarts forever at the same
 point.  Default 2700 s; with a warm persistent compile cache
 (utils/cache.enable_persistent_cache) a few minutes suffice.
 
-Usage (the 20 000-step reference-protocol endurance run):
+Usage (the 20 000-step reference-protocol endurance run; --resume-flag
+needs the `=` form — argparse rejects a separate value starting with
+`-` — and `--resume` is its default anyway):
 
     python -m t8gpu_tpu.utils.supervise \
-        --log run.log --ckpt ck.npz --resume-flag --resume \
+        --log run.log --ckpt ck.npz --resume-flag=--resume \
         --silence 2700 --done-regex "^steps=20000" -- \
         python examples/kh_sphere.py --amr --steps 20000 \
             --adapt-every 100 --checkpoint-every 1000 \
@@ -73,6 +75,13 @@ def run_supervised(child_argv: list[str], log_path: str,
     status = status or (lambda s: print(f"[supervise] {s}",
                                         file=sys.stderr, flush=True))
     pattern = re.compile(done_regex, re.M) if done_regex else None
+    # completion is judged only on output written by THIS supervision run:
+    # the log is opened in append mode, so a done marker left by an
+    # earlier run must not mark a new partial run complete
+    try:
+        log_start = os.path.getsize(log_path)
+    except OSError:
+        log_start = 0
 
     for attempt in range(max_restarts + 1):
         argv = list(child_argv)
@@ -87,7 +96,11 @@ def run_supervised(child_argv: list[str], log_path: str,
             wedged = False
             while proc.poll() is None:
                 time.sleep(poll)
-                age = time.time() - _log_mtime(log_path, start)
+                # clamp to THIS attempt's start: after a wedge kill the
+                # log mtime is stale, and without the clamp every
+                # relaunched child would get only ~poll seconds of grace
+                # (a kill-restart loop that exhausts max_restarts)
+                age = time.time() - max(_log_mtime(log_path, start), start)
                 if age > silence:
                     status(f"watchdog: {age:.0f}s of log silence — "
                            f"killing pid {proc.pid}")
@@ -103,6 +116,7 @@ def run_supervised(child_argv: list[str], log_path: str,
         if not wedged and rc == 0:
             if pattern is not None:
                 with open(log_path, "r", errors="replace") as f:
+                    f.seek(log_start)
                     if not pattern.search(f.read()):
                         status("exit 0 but done-regex not found — "
                                "relaunching")
