@@ -484,19 +484,39 @@ def mhd_state(rho, v, p, B, psi=0.0, gamma: float = 5.0 / 3.0) -> np.ndarray:
 
 
 def cp_alfven_wave(centers: np.ndarray, gamma: float = 5.0 / 3.0,
-                   amplitude: float = 0.1) -> np.ndarray:
-    """Circularly polarized Alfven wave along +x — an EXACT nonlinear
-    solution of ideal MHD (Toth 2000 §6.3.1): rho = 1, p = 0.1, B_x = 1,
-    transverse (B_y, B_z) = A (sin, cos)(2 pi x), v_perp = -B_perp
-    (for a wave moving at +v_A = B_x/sqrt(rho) = 1).  After t = 1 on a
-    unit-periodic domain the solution returns to the initial condition
-    exactly."""
+                   amplitude: float = 0.1,
+                   direction=(1, 0)) -> np.ndarray:
+    """Circularly polarized Alfven wave — an EXACT nonlinear solution of
+    ideal MHD (Toth 2000 §6.3.1): rho = 1, p = 0.1, |B_parallel| = 1,
+    transverse B_perp = A (sin, cos)(phase), v_perp = -B_perp (the wave
+    moves at +v_A = 1 along the propagation direction).
+
+    direction: integer wave counts (m, n) per unit box — the wave vector
+    is k = 2 pi (m, n), so ANY integer pair is periodic on the unit
+    square.  (1, 0) propagates along +x (face-aligned); (1, 1) runs
+    diagonally and exercises the full face-frame vector rotation of both
+    axis families.  The temporal period is 1 / (v_A |(m, n)|): after
+    that time the solution returns to the initial condition exactly."""
     x = np.asarray(centers)[:, 0]
-    ph = 2.0 * np.pi * x
-    by = amplitude * np.sin(ph)
+    y = np.asarray(centers)[:, 1]
+    m, n = direction
+    norm = float(np.hypot(m, n))
+    kx, ky = m / norm, n / norm                   # unit propagation dir
+    ph = 2.0 * np.pi * (m * x + n * y)
+    # in-plane transverse unit vector t = (-ky, kx); out-of-plane = z
+    bt = amplitude * np.sin(ph)                   # B . t
     bz = amplitude * np.cos(ph)
-    return mhd_state(np.ones_like(x), (0.0, -by, -bz), 0.1,
-                     (1.0, by, bz), gamma=gamma)
+    bx = kx - ky * bt
+    by = ky + kx * bt
+    return mhd_state(np.ones_like(x),
+                     (ky * bt, -kx * bt, -bz), 0.1,
+                     (bx, by, bz), gamma=gamma)
+
+
+def alfven_period(direction=(1, 0)) -> float:
+    """Temporal period of cp_alfven_wave on the unit box (v_A = 1)."""
+    m, n = direction
+    return 1.0 / float(np.hypot(m, n))
 
 
 def orszag_tang(centers: np.ndarray, gamma: float = 5.0 / 3.0) -> np.ndarray:

@@ -38,19 +38,25 @@ def test_uniform_field_is_steady():
     np.testing.assert_allclose(s.conserved_state(), u0, atol=2e-6)
 
 
-def _alfven_error(level: int, amplitude: float = 0.1) -> float:
-    """Mean |B_y - exact| / A after ONE full period of the circularly
-    polarized Alfven wave (exact nonlinear solution: returns to the IC)."""
+def _alfven_error(level: int, amplitude: float = 0.1,
+                  direction=(1, 0)) -> float:
+    """Mean |B_z - exact| / A after ONE full period of the circularly
+    polarized Alfven wave (exact nonlinear solution: returns to the IC).
+    B_z is transverse for every propagation direction."""
+    from t8gpu_tpu.models.mhd import alfven_period
+
     mesh = uniform_mesh(level=level, dim=2)
-    ic = lambda c: cp_alfven_wave(c, gamma=GAMMA, amplitude=amplitude)
+    ic = lambda c: cp_alfven_wave(c, gamma=GAMMA, amplitude=amplitude,
+                                  direction=direction)
     s = MHDSolver(mesh, ic, gamma=GAMMA)
     exact = ic(mesh.centers)
+    T = alfven_period(direction)
     dt = float(s.compute_timestep())
-    n = int(np.ceil(1.0 / dt))
-    s.iterate_many(n, 1.0 / n)                    # exactly one period
+    n = int(np.ceil(T / dt))
+    s.iterate_many(n, T / n)                      # exactly one period
     u = s.conserved_state()
     assert np.isfinite(u).all()
-    return float(np.abs(u[6] - exact[6]).mean() / amplitude)
+    return float(np.abs(u[7] - exact[7]).mean() / amplitude)
 
 
 def test_cp_alfven_wave_one_period_converges():
@@ -61,6 +67,15 @@ def test_cp_alfven_wave_one_period_converges():
     e5 = _alfven_error(5)
     assert e5 < 0.45, f"wave error {e5} at level 5 (0.64 = fully damped)"
     assert e5 < 0.75 * e4, f"no convergence: e4={e4}, e5={e5}"
+
+
+def test_cp_alfven_wave_diagonal():
+    """The same exact solution propagating along (1,1): both axis
+    families' face-frame rotations cooperate on one wave — a
+    rotation-convention bug (sign/transpose in _rotate/_unrotate_rows)
+    is invisible to the axis-aligned case but breaks this one."""
+    e5 = _alfven_error(5, direction=(1, 1))
+    assert e5 < 0.45, f"diagonal wave error {e5} (0.64 = fully damped)"
 
 
 def test_conservation_periodic():
