@@ -235,6 +235,42 @@ def bench_mhd():
     }))
 
 
+def bench_mhd_subgrid():
+    """GLM-MHD on the dense-block scheme: Orszag-Tang on Subgrid<8,8>
+    blocks at forest level 7 = 1.05 M cells (the same mesh as the 2D
+    Euler subgrid config).  vs_baseline is cell-updates/s against the
+    1e9 nominal, same semantics as the flagship — what the 9-row MHD
+    physics sustains when the interior interfaces are dense slab-exchange
+    stencils instead of per-face gathers (ops/subgrid_mhd.py)."""
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.mesh.subgrid import SubgridMesh
+    from t8gpu_tpu.models.mhd import orszag_tang
+    from t8gpu_tpu.models.subgrid_mhd import SubgridMHDSolver
+
+    spec = SubgridSpec((8, 8))
+    mesh = SubgridMesh.from_forest(Forest.uniform(7, dim=2), spec)
+    solver = SubgridMHDSolver(mesh, orszag_tang)
+    dt = 0.5 * solver.compute_timestep()     # fixed dt across the batch
+
+    def run_and_fetch(n):
+        solver.iterate_many(n, dt)
+        float(solver.u[0].ravel()[0])
+
+    run_and_fetch(10)
+    run_and_fetch(210)
+    per_step = _slope_per_step(run_and_fetch)
+    assert np.isfinite(solver.conserved_state()).all()
+    value = solver.n_elements * spec.size / per_step
+    print(json.dumps({
+        "metric": "GLM-MHD cell-updates/sec/chip (Orszag-Tang, "
+                  "Subgrid<8,8>, 1.05M cells)",
+        "value": value,
+        "unit": "cell-updates/s",
+        "vs_baseline": value / 1.0e9,
+    }))
+
+
 def bench_amr():
     """Dynamic-AMR cycle throughput (BASELINE config 2/3+AMR): 300 steps
     with adapt every 50 on the 3D subgrid solver, wall-clock INCLUDING the
@@ -354,7 +390,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
                    choices=("flagship", "plain", "order2", "ns", "mhd",
-                            "amr", "sphere", "all"))
+                            "mhd-subgrid", "amr", "sphere", "all"))
     args = p.parse_args()
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
@@ -371,6 +407,8 @@ def main():
         bench_ns()
     if args.config in ("mhd", "all"):
         bench_mhd()
+    if args.config in ("mhd-subgrid", "all"):
+        bench_mhd_subgrid()
     if args.config in ("amr", "all"):
         bench_amr()
     if args.config in ("sphere", "all"):

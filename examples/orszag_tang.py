@@ -7,11 +7,14 @@ capacity buckets all reused).  The standard 2D MHD benchmark: a smooth
 periodic IC that steepens into interacting magnetosonic shocks and
 current sheets.  `--sharded` runs the distributed solver (physics
 supplied through the ShardedEulerSolver hooks incl. a pmax'd c_h);
-`--amr` tracks the density fronts.
+`--amr` tracks the density fronts; `--subgrid EXT` runs the dense-block
+scheme (models/subgrid_mhd.py: EXT^2 cells per leaf through the slab
+exchange — composes with --amr).
 
     python examples/orszag_tang.py --level 7 --t-end 0.5 --vtk-every 50
     python examples/orszag_tang.py --sharded --level 6
     python examples/orszag_tang.py --amr --level 5 --max-level 7
+    python examples/orszag_tang.py --subgrid 8 --level 4   # 128^2 cells
 """
 
 import argparse
@@ -44,6 +47,8 @@ def main():
     p.add_argument("--glm-alpha", type=float, default=0.1)
     p.add_argument("--amr", action="store_true")
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--subgrid", type=int, default=0, metavar="EXT",
+                   help="dense Subgrid<EXT,EXT> blocks per leaf")
     p.add_argument("--max-level", type=int, default=8)
     p.add_argument("--adapt-every", type=int, default=25)
     p.add_argument("--vtk-every", type=int, default=0)
@@ -60,6 +65,17 @@ def main():
         solver = ShardedMHDSolver(Forest.uniform(args.level, dim=2), ic,
                                   gamma=GAMMA, glm_alpha=args.glm_alpha,
                                   amr=amr)
+    elif args.subgrid:
+        from t8gpu_tpu.memory.subgrid import SubgridSpec
+        from t8gpu_tpu.mesh.subgrid import SubgridMesh
+        from t8gpu_tpu.models.subgrid_euler import subgrid_manager
+        from t8gpu_tpu.models.subgrid_mhd import SubgridMHDSolver
+        spec = SubgridSpec((args.subgrid, args.subgrid))
+        forest = Forest.uniform(args.level, dim=2)
+        mesh = (subgrid_manager(forest, spec, amr) if args.amr
+                else SubgridMesh.from_forest(forest, spec))
+        solver = SubgridMHDSolver(mesh, ic, gamma=GAMMA,
+                                  glm_alpha=args.glm_alpha)
     elif args.amr:
         solver = MHDSolver(MeshManager(Forest.uniform(args.level, dim=2),
                                        amr), ic,
@@ -78,11 +94,19 @@ def main():
         # TPU tunnel are latency-poison (CLAUDE.md measurement protocol)
         import jax.numpy as jnp
 
-        from t8gpu_tpu.models.mhd import divergence_b
-
-        d = divergence_b(solver.u, solver.conn, solver.volume)
-        h = jnp.where(solver.volume > 0, solver.volume, 1.0).min() ** 0.5
-        b = jnp.abs(solver.u[5:8, : solver.n_elements]).max()
+        if args.subgrid:
+            from t8gpu_tpu.ops.subgrid_mhd import subgrid_divergence_b
+            d = subgrid_divergence_b(solver.u, solver.volumes, solver.conn,
+                                     solver.spec)
+            vol = solver.volumes
+            h = (jnp.where(vol > 0, vol, 1.0).min() ** 0.5
+                 / solver.spec.extent)
+            b = jnp.abs(solver.u[5:8]).max()
+        else:
+            from t8gpu_tpu.models.mhd import divergence_b
+            d = divergence_b(solver.u, solver.conn, solver.volume)
+            h = jnp.where(solver.volume > 0, solver.volume, 1.0).min() ** 0.5
+            b = jnp.abs(solver.u[5:8, : solver.n_elements]).max()
         return float(jnp.abs(d).max() * h / jnp.maximum(b, 1e-12))
 
     t0 = time.perf_counter()
@@ -100,7 +124,15 @@ def main():
             frame = it // args.vtk_every
             u = solver.conserved_state()
             mesh = solver.mesh if not args.sharded else None
-            if mesh is not None:
+            if mesh is not None and args.subgrid:
+                # per-element block means at element centroids
+                um = u.reshape(9, u.shape[1], -1).mean(axis=2)
+                h = np.asarray(mesh.volumes) ** 0.5
+                write_vtu(f"{args.prefix}_{it:06d}.vtu",
+                          mesh.forest.centers(), h,
+                          {"density": um[0], "B": um[5:8], "psi": um[8]},
+                          dim=2)
+            elif mesh is not None:
                 h = np.asarray(mesh.volumes) ** 0.5
                 write_vtu(f"{args.prefix}_{it:06d}.vtu", mesh.centers, h,
                           {"density": u[0],

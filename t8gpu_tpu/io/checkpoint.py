@@ -268,6 +268,16 @@ def restore_solver(path: str):
                                velocity=meta["velocity"],
                                cfl=meta["cfl"]), meta
     if model == "mhd":
+        if "extents" in meta:
+            from t8gpu_tpu.memory.subgrid import SubgridSpec
+            from t8gpu_tpu.models.subgrid_euler import subgrid_manager
+            from t8gpu_tpu.models.subgrid_mhd import SubgridMHDSolver
+            spec = SubgridSpec(tuple(meta["extents"]))
+            manager = subgrid_manager(forest, spec, amr)
+            return SubgridMHDSolver(
+                manager, lambda _c: u.reshape(u.shape[0], -1),
+                gamma=meta["gamma"], glm_alpha=meta["glm_alpha"],
+                cfl=meta["cfl"]), meta
         from t8gpu_tpu.models.mhd import MHDSolver
         manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
         return MHDSolver(manager, lambda _c: u, gamma=meta["gamma"],
@@ -314,6 +324,15 @@ def restore_sharded_solver(path: str, devices=None):
             forest, lambda _c: u[0], velocity=meta["velocity"],
             devices=devices, amr=amr, cfl=meta["cfl"]), meta
     if model == "mhd":
+        if "extents" in meta:
+            from t8gpu_tpu.memory.subgrid import SubgridSpec
+            from t8gpu_tpu.parallel.subgrid_mhd import ShardedSubgridMHDSolver
+            spec = SubgridSpec(tuple(meta["extents"]))
+            return ShardedSubgridMHDSolver(
+                forest, spec, lambda _c: u.reshape(u.shape[0], -1),
+                devices=devices, gamma=meta["gamma"],
+                glm_alpha=meta["glm_alpha"], amr=amr,
+                cfl=meta["cfl"]), meta
         from t8gpu_tpu.parallel.mhd import ShardedMHDSolver
         return ShardedMHDSolver(
             forest, lambda _c: u, gamma=meta["gamma"],

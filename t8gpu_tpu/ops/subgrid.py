@@ -1154,7 +1154,7 @@ def apply_subgrid_remap_gathered(u: jnp.ndarray, src: jnp.ndarray,
     path_a = u[(slice(None),) + tuple(idx_a) + (src_b,)]
 
     # ---- path B: coarsen (pool once, gather the z-ordered child) ----------
-    pool_shape = (5,) + sum(((half, 2),) * dim, ()) + (cap_old,)
+    pool_shape = (u.shape[0],) + sum(((half, 2),) * dim, ()) + (cap_old,)
     pooled = u.reshape(pool_shape)
     pooled = pooled.mean(axis=tuple(2 + 2 * a for a in range(dim)))
     z = jnp.zeros((1,) * (dim + 1), jnp.int32)
@@ -1180,7 +1180,8 @@ def apply_subgrid_remap(u: jnp.ndarray, src: jnp.ndarray,
     subgrid_mesh_manager.inl:301-425).  All transfers are single-level
     (guaranteed by Forest.balance_flags).
 
-    u: [5, *ext, cap_old]; src/refined/child_id/coarsened: [capacity].
+    u: [C, *ext, cap_old] (any row count — Euler's 5 rows or MHD's 9);
+    src/refined/child_id/coarsened: [capacity].
       keep:    new[i, e]   = old[i, src]
       refine:  new[i, e]   = old[oct*ext/2 + i//2, src]   (parent octant)
       coarsen: new[i, e]   = pooled[i & (ext/2-1), src + z(i)]
@@ -1211,10 +1212,10 @@ def apply_subgrid_remap(u: jnp.ndarray, src: jnp.ndarray,
         o = (oct_bits[a] * half).reshape(elem_shape)
         idx_a.append(jnp.where(r, o + (i >> 1), i))
     src_b = src.reshape(elem_shape)
-    path_a = u[(slice(None),) + tuple(idx_a) + (src_b,)]     # [5, *ext, capacity]
+    path_a = u[(slice(None),) + tuple(idx_a) + (src_b,)]     # [C, *ext, capacity]
 
     # ---- path B: coarsen (pool once, one gather) ---------------------------
-    pool_shape = (5,) + sum(((half, 2),) * dim, ()) + (cap_old,)
+    pool_shape = (u.shape[0],) + sum(((half, 2),) * dim, ()) + (cap_old,)
     pooled = u.reshape(pool_shape)
     pooled = pooled.mean(axis=tuple(2 + 2 * a for a in range(dim)))  # [5,*half,cap_old]
     z = jnp.zeros((1,) * (dim + 1), jnp.int32)

@@ -1,0 +1,255 @@
+"""GLM-MHD on the dense-block (subgrid) scheme.
+
+The block-structured scheme is PDE-agnostic: the slab-exchange machinery
+of ops/subgrid.py (interior shift stencils, per-side neighbor layer
+gathers with the 2:1 coarse-window / fine-interleave selections, dense
+pad-adds instead of scatters — the TPU replacement for the reference's
+per-face kernels + atomicAdd, kernels.inl:335-911) never looks inside the
+state rows.  This module instantiates it for the 9-row GLM-MHD system
+(models/mhd.py: Dedner divergence cleaning, Rusanov + exact 2x2 GLM
+interface solve), on stacked [9, *ext, Ecap] states:
+
+  * the face-frame rotation is a static ROW PERMUTATION per axis — MHD
+    rotates TWO vector fields (momentum and B), so the permutation swaps
+    both triplets (the subgrid faces are axis-aligned, so this is exactly
+    the reference's complete_orthonormal_basis rotation specialized to
+    unit normals, kernels.inl:717-750);
+  * the GLM cleaning speed c_h is ONE global device scalar recomputed
+    from the current state per flux evaluation and threaded through every
+    interface (interior, mesh-face and wall alike) — the scheme
+    ingredient no other family has;
+  * walls are perfect conductors: ghost = (mirror m_n, keep B, negate
+    psi), giving F(B_n) = 0 exactly (models/mhd.py module docstring);
+  * the parabolic damping -alpha c_h psi V_cell / h_cell enters the
+    divergence as a source row (unsplit, integrated by the SSP-RK3
+    stages).
+
+The same `_interface_engine` also evaluates the Green-Gauss div B
+constraint diagnostic (`subgrid_divergence_b`) — the interface function
+is a parameter, so the flux and the diagnostic cannot disagree on the
+surface decomposition (including hanging 2:1 subfaces).
+
+Equivalence anchor (tests/test_subgrid_mhd.py): on a uniform forest a
+level-l Subgrid<4,4> block mesh is the same discretization as a plain
+level-(l+2) mesh, so full RK3 steps must agree with models/mhd.MHDSolver
+cell for cell — cross-validating the permutation rotation against the
+plain path's general face basis and the slab exchange against the
+gather/incidence path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from t8gpu_tpu.memory.subgrid import SubgridSpec
+from t8gpu_tpu.mesh.subgrid import SubgridConnectivity
+from t8gpu_tpu.models.mhd import N_ROWS, _rusanov_rows, glm_ch
+from t8gpu_tpu.ops import subgrid as sg
+
+# state rows [rho, m_x, m_y, m_z, E, B_x, B_y, B_z, psi] -> +axis face
+# frame [rho, m_n, m_t1, m_t2, E, B_n, B_t1, B_t2, psi]: swap the normal
+# component of BOTH vector triplets into slot 1 / slot 5.  The Rusanov
+# flux treats the two tangential slots symmetrically, so the static swap
+# is mathematically identical to the plain path's general rotation.
+_ROT9 = {
+    0: (0, 1, 2, 3, 4, 5, 6, 7, 8),
+    1: (0, 2, 1, 3, 4, 6, 5, 7, 8),
+    2: (0, 3, 1, 2, 4, 7, 5, 6, 8),
+}
+_UNROT9 = {
+    0: (0, 1, 2, 3, 4, 5, 6, 7, 8),
+    1: (0, 2, 1, 3, 4, 6, 5, 7, 8),
+    2: (0, 2, 3, 1, 4, 6, 7, 5, 8),
+}
+
+
+def axis_rotate9(u: jnp.ndarray, axis: int) -> jnp.ndarray:
+    if axis == 0:
+        return u
+    return jnp.stack([u[i] for i in _ROT9[axis]])
+
+
+def axis_unrotate9(f: jnp.ndarray, axis: int) -> jnp.ndarray:
+    if axis == 0:
+        return f
+    return jnp.stack([f[i] for i in _UNROT9[axis]])
+
+
+def _rusanov_stack(u_l: jnp.ndarray, u_r: jnp.ndarray, gamma: float, ch):
+    """Face-frame GLM-MHD flux on stacked rotated states [9, ...] ->
+    (flux [9, ...], max signal speed [...])."""
+    f, sp = _rusanov_rows(tuple(u_l[i] for i in range(N_ROWS)),
+                          tuple(u_r[i] for i in range(N_ROWS)), gamma, ch)
+    return jnp.stack(f), sp
+
+
+def _conductor_ghost(q_rot: jnp.ndarray) -> jnp.ndarray:
+    """Perfect-conductor wall ghost of a rotated [9, ...] state: mirror
+    the normal momentum (row 1), keep B, negate psi (row 8)."""
+    return jnp.concatenate([q_rot[:1], -q_rot[1:2], q_rot[2:8],
+                            -q_rot[8:9]], axis=0)
+
+
+def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
+                      conn, spec: SubgridSpec,
+                      n_out: int, iface, unrotate, ghost, u_ext=None):
+    """Surface accumulation over ALL cell interfaces of the block scheme —
+    interior stencil, mesh faces (slab exchange incl. 2:1 hanging), and
+    boundary groups — parameterized by the interface function.
+
+    u: stacked [9, *ext, Ecap].  iface(u_l, u_r) -> (f [n_out, ...], sp)
+    on axis-rotated stacked operands; unrotate(f, axis) restores the lab
+    frame; ghost(q_rot) builds the wall ghost.  Returns the inward-
+    oriented accumulation D [n_out, *ext, Ecap] (D = -closed-surface
+    integral of f·n dA, the RHS sum the RK stages scale by 1/V_cell) and
+    the max interface speed.  Mirrors ops/subgrid.inner_divergence_fields
+    + outer_apply + boundary_apply, which stay specialized to the Euler
+    cell-fields tuple (the transcendental-sharing optimization MHD's
+    log-free Rusanov does not need).
+
+    u_ext: halo-EXTENDED state [9, *ext, Ecap+H] for the sharded path
+    (conn is then a ShardedSubgridConnectivity whose neighbor tables and
+    wall cell indices address the extended element axis; see
+    parallel/subgrid._halo_exchange_state).  Default: u itself — the
+    single-device case, where the two axes coincide."""
+    dim = spec.dim
+    ext = spec.extent
+    n_t = dim - 1
+    t_axes = tuple(range(1, 1 + n_t))
+    if u_ext is None:
+        u_ext = u
+    CL = u.shape[-1]
+
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    surface = (h_e / ext) ** (dim - 1) * (volumes > 0)   # interior cell face
+    area_t = (h_e / ext) ** n_t                          # mesh-face cell face
+    area_v = area_t / (2 ** n_t)                         # virtual fine subface
+
+    D = jnp.zeros((n_out,) + u.shape[1:], u.dtype)
+    speed = jnp.zeros((), u.dtype)
+
+    for a in range(dim):
+        u_rot = axis_rotate9(u_ext, a)
+        ax = 1 + a
+
+        # ---- interior interfaces (ext-1 per axis) ------------------------
+        u_loc = u_rot[..., :CL]
+        u_l = jax.lax.slice_in_dim(u_loc, 0, ext - 1, axis=ax)
+        u_r = jax.lax.slice_in_dim(u_loc, 1, ext, axis=ax)
+        f, sp = iface(u_l, u_r)
+        f = unrotate(f, a) * surface
+        pad_lo = [(0, 0)] * f.ndim
+        pad_hi = [(0, 0)] * f.ndim
+        pad_lo[ax] = (1, 0)     # f[i-1] lands on cell i
+        pad_hi[ax] = (0, 1)     # f[i]   leaves  cell i
+        D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
+        speed = jnp.maximum(speed, (sp * (surface > 0)).max())
+
+        # ---- mesh faces: slab exchange (ops/subgrid.outer_apply shape) ---
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
+                                    conn.bits[k], conn.mask[k])
+            hi = sign > 0
+            my_layer = jax.lax.index_in_dim(u_loc, ext - 1 if hi else 0,
+                                            axis=ax, keepdims=False)
+            opp_layer = jax.lax.index_in_dim(u_rot, 0 if hi else ext - 1,
+                                             axis=ax, keepdims=False)
+            nb = sg._gather_layers(opp_layer,
+                                   nbr if conn.has_fine[k] else nbr[:, :1])
+            base = nb[..., 0]
+
+            # pass 1: my resolution (equal + coarser neighbors)
+            r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+            other = (jnp.where(r < 0, sg._coarse_window(base, bits, spec),
+                               base)
+                     if conn.has_coarse[k] else base)
+            q_l, q_r = (my_layer, other) if hi else (other, my_layer)
+            f, sp = iface(q_l, q_r)
+            w1 = mask * area_t * (rel <= 0)
+            f = unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
+            contrib = -f if hi else f
+            sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
+            speed = jnp.maximum(speed, (sp * sp_m).max())
+
+            # pass 2: virtual fine resolution (finer neighbors)
+            if conn.has_fine[k]:
+                fine = sg._fine_interleave(nb, spec)
+                mine = sg._upsample2(my_layer, t_axes)
+                q_l, q_r = (mine, fine) if hi else (fine, mine)
+                f2, sp2 = iface(q_l, q_r)
+                w2 = mask * area_v * (rel > 0)
+                f2 = (unrotate(f2, a)
+                      * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
+                f2 = sg._pool2(f2, n_t)
+                contrib = contrib + (-f2 if hi else f2)
+                sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
+                speed = jnp.maximum(speed, (sp2 * sp_m2).max())
+
+            D = sg._slab_add(D, contrib.reshape(n_out, -1), a,
+                             layer_hi=hi, spec=spec)
+
+    # ---- boundary groups (walls; ops/subgrid.boundary_apply shape) --------
+    if conn.b_groups:
+        # flat cell = cell * (extended capacity) + elem
+        u_flat = u_ext.reshape(u_ext.shape[0], -1)
+        for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
+                                            conn.b_area, conn.b_recv):
+            q_own = axis_rotate9(u_flat[:, bc], axis)
+            q_ghost = ghost(q_own)
+            if sign > 0:    # outward normal +axis: owner is the left state
+                f, sp = iface(q_own, q_ghost)
+            else:
+                f, sp = iface(q_ghost, q_own)
+            f = unrotate(f, axis) * ar
+            f_pad = jnp.concatenate([f, jnp.zeros((n_out, 1), f.dtype)],
+                                    axis=1)
+            c = f_pad[:, br]
+            D = sg._slab_add(D, -c if sign > 0 else c, axis,
+                             layer_hi=sign > 0, spec=spec)
+            speed = jnp.maximum(speed, (sp * (ar > 0)).max())
+    return D, speed
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "gamma", "alpha"))
+def mhd_subgrid_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
+                           conn: SubgridConnectivity, spec: SubgridSpec,
+                           gamma: float, alpha: float):
+    """Full GLM-MHD surface-flux divergence for the subgrid scheme:
+    u [9, *ext, Ecap] -> (D [9, *ext, Ecap], max signal speed).
+
+    c_h is recomputed from `u` (zero staleness, models/mhd.glm_ch) and
+    threads through every interface; the GLM damping source lands on the
+    psi row scaled by the CELL volume (the RK stages divide by it)."""
+    live = volumes > 0
+    ch = jnp.maximum(glm_ch(u, gamma, live), 1e-12)
+    iface = lambda l, r: _rusanov_stack(l, r, gamma, ch)
+    D, speed = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
+                                 axis_unrotate9, _conductor_ghost)
+    if alpha > 0.0:
+        h_cell = (jnp.where(live, volumes, 1.0) ** (1.0 / spec.dim)
+                  / spec.extent)
+        cell_vol = volumes / spec.size
+        D = D.at[8].add(-alpha * ch * u[8] * (cell_vol / h_cell) * live)
+    return D, speed
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def subgrid_divergence_b(u: jnp.ndarray, volumes: jnp.ndarray,
+                         conn: SubgridConnectivity, spec: SubgridSpec):
+    """Per-cell Green-Gauss div B [*ext, Ecap] (zero on padded slots) —
+    the constraint-violation diagnostic GLM exists to control, through the
+    SAME surface decomposition as the flux (models/mhd.divergence_b is the
+    plain-path analogue).  Interface value = avg of the two B_n; the
+    conductor ghost keeps B, so wall faces use the owner's B_n."""
+    iface = lambda l, r: ((0.5 * (l[5] + r[5]))[None],
+                          jnp.zeros_like(l[0]))
+    D, _ = _interface_engine(u, volumes, conn, spec, 1, iface,
+                             lambda f, a: f, lambda q: q)
+    live = volumes > 0
+    cell_vol = jnp.where(live, volumes, 1.0) / spec.size
+    # engine accumulation is inward-oriented: div B = -D / V_cell
+    return jnp.where(live, -D[0] / cell_vol, 0.0)

@@ -692,7 +692,25 @@ class ShardedSubgridEulerSolver:
     minor element axis (P(None, ..., "sfc")); see parallel/solver.py for
     the rationale — the AMR remap runs as a global device gather with an
     output sharding constraint, and compiled step programs persist across
-    adapts at equal capacity buckets."""
+    adapts at equal capacity buckets.
+
+    Subclasses for other physics (parallel/subgrid_mhd.py) override
+    N_ROWS/_guard_state and the step/speed builders; _install, adapt,
+    conserved_state and the iterate drivers are row-count generic."""
+
+    N_ROWS = 5
+
+    @staticmethod
+    def _guard_state() -> np.ndarray:
+        from t8gpu_tpu.models.subgrid_euler import GUARD_STATE
+        return GUARD_STATE
+
+    def _obs_registry(self):
+        return None          # default: the Euler OBSERVABLES registry
+
+    def _obs_reducers(self):
+        from t8gpu_tpu.models.observables import REDUCERS
+        return REDUCERS
 
     def __init__(self, forest: Forest, spec: SubgridSpec,
                  ic: Callable[[np.ndarray], np.ndarray],
@@ -736,11 +754,11 @@ class ShardedSubgridEulerSolver:
                           bounds, CL).reshape(-1)
         if u_dev is None:
             # pad state element slots with the guard state (element-minor:
-            # u_host is [5, *ext, N], shards slice/pad the minor axis)
-            from t8gpu_tpu.models.subgrid_euler import GUARD_STATE
-            u_flat = np.empty((5,) + self.spec.extents + (self.n_shards * CL,),
+            # u_host is [C, *ext, N], shards slice/pad the minor axis)
+            C = self.N_ROWS
+            u_flat = np.empty((C,) + self.spec.extents + (self.n_shards * CL,),
                               np.float32)
-            u_flat[:] = GUARD_STATE.reshape((5,) + (1,) * (dim + 1))
+            u_flat[:] = self._guard_state().reshape((C,) + (1,) * (dim + 1))
             for s in range(self.n_shards):
                 lo, hi = bounds[s], bounds[s + 1]
                 u_flat[..., s * CL: s * CL + hi - lo] = u_host[..., lo:hi]
@@ -772,9 +790,9 @@ class ShardedSubgridEulerSolver:
         u_spec = self._u_spec()
 
         if observables:
-            from t8gpu_tpu.models.observables import REDUCERS, resolve
-            obs_fns = resolve(observables)
-            obs_reds = tuple(REDUCERS[n] for n in observables)
+            from t8gpu_tpu.models.observables import resolve
+            obs_fns = resolve(observables, self._obs_registry())
+            obs_reds = tuple(self._obs_reducers()[n] for n in observables)
         out_specs = ((u_spec, P(), P()) if observables
                      else (u_spec, P()))
 
@@ -865,7 +883,8 @@ class ShardedSubgridEulerSolver:
         (models/observables.py; the reductions ride psum/pmax inside
         shard_map)."""
         from t8gpu_tpu.models.observables import resolve
-        resolve(observables)  # validate eagerly: empty/unknown names
+        # validate eagerly: empty/unknown names
+        resolve(observables, self._obs_registry())
         key = ("record", n_steps, tuple(observables))
         fn = self._steps.get(key)
         if fn is None:

@@ -1,0 +1,333 @@
+"""Subgrid (dense-block) GLM-MHD tests.
+
+The load-bearing check mirrors the subgrid Euler suite: on a uniform
+forest a level-l Subgrid<4,4> mesh is the same discretization as a plain
+level-(l+2) mesh, so full RK3 steps must match models/mhd.MHDSolver cell
+for cell — cross-validating the 9-row permutation rotation, the slab
+exchange and the threaded GLM c_h against the plain gather/incidence
+path.  Plus: conservation across hanging 2:1 faces, conductor-wall
+steadiness, div-B control on Orszag-Tang, and an AMR cycle.
+"""
+
+import numpy as np
+import pytest
+
+from t8gpu_tpu.memory.subgrid import SUBGRID_4x4, SubgridSpec
+from t8gpu_tpu.mesh.forest import Forest
+from t8gpu_tpu.mesh.subgrid import SubgridMesh, cell_centers
+from t8gpu_tpu.mesh.uniform import uniform_mesh
+from t8gpu_tpu.models.mhd import (MHDSolver, alfven_period, cp_alfven_wave,
+                                  mhd_state, orszag_tang)
+from t8gpu_tpu.models.subgrid_mhd import SubgridMHDSolver
+from t8gpu_tpu.models.subgrid_euler import subgrid_manager
+from t8gpu_tpu.utils.config import AMRConfig
+
+GAMMA = 5.0 / 3.0
+
+
+def _blob_ic(centers):
+    """Dense blob in a uniform oblique field (generic AMR/conservation IC)."""
+    d2 = ((centers - 0.5) ** 2).sum(axis=1)
+    rho = 1.0 + 1.5 * np.exp(-d2 / 0.02)
+    v = np.stack([0.3 * np.ones_like(rho), -0.2 * np.ones_like(rho),
+                  np.zeros_like(rho)])
+    B = np.stack([0.5 * np.ones_like(rho), 0.3 * np.ones_like(rho),
+                  np.zeros_like(rho)])
+    return mhd_state(rho, v, np.full_like(rho, 1.0), B, gamma=GAMMA)
+
+
+def _cell_to_plain_perm(forest, spec, plain_mesh):
+    cc = cell_centers(forest, spec)
+    pc = plain_mesh.centers
+    scale = 1 << 20
+    key_c = [tuple(r) for r in np.round(cc * scale).astype(np.int64)]
+    key_p = {tuple(r): i for i, r in
+             enumerate(np.round(pc * scale).astype(np.int64))}
+    return np.array([key_p[k] for k in key_c])
+
+
+def test_uniform_subgrid_mhd_matches_plain():
+    """Subgrid GLM-MHD on a uniform forest == plain MHDSolver at the same
+    effective resolution, cell for cell, after full RK3 steps."""
+    forest = Forest.uniform(2, dim=2)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    plain = uniform_mesh(4, dim=2, periodic=True)
+    perm = _cell_to_plain_perm(forest, SUBGRID_4x4, plain)
+
+    s_sub = SubgridMHDSolver(smesh, cp_alfven_wave, gamma=GAMMA)
+    s_plain = MHDSolver(plain, cp_alfven_wave, gamma=GAMMA)
+
+    dt = 1e-3
+    s_sub.iterate_many(3, dt)
+    for _ in range(3):
+        s_plain.iterate(dt)
+
+    u_sub = s_sub.conserved_state().reshape(9, -1)
+    u_plain = s_plain.conserved_state()
+    np.testing.assert_allclose(u_sub, u_plain[:, perm], rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(s_sub.compute_timestep(),
+                               s_plain.compute_timestep(), rtol=1e-4)
+
+
+def test_subgrid_mhd_conservation_hanging_faces():
+    """All 8 conserved rows are conserved to fp across hanging 2:1 faces
+    (psi is not conserved — the damping drains it by design)."""
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    flags = forest.balance_flags(flags)
+    forest, _ = forest.adapt(flags)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    solver = SubgridMHDSolver(smesh, _blob_ic, gamma=GAMMA)
+
+    cell_vol = np.repeat(np.asarray(smesh.volumes) / SUBGRID_4x4.size,
+                         SUBGRID_4x4.size)
+    u0 = solver.conserved_state().reshape(9, -1)
+    tot0 = (u0[:8] * cell_vol).sum(axis=1)
+    dt = solver.compute_timestep()
+    solver.iterate_many(20, dt)
+    u1 = solver.conserved_state().reshape(9, -1)
+    assert np.isfinite(u1).all()
+    tot1 = (u1[:8] * cell_vol).sum(axis=1)
+    scale = np.abs(tot0) + np.abs(u0[:8] * cell_vol).sum(axis=1) + 1e-12
+    assert (np.abs(tot1 - tot0) / scale < 1e-5).all()
+
+
+def test_subgrid_mhd_uniform_field_steady_on_walls():
+    """A uniform field at rest between perfect-conductor walls is an exact
+    steady state (ghost == own, every interface flux cancels)."""
+    forest = Forest.uniform(2, dim=2, periodic=False)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+
+    def ic(centers):
+        n = len(centers)
+        one = np.ones(n)
+        return mhd_state(one, np.stack([0 * one, 0 * one, 0 * one]),
+                         0.8 * one,
+                         np.stack([0.6 * one, 0.4 * one, 0.2 * one]),
+                         gamma=GAMMA)
+
+    solver = SubgridMHDSolver(smesh, ic, gamma=GAMMA)
+    u0 = solver.conserved_state()
+    solver.iterate_many(10, 1e-3)
+    u1 = solver.conserved_state()
+    np.testing.assert_allclose(u1, u0, rtol=1e-6, atol=1e-6)
+
+
+def test_subgrid_divergence_b_and_orszag_tang():
+    """Orszag-Tang on 8x8 blocks: the discrete IC is exactly
+    divergence-free through the Green-Gauss diagnostic (B_x varies only
+    along y and vice versa), and after shock formation the normalized
+    divB error h |div B| / |B| stays at truncation level."""
+    forest = Forest.uniform(3, dim=2)
+    spec = SubgridSpec((8, 8))
+    smesh = SubgridMesh.from_forest(forest, spec)
+    solver = SubgridMHDSolver(smesh, orszag_tang, gamma=GAMMA)
+
+    db0 = solver.compute_divergence_b()
+    assert np.abs(db0).max() < 1e-5
+    dt = solver.compute_timestep()
+    for _ in range(5):
+        solver.iterate_many(10, dt)
+    u = solver.conserved_state()
+    assert np.isfinite(u).all()
+    db1 = solver.compute_divergence_b()
+    h_cell = 0.5 ** 3 / 8
+    b_scale = np.abs(u[5:8]).max()
+    assert np.abs(db1).max() * h_cell / b_scale < 0.1
+
+
+def test_subgrid_glm_cleaning_reduces_dirty_divb():
+    """A deliberately divergence-DIRTY field on subgrid blocks: GLM
+    transports + damps the error (the plain-path cleaning test mirrored
+    onto the block scheme)."""
+    def dirty(c):
+        bx = 0.5 + 0.4 * np.exp(-((c[:, 0] - 0.5) ** 2
+                                  + (c[:, 1] - 0.5) ** 2) / 0.02)
+        return mhd_state(np.ones(len(c)), (0.0, 0.0, 0.0), 1.0,
+                         (bx, 0.3, 0.0), gamma=GAMMA)
+
+    forest = Forest.uniform(3, dim=2)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    solver = SubgridMHDSolver(smesh, dirty, gamma=GAMMA)
+    d0 = float(np.abs(solver.compute_divergence_b()).max())
+    assert d0 > 1e-2                      # the IC really is dirty
+    dt = solver.compute_timestep()
+    solver.iterate_many(120, dt)
+    u = solver.conserved_state()
+    assert np.isfinite(u).all()
+    d1 = float(np.abs(solver.compute_divergence_b()).max())
+    assert d1 < 0.5 * d0, f"cleaning failed: divB {d0} -> {d1}"
+    assert np.abs(u[8]).max() < 1.0       # psi bounded (damped)
+
+
+def test_subgrid_mhd_amr_cycle_conserves():
+    """Dynamic AMR cycle on the subgrid MHD solver: refine/coarsen with
+    the row-generic remap keeps mass exact and the state finite."""
+    amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.02)
+    mgr = subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr)
+    solver = SubgridMHDSolver(mgr, _blob_ic, gamma=GAMMA)
+
+    m0 = solver.compute_integral()
+    dt = solver.compute_timestep()
+    for _ in range(3):
+        solver.iterate_many(5, dt)
+        solver.adapt_prefetch()
+        solver.iterate_many(2, dt)
+        solver.adapt()
+    assert np.isfinite(solver.conserved_state()).all()
+    np.testing.assert_allclose(solver.compute_integral(), m0, rtol=2e-5)
+    assert solver.n_elements != 16   # the blob actually triggered refinement
+
+
+def test_subgrid_mhd_record_observables():
+    """Per-step observable history: conserved columns flat, psi_energy
+    finite; trajectory matches per-step stepping."""
+    forest = Forest.uniform(2, dim=2)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    solver = SubgridMHDSolver(smesh, cp_alfven_wave, gamma=GAMMA)
+    dt = 1e-3
+    rows = np.asarray(solver.iterate_record(
+        5, dt, observables=("mass", "total_energy", "psi_energy")))
+    assert rows.shape == (5, 3)
+    assert np.isfinite(rows).all()
+    np.testing.assert_allclose(rows[:, 0], rows[0, 0], rtol=1e-6)
+    np.testing.assert_allclose(rows[:, 1], rows[0, 1], rtol=1e-6)
+
+
+def test_cp_alfven_subgrid_one_period():
+    """The circularly polarized Alfven wave (exact nonlinear solution)
+    returns to itself after one period on the subgrid scheme, and the
+    error shrinks under refinement."""
+    errs = []
+    for level in (2, 3):
+        forest = Forest.uniform(level, dim=2)
+        smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+        solver = SubgridMHDSolver(smesh, cp_alfven_wave, gamma=GAMMA)
+        u0 = solver.conserved_state().reshape(9, -1)
+        period = alfven_period()
+        n = {2: 256, 3: 512}[level]
+        solver.iterate_many(n, period / n)
+        u1 = solver.conserved_state().reshape(9, -1)
+        errs.append(float(np.sqrt(((u1[6] - u0[6]) ** 2).mean())))
+    assert errs[1] < 0.7 * errs[0]
+
+
+def test_subgrid_mhd_checkpoint_roundtrip():
+    """save_solver / restore_solver rebuild the SUBGRID MHD family
+    exactly (model="mhd" + extents dispatches to SubgridMHDSolver)."""
+    import os
+    import tempfile
+
+    from t8gpu_tpu.io.checkpoint import restore_solver, save_solver
+
+    amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.02)
+    mgr = subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr)
+    s = SubgridMHDSolver(mgr, _blob_ic, gamma=GAMMA, glm_alpha=0.2, cfl=0.4)
+    s.iterate_many(5, 1e-3)
+    s.adapt()
+    s.iterate_many(5, 1e-3)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sg_mhd.npz")
+        save_solver(path, s, step=10)
+        r, meta = restore_solver(path)
+    assert meta["step"] == 10
+    assert isinstance(r, SubgridMHDSolver)
+    assert r.gamma == s.gamma and r.glm_alpha == s.glm_alpha
+    np.testing.assert_array_equal(r.conserved_state(), s.conserved_state())
+    r.iterate_many(3, 1e-3)
+    s.iterate_many(3, 1e-3)
+    np.testing.assert_allclose(r.conserved_state(), s.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+
+
+# -- distributed (8 CPU shards) ------------------------------------------------
+
+
+def test_sharded_subgrid_mhd_matches_single_device():
+    """ShardedSubgridMHDSolver == SubgridMHDSolver on a hanging 2:1 forest
+    (the halo-extended interface engine + pmax'd c_h vs single device)."""
+    from t8gpu_tpu.parallel.subgrid_mhd import ShardedSubgridMHDSolver
+
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[[0, 5]] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+
+    ref = SubgridMHDSolver(SubgridMesh.from_forest(forest, SUBGRID_4x4),
+                           _blob_ic, gamma=GAMMA)
+    sh = ShardedSubgridMHDSolver(forest, SUBGRID_4x4, _blob_ic, gamma=GAMMA)
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=2e-5, atol=1e-6)
+    np.testing.assert_allclose(sh.compute_timestep(), ref.compute_timestep(),
+                               rtol=1e-5)
+    np.testing.assert_allclose(sh.compute_divergence_b(),
+                               ref.compute_divergence_b(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_subgrid_mhd_amr_and_walls():
+    """Distributed subgrid MHD AMR cycle == single-device (same forests,
+    close state); conductor walls (periodic=False) conserve mass."""
+    from t8gpu_tpu.parallel.subgrid_mhd import ShardedSubgridMHDSolver
+
+    amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.02)
+    ref = SubgridMHDSolver(
+        subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr),
+        _blob_ic, gamma=GAMMA)
+    sh = ShardedSubgridMHDSolver(Forest.uniform(2, dim=2), SUBGRID_4x4,
+                                 _blob_ic, gamma=GAMMA, amr=amr)
+    dt = 1e-3
+    for _ in range(2):
+        for _ in range(5):
+            ref.iterate(dt)
+            sh.iterate(dt)
+        ref.adapt()
+        sh.adapt()
+        np.testing.assert_array_equal(sh.forest.level,
+                                      ref.manager.forest.level)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=5e-5, atol=2e-6)
+
+    # conductor walls, sharded
+    wforest = Forest.uniform(2, dim=2, periodic=False)
+    sw = ShardedSubgridMHDSolver(wforest, SUBGRID_4x4, _blob_ic, gamma=GAMMA)
+    m0 = sw.compute_integral()
+    sw.iterate_many(10, 1e-3)
+    assert np.isfinite(sw.conserved_state()).all()
+    np.testing.assert_allclose(sw.compute_integral(), m0, rtol=1e-5)
+
+
+def test_sharded_subgrid_mhd_record_and_checkpoint():
+    """MHD observable registry through the sharded recorder; sharded
+    checkpoint restores as ShardedSubgridMHDSolver."""
+    import os
+    import tempfile
+
+    from t8gpu_tpu.io.checkpoint import (restore_sharded_solver,
+                                         save_solver)
+    from t8gpu_tpu.parallel.subgrid_mhd import ShardedSubgridMHDSolver
+
+    sh = ShardedSubgridMHDSolver(Forest.uniform(2, dim=2), SUBGRID_4x4,
+                                 _blob_ic, gamma=GAMMA, glm_alpha=0.2)
+    rows = np.asarray(sh.iterate_record(
+        4, 1e-3, observables=("mass", "magnetic_energy", "max_signal")))
+    assert rows.shape == (4, 3) and np.isfinite(rows).all()
+    np.testing.assert_allclose(rows[:, 0], rows[0, 0], rtol=1e-6)
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "sg_mhd_sharded.npz")
+        save_solver(path, sh, step=4)
+        r, meta = restore_sharded_solver(path)
+    assert isinstance(r, ShardedSubgridMHDSolver)
+    assert r.glm_alpha == sh.glm_alpha
+    np.testing.assert_allclose(r.conserved_state(), sh.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
+    r.iterate_many(2, 1e-3)
+    sh.iterate_many(2, 1e-3)
+    np.testing.assert_allclose(r.conserved_state(), sh.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
