@@ -331,3 +331,40 @@ def test_sharded_subgrid_mhd_record_and_checkpoint():
     sh.iterate_many(2, 1e-3)
     np.testing.assert_allclose(r.conserved_state(), sh.conserved_state(),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_subgrid_mhd_3d_steady_and_conservation():
+    """3D blocks (Subgrid<4,4,4>): a uniform oblique field in uniform
+    motion is exactly steady on the periodic forest (all interface
+    differences vanish), and a 3D blob conserves all 8 rows across
+    hanging 2:1 faces."""
+    from t8gpu_tpu.memory.subgrid import SUBGRID_4x4x4
+
+    forest = Forest.uniform(1, dim=3)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4x4)
+    ic_u = lambda c: mhd_state(np.ones(len(c)), (0.1, -0.05, 0.2), 1.0,
+                               (0.4, 0.25, -0.3), gamma=GAMMA)
+    s = SubgridMHDSolver(smesh, ic_u, gamma=GAMMA)
+    u0 = s.conserved_state()
+    s.iterate_many(5, 1e-3)
+    np.testing.assert_allclose(s.conserved_state(), u0, rtol=2e-6, atol=2e-6)
+
+    f2 = Forest.uniform(1, dim=3)
+    flags = np.zeros(f2.n_elements, np.int8)
+    flags[0] = 1
+    f2, _ = f2.adapt(f2.balance_flags(flags))
+    sm2 = SubgridMesh.from_forest(f2, SUBGRID_4x4x4)
+    s2 = SubgridMHDSolver(sm2, _blob_ic, gamma=GAMMA)
+    cv = np.repeat(np.asarray(sm2.volumes) / SUBGRID_4x4x4.size,
+                   SUBGRID_4x4x4.size)
+    u0 = s2.conserved_state().reshape(9, -1)
+    tot0 = (u0[:8] * cv).sum(axis=1)
+    dt = s2.compute_timestep()
+    s2.iterate_many(10, dt)
+    u1 = s2.conserved_state().reshape(9, -1)
+    assert np.isfinite(u1).all()
+    tot1 = (u1[:8] * cv).sum(axis=1)
+    # zero-sum rows (m_z here) drift only by roundoff of cancelling O(1)
+    # interface fluxes — judge every row against the state's global scale
+    scale = np.abs(u0[:8] * cv).sum(axis=1).max()
+    assert (np.abs(tot1 - tot0) / scale < 1e-5).all()
