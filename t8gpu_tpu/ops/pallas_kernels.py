@@ -245,6 +245,175 @@ def fused_flux_pallas(q: jnp.ndarray, weights: jnp.ndarray, others,
 
 
 # ---------------------------------------------------------------------------
+# Fused GLM-MHD kernel: the 9-row Rusanov + exact GLM interface solve
+# (models/mhd._rusanov_rows) through the same tile layout and shift
+# tricks as the Euler D-kernel.  The face-frame rotation swaps BOTH
+# vector triplets (momentum and B); the global cleaning speed c_h rides
+# row 7 of the weights block (the kernel's only scalar channel).
+# ---------------------------------------------------------------------------
+
+
+_ROT9 = {
+    1: (0, 2, 1, 3, 4, 6, 5, 7, 8),
+    2: (0, 3, 1, 2, 4, 7, 5, 6, 8),
+}
+_UNROT9 = {
+    1: (0, 2, 1, 3, 4, 6, 5, 7, 8),
+    2: (0, 2, 3, 1, 4, 6, 7, 5, 8),
+}
+
+
+def _rows_rotate9(rows, axis):
+    if axis == 0:
+        return rows
+    p = _ROT9[axis]
+    return tuple(rows[i] for i in p)
+
+
+def _flux_unrotate_rows9(f, axis):
+    if axis == 0:
+        return f
+    return jnp.stack([f[i] for i in _UNROT9[axis]])
+
+
+def _tile_mhd_divergence(u, others, w_ref, dim: int, ext: int,
+                         gamma: float):
+    """Per-tile GLM-MHD flux divergence: the _tile_flux_divergence shift
+    structure on 9 STATE rows with the Rusanov/GLM interface flux.
+    u: tuple of 9 state rows [*(ext,)*dim, TE]; others: 2*dim refs of
+    pre-resolved neighbor facing layers [9, *t_ext, TE] (conductor ghosts
+    on wall sides); w_ref: [8, TE] (row 0 interior surface, rows 1..2*dim
+    side weights, row 7 = c_h).  Returns (D [9, ...], per-cell speed)."""
+    from t8gpu_tpu.models.mhd import _rusanov_rows
+
+    TE = u[0].shape[-1]
+    blk = (ext,) * dim + (TE,)
+    surface = w_ref[0]
+    ch = w_ref[7]                                  # [TE], global scalar
+
+    def flux(l_rows, r_rows):
+        f, sp = _rusanov_rows(l_rows, r_rows, gamma, ch)
+        return f, sp
+
+    D = jnp.zeros((9,) + blk, u[0].dtype)
+    speed = jnp.zeros(blk, u[0].dtype)
+    interior_ok = (surface > 0).astype(u[0].dtype)
+
+    for a in range(dim):
+        qa = _rows_rotate9(u, a)
+        hi = _rows_rotate9(tuple(others[2 * a][i] for i in range(9)), a)
+        lo = _rows_rotate9(tuple(others[2 * a + 1][i] for i in range(9)), a)
+        w_hi = w_ref[1 + 2 * a]
+        w_lo = w_ref[2 + 2 * a]
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
+        at_end = idx == ext - 1
+        last_axis = a == dim - 1   # the sublane axis: shift via roll
+
+        def shift_next(r, h):
+            if last_axis:
+                rolled = jnp.roll(r, -1, axis=a)
+                return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(r, 1, ext, axis=a),
+                 jnp.expand_dims(h, a)], axis=a)
+
+        nxt = tuple(shift_next(r, h) for r, h in zip(qa, hi))
+        f, sp = flux(qa, nxt)
+        f = jnp.stack(f)
+        wgt = jnp.where(at_end, w_hi, surface)
+        f = _flux_unrotate_rows9(f, a) * wgt
+        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
+        speed = jnp.maximum(speed, sp * sp_ok)
+
+        # low-side mesh-face interface on the first slot
+        q0 = tuple(jax.lax.index_in_dim(r, 0, axis=a, keepdims=True)
+                   for r in qa)
+        lo_e = tuple(jnp.expand_dims(h, a) for h in lo)
+        f_lo, sp_lo = flux(lo_e, q0)
+        f_lo = _flux_unrotate_rows9(jnp.stack(f_lo), a) * w_lo
+        speed = jnp.maximum(
+            speed,
+            jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
+
+        if last_axis:
+            prev = jnp.roll(f, 1, axis=1 + a)
+            prev = jnp.where(idx == 0, f_lo, prev)
+        else:
+            prev = jnp.concatenate(
+                [f_lo, jax.lax.slice_in_dim(f, 0, ext - 1, axis=1 + a)],
+                axis=1 + a)
+        D = D + prev - f
+
+    return D, speed
+
+
+def _fused_mhd_kernel(u_ref, w_ref, *refs, gamma: float, dim: int,
+                      ext: int):
+    others = refs[: 2 * dim]
+    d_ref, sp_ref = refs[2 * dim:]
+    TE = u_ref.shape[-1]
+    u = tuple(u_ref[i] for i in range(9))
+    D, speed = _tile_mhd_divergence(u, others, w_ref, dim, ext, gamma)
+    d_ref[...] = D
+    smax = speed.max(axis=tuple(range(dim)))
+    sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "tile", "interpret"))
+def fused_mhd_flux_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
+                          gamma: float, tile: int = 128,
+                          interpret: bool = False):
+    """Fused GLM-MHD interior + equal/coarse mesh-face + wall flux
+    divergence.  u: [9, *(ext,)*dim, E] stacked states (dim 2 or 3,
+    ext 8 or 4); weights: [8, E] (row 7 = c_h); others: 2*dim arrays
+    [9, *(ext,)*(dim-1), E] (ops/subgrid_mhd.mhd_side_inputs).
+    Returns (D [9, *(ext,)*dim, E], speed [E])."""
+    dim = u.ndim - 2
+    ext = u.shape[1]
+    E = u.shape[-1]
+    E_pad = -(-E // tile) * tile
+    if E_pad != E:
+        pad = [(0, 0)] * u.ndim
+        pad[-1] = (0, E_pad - E)
+        u = jnp.pad(u, pad, mode="edge")
+        others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        # zero side weights on padded slots; c_h row must stay live
+        wp = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
+        weights = wp.at[7, E:].set(weights[7, E - 1])
+    grid = (E_pad // tile,)
+
+    def idx_blk(i):
+        return (0,) * (dim + 1) + (i,)
+
+    def idx_lay(i):
+        return (0,) * dim + (i,)
+
+    def idx2(i):
+        return (0, i)
+
+    D, sp = pl.pallas_call(
+        functools.partial(_fused_mhd_kernel, gamma=gamma, dim=dim,
+                          ext=ext),
+        grid=grid,
+        in_specs=[pl.BlockSpec((9,) + (ext,) * dim + (tile,), idx_blk),
+                  pl.BlockSpec((8, tile), idx2)]
+                 + [pl.BlockSpec((9,) + (ext,) * (dim - 1) + (tile,),
+                                 idx_lay)] * (2 * dim),
+        out_specs=[pl.BlockSpec((9,) + (ext,) * dim + (tile,), idx_blk),
+                   pl.BlockSpec((8, tile), idx2)],
+        out_shape=[jax.ShapeDtypeStruct((9,) + (ext,) * dim + (E_pad,),
+                                        u.dtype),
+                   jax.ShapeDtypeStruct((8, E_pad), u.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(u, weights, *others)
+    return D[..., :E], sp[0, :E]
+
+
+# ---------------------------------------------------------------------------
 # Fused second-order MUSCL kernel: limited linear reconstruction + full
 # interior/equal-face flux divergence in one VMEM pass per element tile.
 # The XLA counterpart is ops/subgrid.muscl_core; hanging (2:1) faces and

@@ -93,9 +93,20 @@ def _conductor_ghost(q_rot: jnp.ndarray) -> jnp.ndarray:
                             -q_rot[8:9]], axis=0)
 
 
+def _conductor_ghost_unrot(layer: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Conductor ghost of an UNROTATED facing layer: negate the normal
+    momentum row (1 + axis) and psi (row 8), keep B — the wall substitute
+    for the pre-resolved side layers the fused kernel consumes (the Euler
+    analogue is ops/subgrid._mirror_rows)."""
+    neg_m = -layer[1 + axis]
+    return jnp.concatenate([layer[: 1 + axis], neg_m[None],
+                            layer[2 + axis: 8], -layer[8:9]], axis=0)
+
+
 def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
                       conn, spec: SubgridSpec,
-                      n_out: int, iface, unrotate, ghost, u_ext=None):
+                      n_out: int, iface, unrotate, ghost, u_ext=None,
+                      fine_only: bool = False):
     """Surface accumulation over ALL cell interfaces of the block scheme —
     interior stencil, mesh faces (slab exchange incl. 2:1 hanging), and
     boundary groups — parameterized by the interface function.
@@ -114,7 +125,12 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
     (conn is then a ShardedSubgridConnectivity whose neighbor tables and
     wall cell indices address the extended element axis; see
     parallel/subgrid._halo_exchange_state).  Default: u itself — the
-    single-device case, where the two axes coincide."""
+    single-device case, where the two axes coincide.
+
+    fine_only=True evaluates ONLY the virtual-fine (hanging 2:1) pass —
+    the additive term the fused Pallas kernel leaves to XLA (the Euler
+    analogue is ops/subgrid.outer_fine_apply); compiled away entirely on
+    meshes without finer neighbors."""
     dim = spec.dim
     ext = spec.extent
     n_t = dim - 1
@@ -132,25 +148,30 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
     speed = jnp.zeros((), u.dtype)
 
     for a in range(dim):
+        if fine_only and not (conn.has_fine[2 * a] or conn.has_fine[2 * a + 1]):
+            continue
         u_rot = axis_rotate9(u_ext, a)
         ax = 1 + a
-
-        # ---- interior interfaces (ext-1 per axis) ------------------------
         u_loc = u_rot[..., :CL]
-        u_l = jax.lax.slice_in_dim(u_loc, 0, ext - 1, axis=ax)
-        u_r = jax.lax.slice_in_dim(u_loc, 1, ext, axis=ax)
-        f, sp = iface(u_l, u_r)
-        f = unrotate(f, a) * surface
-        pad_lo = [(0, 0)] * f.ndim
-        pad_hi = [(0, 0)] * f.ndim
-        pad_lo[ax] = (1, 0)     # f[i-1] lands on cell i
-        pad_hi[ax] = (0, 1)     # f[i]   leaves  cell i
-        D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
-        speed = jnp.maximum(speed, (sp * (surface > 0)).max())
+
+        if not fine_only:
+            # ---- interior interfaces (ext-1 per axis) --------------------
+            u_l = jax.lax.slice_in_dim(u_loc, 0, ext - 1, axis=ax)
+            u_r = jax.lax.slice_in_dim(u_loc, 1, ext, axis=ax)
+            f, sp = iface(u_l, u_r)
+            f = unrotate(f, a) * surface
+            pad_lo = [(0, 0)] * f.ndim
+            pad_hi = [(0, 0)] * f.ndim
+            pad_lo[ax] = (1, 0)     # f[i-1] lands on cell i
+            pad_hi[ax] = (0, 1)     # f[i]   leaves  cell i
+            D = D + jnp.pad(f, pad_lo) - jnp.pad(f, pad_hi)
+            speed = jnp.maximum(speed, (sp * (surface > 0)).max())
 
         # ---- mesh faces: slab exchange (ops/subgrid.outer_apply shape) ---
         for s_i, sign in ((0, 1), (1, -1)):
             k = 2 * a + s_i
+            if fine_only and not conn.has_fine[k]:
+                continue
             nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
                                     conn.bits[k], conn.mask[k])
             hi = sign > 0
@@ -162,18 +183,21 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
                                    nbr if conn.has_fine[k] else nbr[:, :1])
             base = nb[..., 0]
 
-            # pass 1: my resolution (equal + coarser neighbors)
-            r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
-            other = (jnp.where(r < 0, sg._coarse_window(base, bits, spec),
-                               base)
-                     if conn.has_coarse[k] else base)
-            q_l, q_r = (my_layer, other) if hi else (other, my_layer)
-            f, sp = iface(q_l, q_r)
-            w1 = mask * area_t * (rel <= 0)
-            f = unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
-            contrib = -f if hi else f
-            sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
-            speed = jnp.maximum(speed, (sp * sp_m).max())
+            contrib = None
+            if not fine_only:
+                # pass 1: my resolution (equal + coarser neighbors)
+                r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+                other = (jnp.where(r < 0,
+                                   sg._coarse_window(base, bits, spec),
+                                   base)
+                         if conn.has_coarse[k] else base)
+                q_l, q_r = (my_layer, other) if hi else (other, my_layer)
+                f, sp = iface(q_l, q_r)
+                w1 = mask * area_t * (rel <= 0)
+                f = unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
+                contrib = -f if hi else f
+                sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
+                speed = jnp.maximum(speed, (sp * sp_m).max())
 
             # pass 2: virtual fine resolution (finer neighbors)
             if conn.has_fine[k]:
@@ -185,15 +209,17 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
                 f2 = (unrotate(f2, a)
                       * w2.reshape((1,) * (f2.ndim - 1) + (-1,)))
                 f2 = sg._pool2(f2, n_t)
-                contrib = contrib + (-f2 if hi else f2)
+                f2 = -f2 if hi else f2
+                contrib = f2 if contrib is None else contrib + f2
                 sp_m2 = (w2 > 0).reshape((1,) * (f2.ndim - 2) + (-1,))
                 speed = jnp.maximum(speed, (sp2 * sp_m2).max())
 
-            D = sg._slab_add(D, contrib.reshape(n_out, -1), a,
-                             layer_hi=hi, spec=spec)
+            if contrib is not None:
+                D = sg._slab_add(D, contrib.reshape(n_out, -1), a,
+                                 layer_hi=hi, spec=spec)
 
     # ---- boundary groups (walls; ops/subgrid.boundary_apply shape) --------
-    if conn.b_groups:
+    if conn.b_groups and not fine_only:
         # flat cell = cell * (extended capacity) + elem
         u_flat = u_ext.reshape(u_ext.shape[0], -1)
         for (axis, sign), bc, ar, br in zip(conn.b_groups, conn.b_cell,
@@ -214,21 +240,102 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
     return D, speed
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "gamma", "alpha"))
+def mhd_side_inputs(u: jnp.ndarray, conn, spec: SubgridSpec,
+                    volumes: jnp.ndarray, ch, u_ext=None):
+    """Inputs for ops.pallas_kernels.fused_mhd_flux_pallas: per side the
+    RESOLVED equal/coarse neighbor facing layer as 9-row STATE slabs
+    [9, *t_ext, E] (gather + coarse-window, identical to the engine's
+    pass 1; wall sides carry the conductor ghost of the own layer), plus
+    the packed per-element weights [8, E]: row 0 = interior cell surface,
+    rows 1+k = side-k mesh-face weight mask*area*(rel<=0) [+ wall area on
+    wall sides], row 7 = the global cleaning speed c_h (broadcast — the
+    kernel has no other scalar operand channel).  Mirrors
+    ops/subgrid.pallas_side_inputs / _state_side_layers.
+    `u_ext` supplies the gather source on the halo-extended element axis
+    (the sharded path); defaults to u."""
+    dim = spec.dim
+    ext = spec.extent
+    if u_ext is None:
+        u_ext = u
+    h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
+    surface = ((h_e / ext) ** (dim - 1)) * (volumes > 0)
+    area_t = (h_e / ext) ** (dim - 1)
+    walls = sg._wall_masks(conn, spec, volumes)
+
+    others = []
+    w_rows = [surface]
+    for a in range(dim):
+        for s_i, sign in ((0, 1), (1, -1)):
+            k = 2 * a + s_i
+            nbr, rel, bits, mask = (conn.nbr[k], conn.rel[k],
+                                    conn.bits[k], conn.mask[k])
+            hi = sign > 0
+            # layers are stored in UNROTATED rows (the kernel rotates)
+            opp_layer = jax.lax.index_in_dim(
+                u_ext, 0 if hi else ext - 1, axis=1 + a, keepdims=False)
+            # pass 1 only ever reads quadrant 0 (the fine pass re-gathers)
+            base = sg._gather_layers(opp_layer, nbr[:, :1])[..., 0]
+            if conn.has_coarse[k]:
+                r_b = rel.reshape((1,) * (base.ndim - 1) + (-1,))
+                base = jnp.where(r_b < 0,
+                                 sg._coarse_window(base, bits, spec), base)
+            w = mask * area_t * (rel <= 0)
+            if walls is not None:
+                wall_b = walls[k].reshape((1,) * (base.ndim - 1) + (-1,))
+                own_layer = jax.lax.index_in_dim(
+                    u, ext - 1 if hi else 0, axis=1 + a, keepdims=False)
+                sub = _conductor_ghost_unrot(own_layer, a)
+                base = jnp.where(wall_b > 0, sub, base)
+                w = w + walls[k] * area_t
+            others.append(base)
+            w_rows.append(w)
+    while len(w_rows) < 7:           # fixed [8, E] block for the kernel
+        w_rows.append(jnp.zeros_like(surface))
+    w_rows.append(jnp.broadcast_to(ch, surface.shape))   # row 7: c_h
+    return tuple(others), jnp.stack(w_rows)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "gamma", "alpha", "use_pallas"))
 def mhd_subgrid_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
                            conn: SubgridConnectivity, spec: SubgridSpec,
-                           gamma: float, alpha: float):
+                           gamma: float, alpha: float, use_pallas=None):
     """Full GLM-MHD surface-flux divergence for the subgrid scheme:
     u [9, *ext, Ecap] -> (D [9, *ext, Ecap], max signal speed).
 
     c_h is recomputed from `u` (zero staleness, models/mhd.glm_ch) and
     threads through every interface; the GLM damping source lands on the
-    psi row scaled by the CELL volume (the RK stages divide by it)."""
+    psi row scaled by the CELL volume (the RK stages divide by it).
+
+    On TPU backends (ops/pallas_kernels.kernel_mode) with ext 4/8, the
+    interior + equal/coarse mesh-face + wall interfaces run as ONE fused
+    VMEM-resident Pallas kernel per evaluation
+    (fused_mhd_flux_pallas); hanging-fine subfaces remain the XLA
+    additive pass (the engine's fine_only mode), exactly mirroring the
+    Euler flux_divergence dispatch.  The XLA engine is the fallback and
+    the CPU-test surface."""
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+    mode = kernel_mode()
+    if use_pallas is None:
+        use_pallas = mode != "off"
     live = volumes > 0
     ch = jnp.maximum(glm_ch(u, gamma, live), 1e-12)
     iface = lambda l, r: _rusanov_stack(l, r, gamma, ch)
-    D, speed = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
-                                 axis_unrotate9, _conductor_ghost)
+    if use_pallas and spec.extent in (4, 8):
+        from t8gpu_tpu.ops.pallas_kernels import fused_mhd_flux_pallas
+        others, weights = mhd_side_inputs(u, conn, spec, volumes, ch)
+        D, sp_e = fused_mhd_flux_pallas(u, weights, others, gamma=gamma,
+                                        interpret=mode == "interpret")
+        speed = sp_e.max()
+        if any(conn.has_fine):
+            D2, sp_f = _interface_engine(u, volumes, conn, spec, N_ROWS,
+                                         iface, axis_unrotate9,
+                                         _conductor_ghost, fine_only=True)
+            D = D + D2
+            speed = jnp.maximum(speed, sp_f)
+    else:
+        D, speed = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
+                                     axis_unrotate9, _conductor_ghost)
     if alpha > 0.0:
         h_cell = (jnp.where(live, volumes, 1.0) ** (1.0 / spec.dim)
                   / spec.extent)

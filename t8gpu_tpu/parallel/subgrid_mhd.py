@@ -44,14 +44,37 @@ def sharded_subgrid_mhd_divergence(u, volumes, conn, spec: SubgridSpec,
                                    gamma: float, alpha: float):
     """Per-shard GLM-MHD flux divergence [9, *ext, CL] + GLOBAL max
     signal speed (runs inside shard_map; one halo exchange + one pmax'd
-    c_h per call)."""
+    c_h per call).  On TPU backends with ext 4/8 the per-shard interior +
+    equal/coarse + wall interfaces run as the fused Pallas kernel
+    (ops/pallas_kernels.fused_mhd_flux_pallas) with side layers resolved
+    from the halo-extended axis; hanging-fine subfaces stay the XLA
+    additive pass — the same dispatch as the single-device
+    mhd_subgrid_divergence."""
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
+    mode = kernel_mode()
     u_ext = _halo_exchange_state(u, conn)
     live = volumes > 0
     ch = jnp.maximum(jax.lax.pmax(glm_ch(u, gamma, live), halo.AXIS), 1e-12)
     iface = lambda l, r: _rusanov_stack(l, r, gamma, ch)
-    D, speed = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
-                                 axis_unrotate9, _conductor_ghost,
-                                 u_ext=u_ext)
+    if mode != "off" and spec.extent in (4, 8):
+        from t8gpu_tpu.ops.pallas_kernels import fused_mhd_flux_pallas
+        from t8gpu_tpu.ops.subgrid_mhd import mhd_side_inputs
+        others, weights = mhd_side_inputs(u, conn, spec, volumes, ch,
+                                          u_ext=u_ext)
+        D, sp_e = fused_mhd_flux_pallas(u, weights, others, gamma=gamma,
+                                        interpret=mode == "interpret")
+        speed = sp_e.max()
+        if any(conn.has_fine):
+            D2, sp_f = _interface_engine(u, volumes, conn, spec, N_ROWS,
+                                         iface, axis_unrotate9,
+                                         _conductor_ghost, u_ext=u_ext,
+                                         fine_only=True)
+            D = D + D2
+            speed = jnp.maximum(speed, sp_f)
+    else:
+        D, speed = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
+                                     axis_unrotate9, _conductor_ghost,
+                                     u_ext=u_ext)
     if alpha > 0.0:
         h_cell = (jnp.where(live, volumes, 1.0) ** (1.0 / spec.dim)
                   / spec.extent)

@@ -368,3 +368,119 @@ def test_subgrid_mhd_3d_steady_and_conservation():
     # interface fluxes — judge every row against the state's global scale
     scale = np.abs(u0[:8] * cv).sum(axis=1).max()
     assert (np.abs(tot1 - tot0) / scale < 1e-5).all()
+
+
+# -- fused Pallas MHD kernel (interpret mode) ----------------------------------
+
+
+def _mhd_kernel_vs_engine(forest, ext=4):
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.ops.subgrid_mhd import mhd_subgrid_divergence
+
+    dim = forest.dim
+    spec = SubgridSpec((ext,) * dim)
+    smesh = SubgridMesh.from_forest(forest, spec)
+    s = SubgridMHDSolver(smesh, _blob_ic, gamma=GAMMA)
+    D0, sp0 = mhd_subgrid_divergence(s.u, s.volumes, s.conn, spec,
+                                     GAMMA, 0.1, use_pallas=False)
+
+    import jax.numpy as jnp
+
+    from t8gpu_tpu.models.mhd import glm_ch
+    from t8gpu_tpu.ops.pallas_kernels import fused_mhd_flux_pallas
+    from t8gpu_tpu.ops.subgrid_mhd import (_conductor_ghost,
+                                           _interface_engine,
+                                           _rusanov_stack, axis_unrotate9,
+                                           mhd_side_inputs)
+
+    live = s.volumes > 0
+    ch = jnp.maximum(glm_ch(s.u, GAMMA, live), 1e-12)
+    others, weights = mhd_side_inputs(s.u, s.conn, spec, s.volumes, ch)
+    D1, sp_e = fused_mhd_flux_pallas(s.u, weights, others, gamma=GAMMA,
+                                     interpret=True)
+    sp1 = sp_e.max()
+    if any(s.conn.has_fine):
+        iface = lambda l, r: _rusanov_stack(l, r, GAMMA, ch)
+        D2, sp_f = _interface_engine(s.u, s.volumes, s.conn, spec, 9,
+                                     iface, axis_unrotate9,
+                                     _conductor_ghost, fine_only=True)
+        D1 = D1 + D2
+        sp1 = jnp.maximum(sp1, sp_f)
+    # add the damping row exactly as the dispatcher does
+    h_cell = (jnp.where(live, s.volumes, 1.0) ** (1.0 / dim)) / ext
+    D1 = D1.at[8].add(-0.1 * ch * s.u[8]
+                      * ((s.volumes / spec.size) / h_cell) * live)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp1), float(sp0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("dim,ext", [(2, 4), (2, 8), (3, 4), (3, 8)])
+def test_fused_mhd_kernel_uniform(dim, ext):
+    """Fused MHD kernel == interface engine on uniform periodic meshes."""
+    _mhd_kernel_vs_engine(Forest.uniform(2 if dim == 2 else 1, dim=dim),
+                          ext=ext)
+
+
+def test_fused_mhd_kernel_hanging_and_walls():
+    """Fused MHD kernel + XLA fine pass == engine on a hanging 2:1 mesh;
+    conductor walls in-kernel == engine on a walled mesh."""
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[[0, 7]] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    _mhd_kernel_vs_engine(forest, ext=4)
+
+    _mhd_kernel_vs_engine(Forest.uniform(2, dim=2, periodic=False), ext=4)
+
+
+def test_mhd_dispatch_interpret_end_to_end(monkeypatch):
+    """The auto-dispatch (T8GPU_PALLAS=interpret) steps the solver through
+    the fused kernel and matches the XLA engine stepping."""
+    import jax
+
+    forest = Forest.uniform(2, dim=2)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    s_ref = SubgridMHDSolver(smesh, _blob_ic, gamma=GAMMA)
+    s_ref.iterate_many(3, 1e-3)
+
+    monkeypatch.setenv("T8GPU_PALLAS", "interpret")
+    jax.clear_caches()
+    try:
+        s_k = SubgridMHDSolver(smesh, _blob_ic, gamma=GAMMA)
+        s_k.iterate_many(3, 1e-3)
+    finally:
+        monkeypatch.delenv("T8GPU_PALLAS")
+        jax.clear_caches()
+    np.testing.assert_allclose(s_k.conserved_state(), s_ref.conserved_state(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_sharded_mhd_kernel_dispatch_interpret(monkeypatch):
+    """The SHARDED dispatch takes the fused-kernel path inside shard_map
+    (interpret mode; halo-extended side layers) and matches the sharded
+    XLA engine on a hanging 2:1 forest."""
+    import jax
+
+    from t8gpu_tpu.parallel.subgrid_mhd import ShardedSubgridMHDSolver
+
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+
+    ref = ShardedSubgridMHDSolver(forest, SUBGRID_4x4, _blob_ic,
+                                  gamma=GAMMA)
+    ref.iterate_many(2, 1e-3)
+
+    monkeypatch.setenv("T8GPU_PALLAS", "interpret")
+    jax.clear_caches()
+    try:
+        k = ShardedSubgridMHDSolver(forest, SUBGRID_4x4, _blob_ic,
+                                    gamma=GAMMA)
+        k.iterate_many(2, 1e-3)
+    finally:
+        monkeypatch.delenv("T8GPU_PALLAS")
+        jax.clear_caches()
+    np.testing.assert_allclose(k.conserved_state(), ref.conserved_state(),
+                               rtol=2e-5, atol=2e-6)
