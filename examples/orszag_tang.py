@@ -53,6 +53,10 @@ def main():
     p.add_argument("--adapt-every", type=int, default=25)
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="orszag_tang")
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="2 = row-generic MUSCL (plain/sharded paths)")
+    p.add_argument("--limiter", default="bj",
+                   choices=("bj", "venkat", "none"))
     args = p.parse_args()
 
     ic = lambda c: orszag_tang(c, gamma=GAMMA)
@@ -64,8 +68,12 @@ def main():
         from t8gpu_tpu.parallel.mhd import ShardedMHDSolver
         solver = ShardedMHDSolver(Forest.uniform(args.level, dim=2), ic,
                                   gamma=GAMMA, glm_alpha=args.glm_alpha,
-                                  amr=amr)
+                                  amr=amr, order=args.order,
+                                  limiter=args.limiter)
     elif args.subgrid:
+        if args.order == 2:
+            p.error("--order 2 runs on the plain/sharded MHD paths "
+                    "(the dense-block MHD scheme is first order)")
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.mesh.subgrid import SubgridMesh
         from t8gpu_tpu.models.subgrid_euler import subgrid_manager
@@ -79,10 +87,12 @@ def main():
     elif args.amr:
         solver = MHDSolver(MeshManager(Forest.uniform(args.level, dim=2),
                                        amr), ic,
-                           gamma=GAMMA, glm_alpha=args.glm_alpha)
+                           gamma=GAMMA, glm_alpha=args.glm_alpha,
+                           order=args.order, limiter=args.limiter)
     else:
         solver = MHDSolver(uniform_mesh(level=args.level, dim=2), ic,
-                           gamma=GAMMA, glm_alpha=args.glm_alpha)
+                           gamma=GAMMA, glm_alpha=args.glm_alpha,
+                           order=args.order, limiter=args.limiter)
 
     m0 = solver.compute_integral()
     print(f"elements={solver.n_elements} mass={m0:.6f}")

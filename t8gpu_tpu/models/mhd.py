@@ -251,6 +251,54 @@ def mhd_divergence(u: jnp.ndarray, conn: FaceConnectivity, gamma: float,
     return acc, speed
 
 
+def _mhd_guard(u_rec, u_first, gamma):
+    """Admissibility fallback for reconstructed MHD states: first-order
+    wherever the reconstructed density or THERMAL pressure is non-positive
+    (the magnetic pressure is always >= 0 and must be excluded from the
+    check — a strong field with small plasma beta would otherwise mask a
+    negative p).  Per face side, all 9 rows (ops/reconstruct guard
+    contract)."""
+    b2 = u_rec[5] ** 2 + u_rec[6] ** 2 + u_rec[7] ** 2
+    p = _pressure(u_rec[0], u_rec[1], u_rec[2], u_rec[3], u_rec[4], b2,
+                  gamma)
+    ok = (u_rec[0] > 0.0) & (p > 0.0)
+    return jnp.where(ok[None], u_rec, u_first)
+
+
+def mhd_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity,
+                         gamma: float, alpha: float, volume, h_cell,
+                         inv_volume, limiter: str = "bj", dim: int = 2):
+    """Second-order counterpart of mhd_divergence: limited MUSCL interface
+    states (ops/reconstruct.reconstruct_sides, row-generic over the 9 GLM
+    rows, with the MHD admissibility guard) feeding the SAME Rusanov +
+    exact-GLM face flux.  c_h comes from the CELL states (fresh, zero
+    staleness) — reconstruction never raises the cleaning speed.
+
+    Beyond-reference on two axes at once: the reference ships neither MHD
+    nor any second-order scheme (SURVEY §2.2, kernels.cu:150-172)."""
+    from t8gpu_tpu.ops.reconstruct import reconstruct_sides
+
+    live = volume > 0
+    ch = jnp.maximum(glm_ch(u, gamma, live), 1e-12)
+    u_lf, u_rf, u_bf = reconstruct_sides(
+        u, conn, inv_volume, gamma, limiter=limiter, dim=dim,
+        guard=lambda rec, first: _mhd_guard(rec, first, gamma))
+    f, sp = mhd_face_flux(u_lf, u_rf, conn.normal, conn.area, gamma, ch)
+    sp = sp * (conn.area > 0)
+    if conn.boundary_capacity:
+        fb, sp_b = mhd_wall_flux(u_bf, conn.b_normal, conn.b_area, gamma,
+                                 ch)
+        sp_b = sp_b * (conn.b_area > 0)
+    else:
+        fb = jnp.zeros((N_ROWS, 0), u.dtype)
+        sp_b = jnp.zeros((0,), u.dtype)
+    acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
+    if alpha > 0.0:
+        acc = acc.at[8].add(-alpha * ch * u[8] * volume / h_cell)
+    speed = jnp.maximum(sp.max(), sp_b.max() if sp_b.size else 0.0)
+    return acc, speed
+
+
 def divergence_b(u: jnp.ndarray, conn: FaceConnectivity, volume):
     """Green-Gauss cell divergence of B: (sum_faces avg(B).n A) / V —
     the constraint-violation diagnostic GLM exists to control.  Boundary
@@ -296,13 +344,19 @@ MHD_REDUCERS["max_signal"] = "max"
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n_steps", "gamma", "alpha",
-                                    "observables"),
+                   static_argnames=("n_steps", "gamma", "alpha", "order",
+                                    "limiter", "dim", "observables"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, volume, h_cell, dt, *,
-               n_steps: int, gamma: float, alpha: float,
-               observables: tuple = ()):
-    flux_fn = lambda w: mhd_divergence(w, conn, gamma, alpha, volume, h_cell)
+               n_steps: int, gamma: float, alpha: float, order: int = 1,
+               limiter: str = "bj", dim: int = 2, observables: tuple = ()):
+    if order == 2:
+        flux_fn = lambda w: mhd_divergence_muscl(w, conn, gamma, alpha,
+                                                 volume, h_cell, inv_volume,
+                                                 limiter, dim)
+    else:
+        flux_fn = lambda w: mhd_divergence(w, conn, gamma, alpha, volume,
+                                           h_cell)
 
     if observables:
         from t8gpu_tpu.models.observables import resolve
@@ -335,12 +389,17 @@ class MHDSolver:
 
     def __init__(self, mesh, ic: Callable[[np.ndarray], np.ndarray],
                  gamma: float = 5.0 / 3.0, glm_alpha: float = 0.1,
-                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45):
+                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45,
+                 order: int = 1, limiter: str = "bj"):
         from t8gpu_tpu.mesh.manager import MeshManager
 
         self.gamma = float(gamma)
         self.glm_alpha = float(glm_alpha)
         self.cfl = cfl
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
+        self.order = int(order)
+        self.limiter = str(limiter)
         self.amr = amr
         self.manager: Optional[MeshManager] = None
         if isinstance(mesh, MeshManager):
@@ -382,7 +441,8 @@ class MHDSolver:
         self.u, self._max_speed = _rk3_multi(
             self.u, self.conn, self.inv_volume, self.volume, self.h_cell,
             jnp.float32(dt), n_steps=n_steps, gamma=self.gamma,
-            alpha=self.glm_alpha)
+            alpha=self.glm_alpha, order=self.order, limiter=self.limiter,
+            dim=self.mesh.dim)
 
     def iterate_record(self, n_steps: int, dt: float,
                        observables=("mass", "total_energy",
@@ -395,7 +455,8 @@ class MHDSolver:
         self.u, self._max_speed, rows = _rk3_multi(
             self.u, self.conn, self.inv_volume, self.volume, self.h_cell,
             jnp.float32(dt), n_steps=n_steps, gamma=self.gamma,
-            alpha=self.glm_alpha, observables=tuple(observables))
+            alpha=self.glm_alpha, order=self.order, limiter=self.limiter,
+            dim=self.mesh.dim, observables=tuple(observables))
         return rows
 
     # -- diagnostics -----------------------------------------------------------

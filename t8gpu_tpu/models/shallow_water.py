@@ -302,3 +302,61 @@ class ShallowWaterSolver:
     def conserved_state(self) -> np.ndarray:
         """Unpadded [3, N] state on host."""
         return np.asarray(self.u[:, : self.n_elements])
+
+
+# -- exact dam-break solution (Stoker 1957) ------------------------------------
+
+
+def stoker_dam_break(h_l: float, h_r: float, g: float = 9.81):
+    """The exact wet-bed dam-break solution (Stoker 1957, ch. 10.8): at
+    t = 0 still water of depth h_l (x < x0) meets still water of depth
+    h_r < h_l.  The solution is self-similar in xi = (x - x0) / t — a
+    left rarefaction fan, a constant star region (h_m, u_m), and a right
+    bore at speed s.
+
+    Returns (profile, h_m, u_m, s) with profile(xi) -> (h, u) vectorized
+    over xi.  Star state from the standard matching: the rarefaction
+    invariant u_m = 2 (c_l - c_m) equals the bore jump
+    u_m = (h_m - h_r) sqrt(g (h_m + h_r) / (2 h_m h_r)); solved by
+    bisection in f64 (h_m is bracketed by (h_r, h_l)).
+
+    This is the parameter-free quantitative validation artifact for the
+    shallow-water family — the analogue of models/exact_riemann.py for
+    Euler (the reference framework has no quantitative accuracy check
+    anywhere, SURVEY §4)."""
+    if not (h_l > h_r > 0):
+        raise ValueError("Stoker solution needs h_l > h_r > 0 (wet bed)")
+    c_l = float(np.sqrt(g * h_l))
+
+    def f(h_m):
+        c_m = np.sqrt(g * h_m)
+        bore = (h_m - h_r) * np.sqrt(0.5 * g * (h_m + h_r) / (h_m * h_r))
+        return 2.0 * (c_l - c_m) - bore
+
+    lo, hi = h_r, h_l
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if f(mid) > 0.0:
+            lo = mid
+        else:
+            hi = mid
+    h_m = 0.5 * (lo + hi)
+    c_m = float(np.sqrt(g * h_m))
+    u_m = 2.0 * (c_l - c_m)
+    s = h_m * u_m / (h_m - h_r)          # bore speed (mass jump)
+
+    def profile(xi):
+        xi = np.asarray(xi, np.float64)
+        # rarefaction fan: xi = u - c with u + 2c = 2 c_l
+        c_fan = (2.0 * c_l - xi) / 3.0
+        h_fan = c_fan * c_fan / g
+        u_fan = 2.0 / 3.0 * (xi + c_l)
+        h = np.where(xi < -c_l, h_l,
+                     np.where(xi < u_m - c_m, h_fan,
+                              np.where(xi < s, h_m, h_r)))
+        u = np.where(xi < -c_l, 0.0,
+                     np.where(xi < u_m - c_m, u_fan,
+                              np.where(xi < s, u_m, 0.0)))
+        return h, u
+
+    return profile, float(h_m), float(u_m), float(s)

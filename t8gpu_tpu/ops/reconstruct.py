@@ -51,27 +51,29 @@ def _require_geometry(conn: FaceConnectivity):
 
 def green_gauss_gradients(u: jnp.ndarray, conn: FaceConnectivity,
                           inv_volume: jnp.ndarray, mode: str = "gather"):
-    """Per-element gradient of each conserved variable: [5, 3, capacity].
+    """Per-element gradient of each conserved variable: [C, 3, capacity]
+    (row-generic: C = u.shape[0] — 5 for Euler, 9 for GLM-MHD).
 
     Same incidence machinery as the flux accumulate (signs give the
     outward orientation per side); boundary faces use the owner state
     (mirror ghosts share every component's face-normal mean except the
     normal momentum — the O(h) wall error is limited away)."""
+    C = u.shape[0]
     u_l = gather_cols(u, conn.left)
     u_r = gather_cols(u, conn.right)
-    mean = 0.5 * (u_l + u_r)                               # [5, F]
+    mean = 0.5 * (u_l + u_r)                               # [C, F]
     an = conn.normal * conn.area                           # [3, F]
-    c = (mean[:, None, :] * an[None]).reshape(15, -1)      # [15, F]
+    c = (mean[:, None, :] * an[None]).reshape(3 * C, -1)   # [3C, F]
     if conn.boundary_capacity:
         u_b = gather_cols(u, conn.b_elem)
         cb = (u_b[:, None, :] * (conn.b_normal * conn.b_area)[None]
-              ).reshape(15, -1)
+              ).reshape(3 * C, -1)
     else:
-        cb = jnp.zeros((15, 0), u.dtype)
-    acc = accumulate(c, cb, conn, mode)                    # [15, cap]
+        cb = jnp.zeros((3 * C, 0), u.dtype)
+    acc = accumulate(c, cb, conn, mode)                    # [3C, cap]
     # accumulate is signed for flux divergence (emitter -, receiver +);
     # Green-Gauss wants the OUTWARD surface integral, which is its negation.
-    return (-acc * inv_volume).reshape(5, 3, -1)
+    return (-acc * inv_volume).reshape(C, 3, -1)
 
 
 def _side_values(val_left, val_right, val_bowner, conn: FaceConnectivity):
@@ -147,32 +149,40 @@ def _positivity_guard(u_rec, u_first, gamma: float):
 def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
                       inv_volume: jnp.ndarray, gamma: float,
                       mode: str = "gather", limiter: str = "bj",
-                      dim: int = 2):
-    """Limited MUSCL interface states: (u_Lf [5,F], u_Rf [5,F], u_Bf [5,Fb]).
+                      dim: int = 2, guard=None):
+    """Limited MUSCL interface states: (u_Lf [C,F], u_Rf [C,F], u_Bf [C,Fb])
+    for any row count C = u.shape[0].
 
     limiter: "bj" (Barth-Jespersen, strictly monotone), "venkat"
     (Venkatakrishnan — smooth relaxation of BJ that keeps full second
     order at smooth extrema, slight bounded overshoot at jumps; `dim`
     sets the eps^2 = (K h)^3 length scale) or "none" (unlimited — clean
-    second order on smooth fields, for convergence studies)."""
+    second order on smooth fields, for convergence studies).
+
+    guard: physical-admissibility fallback `(u_rec, u_first) -> u` applied
+    per face side; None = the Euler density/pressure guard (with `gamma`).
+    Other PDE families inject their own (GLM-MHD: models/mhd._mhd_guard)."""
     _require_geometry(conn)
     cap_b = conn.boundary_capacity
+    C = u.shape[0]
+    if guard is None:
+        guard = lambda rec, first: _positivity_guard(rec, first, gamma)
 
-    grad = green_gauss_gradients(u, conn, inv_volume, mode)   # [5,3,cap]
-    gflat = grad.reshape(15, -1)
+    grad = green_gauss_gradients(u, conn, inv_volume, mode)   # [C,3,cap]
+    gflat = grad.reshape(3 * C, -1)
 
     u_l = gather_cols(u, conn.left)
     u_r = gather_cols(u, conn.right)
     u_b = (gather_cols(u, conn.b_elem) if cap_b
-           else jnp.zeros((5, 0), u.dtype))
+           else jnp.zeros((C, 0), u.dtype))
 
-    du_l = (gather_cols(gflat, conn.left).reshape(5, 3, -1)
-            * conn.d_left[None]).sum(axis=1)                  # [5, F]
-    du_r = (gather_cols(gflat, conn.right).reshape(5, 3, -1)
+    du_l = (gather_cols(gflat, conn.left).reshape(C, 3, -1)
+            * conn.d_left[None]).sum(axis=1)                  # [C, F]
+    du_r = (gather_cols(gflat, conn.right).reshape(C, 3, -1)
             * conn.d_right[None]).sum(axis=1)
-    du_b = ((gather_cols(gflat, conn.b_elem).reshape(5, 3, -1)
+    du_b = ((gather_cols(gflat, conn.b_elem).reshape(C, 3, -1)
              * conn.d_b[None]).sum(axis=1) if cap_b
-            else jnp.zeros((5, 0), u.dtype))
+            else jnp.zeros((C, 0), u.dtype))
 
     if limiter in ("bj", "venkat"):
         u_min, u_max = _neighbor_minmax(u, u_l, u_r, u_b, conn)
@@ -192,24 +202,23 @@ def reconstruct_sides(u: jnp.ndarray, conn: FaceConnectivity,
         a_l = ratio(du_l, conn.left)
         a_r = ratio(du_r, conn.right)
         a_b = (ratio(du_b, conn.b_elem) if cap_b
-               else jnp.zeros((5, 0), u.dtype))
+               else jnp.zeros((C, 0), u.dtype))
         # one alpha per ELEMENT: the min over its face-side candidates
         side = _side_values(a_l, a_r, a_b, conn)
         alpha = jnp.where(conn.inc_sign != 0, side, 1.0).min(axis=-1)
         al_f = gather_cols(alpha, conn.left)
         ar_f = gather_cols(alpha, conn.right)
         ab_f = (gather_cols(alpha, conn.b_elem) if cap_b
-                else jnp.zeros((5, 0), u.dtype))
+                else jnp.zeros((C, 0), u.dtype))
     elif limiter == "none":
         al_f = ar_f = 1.0
         ab_f = 1.0
     else:
         raise ValueError(f"unknown limiter: {limiter!r}")
 
-    u_lf = _positivity_guard(u_l + al_f * du_l, u_l, gamma)
-    u_rf = _positivity_guard(u_r + ar_f * du_r, u_r, gamma)
-    u_bf = (_positivity_guard(u_b + ab_f * du_b, u_b, gamma) if cap_b
-            else u_b)
+    u_lf = guard(u_l + al_f * du_l, u_l)
+    u_rf = guard(u_r + ar_f * du_r, u_r)
+    u_bf = guard(u_b + ab_f * du_b, u_b) if cap_b else u_b
     return u_lf, u_rf, u_bf
 
 

@@ -253,53 +253,60 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
     return acc, speed_v
 
 
-def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
-                                  conn: ShardedConnectivity,
-                                  inv_volume: jnp.ndarray,
-                                  gamma: float, flux: str,
-                                  limiter: str = "bj", dim: int = 2,
-                                  ghost=None):
-    """Second-order (MUSCL) per-shard divergence — the multi-chip
-    counterpart of ops/reconstruct.flux_divergence_muscl.
+def sharded_reconstruct_sides(u_local: jnp.ndarray,
+                              conn: ShardedConnectivity,
+                              inv_volume: jnp.ndarray,
+                              limiter: str = "bj", dim: int = 2,
+                              guard=None):
+    """Limited MUSCL interface states per shard — the multi-chip
+    counterpart of ops/reconstruct.reconstruct_sides, row-generic
+    (C = u_local.shape[0]: Euler 5, GLM-MHD 9).  Returns
+    (u_lf [C, Fcap], u_rf [C, Fcap], u_bf [C, Fbcap]).
 
     Distribution design: cross-shard faces are DUPLICATED on both shards
     (partition.py builds every face incident to an owned element), so the
-    Green-Gauss gradient and Barth-Jespersen alpha of every OWNED element
-    are computable locally after the round-1 state halo.  A SECOND halo
-    round then ships concat([grad (15 rows), alpha (5 rows)]) so both
+    Green-Gauss gradient and limiter alpha of every OWNED element are
+    computable locally after the round-1 state halo.  A SECOND halo
+    round then ships concat([grad (3C rows), alpha (C rows)]) so both
     sides of a shard-boundary face reconstruct the IDENTICAL interface
     states — conservation holds exactly, like the first-order duplicated
-    faces."""
-    from t8gpu_tpu.ops.reconstruct import (_bj_ratio, _limiter_eps2,
-                                           _positivity_guard, _side_values,
-                                           _venkat_ratio)
+    faces.
 
+    guard(u_rec, u_first) -> u: physical-admissibility fallback per face
+    side (Euler: ops/reconstruct._positivity_guard; MHD: _mhd_guard)."""
+    from t8gpu_tpu.ops.reconstruct import (_bj_ratio, _limiter_eps2,
+                                           _side_values, _venkat_ratio)
+
+    C = u_local.shape[0]
     CL = u_local.shape[1]
+    if guard is None:
+        guard = lambda rec, first: rec
     u_ext = halo_exchange(u_local, conn)
 
     # Green-Gauss over this shard's faces (all faces of owned elements)
     u_l = gather_cols(u_ext, conn.left)
     u_r = gather_cols(u_ext, conn.right)
     mean = 0.5 * (u_l + u_r)
-    c = (mean[:, None, :] * (conn.normal * conn.area)[None]).reshape(15, -1)
+    c = (mean[:, None, :] * (conn.normal * conn.area)[None]
+         ).reshape(3 * C, -1)
     if conn.boundary_capacity:
         u_b = gather_cols(u_local, conn.b_elem)
         cb = (u_b[:, None, :] * (conn.b_normal * conn.b_area)[None]
-              ).reshape(15, -1)
+              ).reshape(3 * C, -1)
     else:
-        u_b = jnp.zeros((5, 0), u_local.dtype)
-        cb = jnp.zeros((15, 0), u_local.dtype)
+        u_b = jnp.zeros((C, 0), u_local.dtype)
+        cb = jnp.zeros((3 * C, 0), u_local.dtype)
     grad = (-accumulate_inc(c, cb, conn.inc_slot, conn.inc_sign)
-            * inv_volume).reshape(5, 3, CL)
+            * inv_volume).reshape(C, 3, CL)
 
     if limiter in ("bj", "venkat"):
-        nbr = _side_values(u_r, u_l, u_b, conn)          # [5, CL, D]
+        nbr = _side_values(u_r, u_l, u_b, conn)          # [C, CL, D]
         m = conn.inc_sign != 0
         u_min = jnp.minimum(u_local, jnp.where(m, nbr, jnp.inf).min(-1))
         u_max = jnp.maximum(u_local, jnp.where(m, nbr, -jnp.inf).max(-1))
         # extrapolation per incidence slot, from the owned element's side
         d_slots = _side_values(conn.d_left, conn.d_right, conn.d_b, conn)
-        du = jnp.einsum("vkc,kcd->vcd", grad, d_slots)   # [5, CL, D]
+        du = jnp.einsum("vkc,kcd->vcd", grad, d_slots)   # [C, CL, D]
         if limiter == "venkat":
             eps2 = _limiter_eps2(inv_volume, dim, u_local.dtype)
             r = _venkat_ratio(du, (u_max - u_local)[..., None],
@@ -308,7 +315,7 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
         else:
             r = _bj_ratio(du, (u_max - u_local)[..., None],
                           (u_min - u_local)[..., None])
-        alpha = jnp.where(m, r, 1.0).min(-1)             # [5, CL]
+        alpha = jnp.where(m, r, 1.0).min(-1)             # [C, CL]
     elif limiter == "none":
         alpha = jnp.ones_like(u_local)
     else:
@@ -316,27 +323,45 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
 
     # round 2: owners publish gradients + alpha for their halo elements
     ga_ext = halo_exchange(
-        jnp.concatenate([grad.reshape(15, CL), alpha]), conn)
-    grad_ext = ga_ext[:15]                               # [15, CL+H]
-    alpha_ext = ga_ext[15:]
+        jnp.concatenate([grad.reshape(3 * C, CL), alpha]), conn)
+    grad_ext = ga_ext[:3 * C]                            # [3C, CL+H]
+    alpha_ext = ga_ext[3 * C:]
 
-    du_l = (gather_cols(grad_ext, conn.left).reshape(5, 3, -1)
+    du_l = (gather_cols(grad_ext, conn.left).reshape(C, 3, -1)
             * conn.d_left[None]).sum(axis=1)
-    du_r = (gather_cols(grad_ext, conn.right).reshape(5, 3, -1)
+    du_r = (gather_cols(grad_ext, conn.right).reshape(C, 3, -1)
             * conn.d_right[None]).sum(axis=1)
-    u_lf = _positivity_guard(
-        u_l + gather_cols(alpha_ext, conn.left) * du_l, u_l, gamma)
-    u_rf = _positivity_guard(
-        u_r + gather_cols(alpha_ext, conn.right) * du_r, u_r, gamma)
+    u_lf = guard(u_l + gather_cols(alpha_ext, conn.left) * du_l, u_l)
+    u_rf = guard(u_r + gather_cols(alpha_ext, conn.right) * du_r, u_r)
+    if conn.boundary_capacity:
+        du_b = (gather_cols(grad.reshape(3 * C, CL), conn.b_elem)
+                .reshape(C, 3, -1) * conn.d_b[None]).sum(axis=1)
+        u_bf = guard(u_b + gather_cols(alpha, conn.b_elem) * du_b, u_b)
+    else:
+        u_bf = u_b
+    return u_lf, u_rf, u_bf
+
+
+def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
+                                  conn: ShardedConnectivity,
+                                  inv_volume: jnp.ndarray,
+                                  gamma: float, flux: str,
+                                  limiter: str = "bj", dim: int = 2,
+                                  ghost=None):
+    """Second-order (MUSCL) per-shard Euler divergence — the multi-chip
+    counterpart of ops/reconstruct.flux_divergence_muscl: the generic
+    sharded reconstruction above with the Euler positivity guard, feeding
+    the same KEPES/HLL fields flux."""
+    from t8gpu_tpu.ops.reconstruct import _positivity_guard
+
+    u_lf, u_rf, u_bf = sharded_reconstruct_sides(
+        u_local, conn, inv_volume, limiter, dim,
+        guard=lambda rec, first: _positivity_guard(rec, first, gamma))
 
     f, speed = _fields_interior_flux(euler.cell_fields(u_lf, gamma, flux),
                                      euler.cell_fields(u_rf, gamma, flux),
                                      conn, gamma, flux)
     if conn.boundary_capacity:
-        du_b = (gather_cols(grad.reshape(15, CL), conn.b_elem)
-                .reshape(5, 3, -1) * conn.d_b[None]).sum(axis=1)
-        u_bf = _positivity_guard(
-            u_b + gather_cols(alpha, conn.b_elem) * du_b, u_b, gamma)
         fb, speed_b = _fields_boundary_flux(
             euler.cell_fields(u_bf, gamma, flux), conn, gamma, flux, ghost)
     else:

@@ -35,24 +35,56 @@ class ShardedMHDSolver(ShardedEulerSolver):
 
     def __init__(self, forest, ic, gamma: float = 5.0 / 3.0,
                  glm_alpha: float = 0.1, devices=None,
-                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45):
+                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45,
+                 order: int = 1, limiter: str = "bj"):
         self.gamma = float(gamma)
         self.glm_alpha = float(glm_alpha)
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
         super().__init__(forest, ic, devices=devices,
-                         config=EulerConfig(cfl=cfl, gamma=gamma), amr=amr)
+                         config=EulerConfig(cfl=cfl, gamma=gamma,
+                                            order=order, limiter=limiter),
+                         amr=amr)
 
     def _flux_divergence_vol(self, u, conn, inv_vol, vol=None):
         """Volume-aware override: the GLM damping source needs V and h
         (from the step's exact sharded volume array); c_h needs a global
-        pmax."""
+        pmax.  order=2 swaps the raw gathered side states for the
+        row-generic sharded MUSCL reconstruction (same second halo round
+        as the Euler order-2 path) with the MHD admissibility guard —
+        same face flux, same exact-GLM interface solve."""
+        from t8gpu_tpu.models.mhd import _mhd_guard
+
         gamma, alpha = self.gamma, self.glm_alpha
         live = inv_vol > 0
         ch = jnp.maximum(
             jax.lax.pmax(glm_ch(u, gamma, live), halo.AXIS), 1e-12)
-        acc, speed = halo.sharded_divergence(
-            u, conn,
-            lambda u_l, u_r, n, a: mhd_face_flux(u_l, u_r, n, a, gamma, ch),
-            lambda u_own, bn, ba: mhd_wall_flux(u_own, bn, ba, gamma, ch))
+        if getattr(self.config, "order", 1) == 2:
+            u_lf, u_rf, u_bf = halo.sharded_reconstruct_sides(
+                u, conn, inv_vol,
+                getattr(self.config, "limiter", "bj"), self.forest.dim,
+                guard=lambda rec, first: _mhd_guard(rec, first, gamma))
+            f, sp = mhd_face_flux(u_lf, u_rf, conn.normal, conn.area,
+                                  gamma, ch)
+            sp = sp * (conn.area > 0)
+            if conn.boundary_capacity:
+                fb, sp_b = mhd_wall_flux(u_bf, conn.b_normal, conn.b_area,
+                                         gamma, ch)
+                sp_b = sp_b * (conn.b_area > 0)
+            else:
+                fb = jnp.zeros((N_ROWS, 0), u.dtype)
+                sp_b = jnp.zeros((0,), u.dtype)
+            from t8gpu_tpu.ops.fluxes import accumulate_inc
+            acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
+            local = jnp.maximum(sp.max(), sp_b.max() if sp_b.size else 0.0)
+            speed = jax.lax.pmax(local, halo.AXIS)
+        else:
+            acc, speed = halo.sharded_divergence(
+                u, conn,
+                lambda u_l, u_r, n, a: mhd_face_flux(u_l, u_r, n, a,
+                                                     gamma, ch),
+                lambda u_own, bn, ba: mhd_wall_flux(u_own, bn, ba,
+                                                    gamma, ch))
         if alpha > 0.0:
             h = jnp.where(live, vol, 1.0) ** (1.0 / self.forest.dim)
             acc = acc.at[8].add(-alpha * ch * u[8] * vol / h)

@@ -161,9 +161,11 @@ class ShardedEulerSolver:
         self._crit_pending = None    # criteria refer to the previous mesh
         self.forest = forest
         self._cfl_h = forest.cfl_h()
-        needs_geom = self.N_ROWS == 5 and (
-            getattr(self.config, "order", 1) == 2
-            or float(getattr(self.config, "mu", 0.0)) > 0.0)
+        # MUSCL reconstruction is row-generic (Euler AND MHD); the
+        # viscous terms are Euler-only
+        needs_geom = (getattr(self.config, "order", 1) == 2
+                      or (self.N_ROWS == 5
+                          and float(getattr(self.config, "mu", 0.0)) > 0.0))
         conn, bounds = build_sharded_connectivity(
             forest.build_faces(), forest.n_elements, self.n_shards,
             # MUSCL/viscous displacement geometry only when consumed

@@ -126,3 +126,62 @@ def test_record_energy_dissipation_and_sharded():
     # atol: the momentum column is zero to roundoff (symmetric IC), so a
     # pure rtol comparison is ill-posed there
     np.testing.assert_allclose(rows_sh, rows, rtol=3e-5, atol=1e-8)
+
+
+def test_stoker_dam_break_matches_exact():
+    """Planar wet-bed dam break vs the EXACT Stoker (1957) solution —
+    the parameter-free quantitative validation for this family (the
+    Euler analogue is the exact Riemann Sod test): star-region depth,
+    bore position and the full depth profile must match the similarity
+    solution."""
+    from t8gpu_tpu.models.shallow_water import stoker_dam_break
+
+    g, h_l, h_r, x0 = 9.81, 1.0, 0.25, 0.5
+    profile, h_m, u_m, s_bore = stoker_dam_break(h_l, h_r, g)
+    # sanity of the star solve itself: both matching conditions hold
+    np.testing.assert_allclose(
+        u_m, 2.0 * (np.sqrt(g * h_l) - np.sqrt(g * h_m)), rtol=1e-10)
+    np.testing.assert_allclose(
+        u_m, (h_m - h_r) * np.sqrt(0.5 * g * (h_m + h_r) / (h_m * h_r)),
+        rtol=1e-6)
+
+    def ic(centers):
+        h = np.where(centers[:, 0] < x0, h_l, h_r)
+        return np.stack([h, np.zeros_like(h), np.zeros_like(h)])
+
+    level = 7
+    mesh = uniform_mesh(level=level, dim=2, periodic=False)
+    solver = ShallowWaterSolver(mesh, ic, g=g)
+    t_end = 0.05          # waves stay well inside the walls
+    n = 160
+    for _ in range(4):    # refresh the speed estimate as the bore forms
+        solver.iterate_many(n // 4, t_end / n)
+    u = solver.conserved_state()
+    assert np.isfinite(u).all() and (u[0] > 0).all()
+
+    x = np.asarray(mesh.centers)[:, 0]
+    xi = (x - x0) / t_end
+    h_ex, u_ex = profile(xi)
+    dx = 0.5 ** level
+
+    l1 = np.abs(u[0] - h_ex).mean()
+    assert l1 < 0.02, f"Stoker depth L1 {l1}"   # measured 0.0134 at level 7
+
+    # star region: compare where the exact solution is constant, away
+    # from the smeared fan tail and bore (3 cells margin each side)
+    star = (xi > u_m - np.sqrt(g * h_m) + 5 * dx / t_end) & \
+           (xi < s_bore - 5 * dx / t_end)
+    assert star.sum() > 100
+    np.testing.assert_allclose(u[0][star].mean(), h_m, rtol=0.01)
+    # velocity plateau converges more slowly (first-order fan smearing
+    # leaks into the short star region; measured 3% at level 7)
+    np.testing.assert_allclose(
+        (u[1][star] / u[0][star]).mean(), u_m, rtol=0.05)
+
+    # bore position: mid-depth crossing within a few cells of s*t
+    h_mid = 0.5 * (h_m + h_r)
+    order = np.argsort(x)
+    xs, hs = x[order], u[0][order]
+    behind = xs[hs > h_mid].max()
+    assert abs(behind - (x0 + s_bore * t_end)) < 5 * dx, (
+        f"bore at {behind} vs exact {x0 + s_bore * t_end}")
