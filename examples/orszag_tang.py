@@ -71,9 +71,6 @@ def main():
                                   amr=amr, order=args.order,
                                   limiter=args.limiter)
     elif args.subgrid:
-        if args.order == 2:
-            p.error("--order 2 runs on the plain/sharded MHD paths "
-                    "(the dense-block MHD scheme is first order)")
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.mesh.subgrid import SubgridMesh
         from t8gpu_tpu.models.subgrid_euler import subgrid_manager
@@ -82,8 +79,11 @@ def main():
         forest = Forest.uniform(args.level, dim=2)
         mesh = (subgrid_manager(forest, spec, amr) if args.amr
                 else SubgridMesh.from_forest(forest, spec))
+        # the block scheme's limiters are per-axis: minmod or none
+        sg_limiter = "none" if args.limiter == "none" else "minmod"
         solver = SubgridMHDSolver(mesh, ic, gamma=GAMMA,
-                                  glm_alpha=args.glm_alpha)
+                                  glm_alpha=args.glm_alpha,
+                                  order=args.order, limiter=sg_limiter)
     elif args.amr:
         solver = MHDSolver(MeshManager(Forest.uniform(args.level, dim=2),
                                        amr), ic,

@@ -184,9 +184,16 @@ def _model_meta(solver) -> dict:
         return {"model": "advection", "velocity": [float(v) for v in vel],
                 "cfl": solver.cfl, "amr": dataclasses.asdict(solver.amr)}
     if "MHD" in name:
+        # ShardedMHDSolver routes order/limiter through its EulerConfig;
+        # every other MHD class stores them as attributes
+        order = getattr(solver, "order", None)
+        limiter = getattr(solver, "limiter", None)
+        if order is None:
+            order, limiter = solver.config.order, solver.config.limiter
         return {"model": "mhd", "gamma": solver.gamma,
                 "glm_alpha": solver.glm_alpha,
                 "cfl": getattr(solver, "cfl", None) or solver.config.cfl,
+                "order": int(order), "limiter": str(limiter),
                 "amr": dataclasses.asdict(solver.amr)}
     return dict(_config_meta(solver.config, solver.amr), model="euler")
 
@@ -277,12 +284,14 @@ def restore_solver(path: str):
             return SubgridMHDSolver(
                 manager, lambda _c: u.reshape(u.shape[0], -1),
                 gamma=meta["gamma"], glm_alpha=meta["glm_alpha"],
-                cfl=meta["cfl"]), meta
+                cfl=meta["cfl"], order=meta.get("order", 1),
+                limiter=meta.get("limiter", "minmod")), meta
         from t8gpu_tpu.models.mhd import MHDSolver
         manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
         return MHDSolver(manager, lambda _c: u, gamma=meta["gamma"],
                          glm_alpha=meta["glm_alpha"],
-                         cfl=meta["cfl"]), meta
+                         cfl=meta["cfl"], order=meta.get("order", 1),
+                         limiter=meta.get("limiter", "bj")), meta
 
     config = EulerConfig(**meta["config"])
     if "extents" in meta:
@@ -332,12 +341,14 @@ def restore_sharded_solver(path: str, devices=None):
                 forest, spec, lambda _c: u.reshape(u.shape[0], -1),
                 devices=devices, gamma=meta["gamma"],
                 glm_alpha=meta["glm_alpha"], amr=amr,
-                cfl=meta["cfl"]), meta
+                cfl=meta["cfl"], order=meta.get("order", 1),
+                limiter=meta.get("limiter", "minmod")), meta
         from t8gpu_tpu.parallel.mhd import ShardedMHDSolver
         return ShardedMHDSolver(
             forest, lambda _c: u, gamma=meta["gamma"],
             glm_alpha=meta["glm_alpha"], devices=devices, amr=amr,
-            cfl=meta["cfl"]), meta
+            cfl=meta["cfl"], order=meta.get("order", 1),
+            limiter=meta.get("limiter", "bj")), meta
 
     config = EulerConfig(**meta["config"])
     if "extents" in meta:

@@ -38,13 +38,19 @@ from t8gpu_tpu.utils.config import AMRConfig
 
 @functools.partial(jax.jit,
                    static_argnames=("n_steps", "spec", "gamma", "alpha",
-                                    "observables"),
+                                    "order", "limiter", "observables"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn, volumes, inv_cell_volume, dt, *, n_steps: int,
                spec: SubgridSpec, gamma: float, alpha: float,
+               order: int = 1, limiter: str = "minmod",
                observables: tuple = ()):
-    flux_fn = lambda w: mhd_subgrid_divergence(w, volumes, conn, spec,
-                                               gamma, alpha)
+    if order == 2:
+        from t8gpu_tpu.ops.subgrid_mhd import mhd_subgrid_divergence_muscl
+        flux_fn = lambda w: mhd_subgrid_divergence_muscl(
+            w, volumes, conn, spec, gamma, alpha, limiter=limiter)
+    else:
+        flux_fn = lambda w: mhd_subgrid_divergence(w, volumes, conn, spec,
+                                                   gamma, alpha)
 
     if observables:
         from t8gpu_tpu.models.observables import resolve
@@ -80,10 +86,15 @@ class SubgridMHDSolver:
 
     def __init__(self, mesh, ic: Callable[[np.ndarray], np.ndarray],
                  gamma: float = 5.0 / 3.0, glm_alpha: float = 0.1,
-                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45):
+                 amr: AMRConfig = AMRConfig(), cfl: float = 0.45,
+                 order: int = 1, limiter: str = "minmod"):
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
         self.gamma = float(gamma)
         self.glm_alpha = float(glm_alpha)
         self.cfl = cfl
+        self.order = int(order)
+        self.limiter = str(limiter)
         self.amr = amr
         self.manager: Optional[MeshManager] = None
         if isinstance(mesh, MeshManager):
@@ -130,7 +141,8 @@ class SubgridMHDSolver:
         self.u, self._max_speed = _rk3_multi(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), n_steps=n_steps, spec=self.spec,
-            gamma=self.gamma, alpha=self.glm_alpha)
+            gamma=self.gamma, alpha=self.glm_alpha, order=self.order,
+            limiter=self.limiter)
 
     def iterate_record(self, n_steps: int, dt: float,
                        observables=("mass", "total_energy",
@@ -142,8 +154,8 @@ class SubgridMHDSolver:
         self.u, self._max_speed, rows = _rk3_multi(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
             jnp.float32(dt), n_steps=n_steps, spec=self.spec,
-            gamma=self.gamma, alpha=self.glm_alpha,
-            observables=tuple(observables))
+            gamma=self.gamma, alpha=self.glm_alpha, order=self.order,
+            limiter=self.limiter, observables=tuple(observables))
         return rows
 
     # -- diagnostics --------------------------------------------------------------

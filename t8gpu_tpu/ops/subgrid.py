@@ -984,9 +984,38 @@ def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
     one device, the halo-extended axis ([5, *ext, E+H]) per shard (the
     side tables' neighbor ids index u_src).  Returns (D [5, *ext, E],
     max speed); hanging faces/walls are NOT included (callers add the
-    first-order closure with exclude_equal)."""
+    first-order closure with exclude_equal).
+
+    This is the Euler instantiation of the ROW-GENERIC `muscl_core_rows`
+    (which GLM-MHD rides with its 9-row permutation rotation and
+    thermal-pressure guard, ops/subgrid_mhd.py)."""
     from t8gpu_tpu.ops.euler import numerical_flux, primitives
 
+    def guard(u_rec, u_first):
+        if not positivity:
+            return u_rec
+        _, p = primitives(u_rec, gamma)
+        ok = (u_rec[0] > 0.0) & (p > 0.0)
+        return jnp.where(ok[None], u_rec, u_first)
+
+    return muscl_core_rows(
+        u, u_src, volumes, conn, spec, n_rows=5,
+        rotate=axis_rotate, unrotate=axis_unrotate,
+        iface=lambda l, r: numerical_flux(l, r, gamma=gamma, flux=flux),
+        guard=guard, limiter=limiter)
+
+
+def muscl_core_rows(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
+                    spec: SubgridSpec, *, n_rows: int, rotate, unrotate,
+                    iface, guard, limiter: str = "minmod"):
+    """Row-generic per-axis MUSCL core for the dense-block scheme:
+    any C-row conservation-law system plugs in its face-frame rotation
+    (a static row permutation on stacked [C, ...] states), its interface
+    flux `iface(u_l, u_r) -> (f [C, ...], speed)` on rotated operands,
+    and its admissibility `guard(u_rec, u_first)`.  Covers in-block
+    interfaces + equal-level mesh faces at second order; hanging (2:1)
+    faces and walls are the caller's first-order closure (minmod against
+    the eq-masked zero outward difference kills the edge slopes there)."""
     if limiter == "minmod":
         lim = _minmod
     elif limiter == "none":
@@ -1006,20 +1035,13 @@ def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
     h_e = jnp.where(volumes > 0, volumes, 1.0) ** (1.0 / dim)
     area_t = (h_e / ext) ** n_t
 
-    D = jnp.zeros((5,) + u.shape[1:], u.dtype)
+    D = jnp.zeros((n_rows,) + u.shape[1:], u.dtype)
     speed = jnp.zeros((), u.dtype)
-
-    def guard(u_rec, u_first):
-        if not positivity:
-            return u_rec
-        _, p = primitives(u_rec, gamma)
-        ok = (u_rec[0] > 0.0) & (p > 0.0)
-        return jnp.where(ok[None], u_rec, u_first)
 
     for a in range(dim):
         ax = 1 + a
-        v = axis_rotate(u, a)               # rows rotated: v[1] is u_normal
-        v_src = v if u_src is u else axis_rotate(u_src, a)
+        v = rotate(u, a)                    # rows rotated: v[1] is u_normal
+        v_src = v if u_src is u else rotate(u_src, a)
 
         # equal-level neighbor facing layers (edge + second) per side
         sides = {}
@@ -1064,8 +1086,8 @@ def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
                                                      axis=ax), v_l)
         u_r = guard(v_r - 0.5 * jax.lax.slice_in_dim(slope, 1, ext,
                                                      axis=ax), v_r)
-        f, sp = numerical_flux(u_l, u_r, gamma=gamma, flux=flux)
-        f = axis_unrotate(f, a) * surface
+        f, sp = iface(u_l, u_r)
+        f = unrotate(f, a) * surface
         pad_lo = [(0, 0)] * f.ndim
         pad_hi = [(0, 0)] * f.ndim
         pad_lo[ax] = (1, 0)
@@ -1088,11 +1110,11 @@ def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
                 s_nbr = lim(nb0 - nb1, my_edge - nb0)
                 u_lf = guard(nb0 + 0.5 * s_nbr, nb0)
                 u_rf = guard(my_edge - 0.5 * s_edge, my_edge)
-            f, sp = numerical_flux(u_lf, u_rf, gamma=gamma, flux=flux)
+            f, sp = iface(u_lf, u_rf)
             w = conn.mask[k] * area_t * eq
-            f = axis_unrotate(f, a) * bcast(w, f)
+            f = unrotate(f, a) * bcast(w, f)
             contrib = -f if hi else f
-            D = _slab_add(D, contrib.reshape(5, -1), a, layer_hi=hi,
+            D = _slab_add(D, contrib.reshape(n_rows, -1), a, layer_hi=hi,
                           spec=spec)
             sp_m = bcast((w > 0).astype(u.dtype), sp)
             speed = jnp.maximum(speed, (sp * sp_m).max())

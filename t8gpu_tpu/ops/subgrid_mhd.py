@@ -106,7 +106,8 @@ def _conductor_ghost_unrot(layer: jnp.ndarray, axis: int) -> jnp.ndarray:
 def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
                       conn, spec: SubgridSpec,
                       n_out: int, iface, unrotate, ghost, u_ext=None,
-                      fine_only: bool = False):
+                      fine_only: bool = False,
+                      exclude_equal: bool = False):
     """Surface accumulation over ALL cell interfaces of the block scheme —
     interior stencil, mesh faces (slab exchange incl. 2:1 hanging), and
     boundary groups — parameterized by the interface function.
@@ -130,7 +131,14 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
     fine_only=True evaluates ONLY the virtual-fine (hanging 2:1) pass —
     the additive term the fused Pallas kernel leaves to XLA (the Euler
     analogue is ops/subgrid.outer_fine_apply); compiled away entirely on
-    meshes without finer neighbors."""
+    meshes without finer neighbors.
+
+    exclude_equal=True is the FIRST-ORDER CLOSURE of the MUSCL path:
+    interior interfaces and equal-level (rel == 0) mesh faces are the
+    second-order core's job (ops/subgrid.muscl_core_rows), so the engine
+    evaluates only coarse-neighbor (rel < 0) faces, the virtual-fine
+    pass, and walls — the Euler analogue is outer_apply(exclude_equal) +
+    boundary_apply."""
     dim = spec.dim
     ext = spec.extent
     n_t = dim - 1
@@ -154,7 +162,7 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
         ax = 1 + a
         u_loc = u_rot[..., :CL]
 
-        if not fine_only:
+        if not fine_only and not exclude_equal:
             # ---- interior interfaces (ext-1 per axis) --------------------
             u_l = jax.lax.slice_in_dim(u_loc, 0, ext - 1, axis=ax)
             u_r = jax.lax.slice_in_dim(u_loc, 1, ext, axis=ax)
@@ -184,7 +192,10 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
             base = nb[..., 0]
 
             contrib = None
-            if not fine_only:
+            # under exclude_equal pass 1 carries only coarse neighbors:
+            # compiled away entirely on sides without any (static bool)
+            if not fine_only and not (exclude_equal
+                                      and not conn.has_coarse[k]):
                 # pass 1: my resolution (equal + coarser neighbors)
                 r = rel.reshape((1,) * (base.ndim - 1) + (-1,))
                 other = (jnp.where(r < 0,
@@ -193,7 +204,8 @@ def _interface_engine(u: jnp.ndarray, volumes: jnp.ndarray,
                          if conn.has_coarse[k] else base)
                 q_l, q_r = (my_layer, other) if hi else (other, my_layer)
                 f, sp = iface(q_l, q_r)
-                w1 = mask * area_t * (rel <= 0)
+                w1 = mask * area_t * ((rel < 0) if exclude_equal
+                                      else (rel <= 0))
                 f = unrotate(f, a) * w1.reshape((1,) * (f.ndim - 1) + (-1,))
                 contrib = -f if hi else f
                 sp_m = (w1 > 0).reshape((1,) * (f.ndim - 2) + (-1,))
@@ -336,6 +348,69 @@ def mhd_subgrid_divergence(u: jnp.ndarray, volumes: jnp.ndarray,
     else:
         D, speed = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
                                      axis_unrotate9, _conductor_ghost)
+    if alpha > 0.0:
+        h_cell = (jnp.where(live, volumes, 1.0) ** (1.0 / spec.dim)
+                  / spec.extent)
+        cell_vol = volumes / spec.size
+        D = D.at[8].add(-alpha * ch * u[8] * (cell_vol / h_cell) * live)
+    return D, speed
+
+
+def mhd_muscl_engine(u: jnp.ndarray, u_src: jnp.ndarray,
+                     volumes: jnp.ndarray, conn, spec: SubgridSpec,
+                     gamma: float, ch, limiter: str = "minmod",
+                     positivity: bool = True):
+    """Second-order GLM-MHD surface accumulation for the block scheme,
+    shared by the single-device and sharded paths (u_src is the gather
+    source: u itself, or the halo-extended axis per shard).
+
+    The 9-row system rides the ROW-GENERIC per-axis MUSCL core
+    (ops/subgrid.muscl_core_rows — the identical code path the subgrid
+    Euler order-2 scheme runs) with the permutation rotation, the
+    ch-threaded Rusanov + exact-GLM interface flux, and the MHD
+    admissibility guard (THERMAL-pressure positivity,
+    models/mhd._mhd_guard); hanging (2:1) faces and walls take the
+    first-order closure through `_interface_engine(exclude_equal=True)`
+    — coarse faces, virtual-fine subfaces and conductor walls only.
+    Returns (D [9, *ext, E], max signal speed); the GLM damping source
+    is the caller's (it needs the pmax'd ch on shards)."""
+    from t8gpu_tpu.models.mhd import _mhd_guard
+
+    iface = lambda l, r: _rusanov_stack(l, r, gamma, ch)
+    if positivity:
+        guard = lambda rec, first: _mhd_guard(rec, first, gamma)
+    else:
+        guard = lambda rec, first: rec
+    D, speed = sg.muscl_core_rows(
+        u, u_src, volumes, conn, spec, n_rows=N_ROWS,
+        rotate=axis_rotate9, unrotate=axis_unrotate9,
+        iface=iface, guard=guard, limiter=limiter)
+    D2, sp2 = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
+                                axis_unrotate9, _conductor_ghost,
+                                u_ext=u_src, exclude_equal=True)
+    return D + D2, jnp.maximum(speed, sp2)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("spec", "gamma", "alpha", "limiter",
+                                    "positivity"))
+def mhd_subgrid_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
+                                 conn: SubgridConnectivity,
+                                 spec: SubgridSpec, gamma: float,
+                                 alpha: float, limiter: str = "minmod",
+                                 positivity: bool = True):
+    """Second-order counterpart of mhd_subgrid_divergence
+    (`SubgridMHDSolver(order=2)`): limited per-axis MUSCL reconstruction
+    feeding the SAME Rusanov + exact-GLM flux, c_h fresh from the cell
+    states (reconstruction never raises the cleaning speed), the GLM
+    damping unchanged.  Beyond-reference on three axes at once: the
+    reference ships neither MHD, nor any second-order scheme, nor more
+    than one physics on its subgrid machinery (SURVEY §2.2,
+    kernels.cu:150-172, examples/subgrid/solver.h:32)."""
+    live = volumes > 0
+    ch = jnp.maximum(glm_ch(u, gamma, live), 1e-12)
+    D, speed = mhd_muscl_engine(u, u, volumes, conn, spec, gamma, ch,
+                                limiter=limiter, positivity=positivity)
     if alpha > 0.0:
         h_cell = (jnp.where(live, volumes, 1.0) ** (1.0 / spec.dim)
                   / spec.extent)

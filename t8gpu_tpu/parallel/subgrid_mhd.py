@@ -83,6 +83,32 @@ def sharded_subgrid_mhd_divergence(u, volumes, conn, spec: SubgridSpec,
     return D, jax.lax.pmax(speed, halo.AXIS)
 
 
+def sharded_subgrid_mhd_divergence_muscl(u, volumes, conn,
+                                         spec: SubgridSpec, gamma: float,
+                                         alpha: float,
+                                         limiter: str = "minmod"):
+    """Per-shard second-order GLM-MHD divergence
+    (`ShardedSubgridMHDSolver(order=2)`): the subgrid halo ships WHOLE
+    neighbor elements, so the equal-level facing layers the MUSCL core
+    needs are already on the extended axis — no extra halo round vs
+    first order (same property as the sharded Euler subgrid MUSCL).  The
+    slope/interface math is the SHARED ops/subgrid_mhd.mhd_muscl_engine
+    gathering from the extended axis, so sharded == single-device is
+    identical code; c_h is pmax'd BEFORE any interface sees it."""
+    from t8gpu_tpu.ops.subgrid_mhd import mhd_muscl_engine
+    u_ext = _halo_exchange_state(u, conn)
+    live = volumes > 0
+    ch = jnp.maximum(jax.lax.pmax(glm_ch(u, gamma, live), halo.AXIS), 1e-12)
+    D, speed = mhd_muscl_engine(u, u_ext, volumes, conn, spec, gamma, ch,
+                                limiter=limiter)
+    if alpha > 0.0:
+        h_cell = (jnp.where(live, volumes, 1.0) ** (1.0 / spec.dim)
+                  / spec.extent)
+        cell_vol = volumes / spec.size
+        D = D.at[8].add(-alpha * ch * u[8] * (cell_vol / h_cell) * live)
+    return D, jax.lax.pmax(speed, halo.AXIS)
+
+
 class ShardedSubgridMHDSolver(ShardedSubgridEulerSolver):
     """Subgrid GLM-MHD distributed over a 1D device mesh: distribution
     machinery inherited; physics = ops/subgrid_mhd.py."""
@@ -102,11 +128,16 @@ class ShardedSubgridMHDSolver(ShardedSubgridEulerSolver):
     def __init__(self, forest: Forest, spec: SubgridSpec, ic,
                  devices=None, gamma: float = 5.0 / 3.0,
                  glm_alpha: float = 0.1, amr: AMRConfig = AMRConfig(),
-                 cfl: float = 0.45):
+                 cfl: float = 0.45, order: int = 1,
+                 limiter: str = "minmod"):
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
         # attributes first: super().__init__ calls self._build_speed()
         self.gamma = float(gamma)
         self.glm_alpha = float(glm_alpha)
         self.cfl = float(cfl)
+        self.order = int(order)
+        self.limiter = str(limiter)
         # the parent stores an EulerConfig for cfl/gamma plumbing
         # (compute_timestep_device); flux/order fields are never read —
         # _build_step and _build_speed are fully overridden here
@@ -116,6 +147,7 @@ class ShardedSubgridMHDSolver(ShardedSubgridEulerSolver):
 
     def _build_step(self, n_steps: int = 1, observables: tuple = ()):
         gamma, alpha = self.gamma, self.glm_alpha
+        order, limiter = self.order, self.limiter
         sgspec = self.spec
         u_spec = self._u_spec()
 
@@ -132,8 +164,12 @@ class ShardedSubgridMHDSolver(ShardedSubgridEulerSolver):
             out_specs=out_specs, check_vma=False)
         def step(u, conn, volumes, inv_cv, dt):
             conn = jax.tree.map(lambda x: x[0], conn)
-            flux_fn = lambda v: sharded_subgrid_mhd_divergence(
-                v, volumes, conn, sgspec, gamma, alpha)
+            if order == 2:
+                flux_fn = lambda v: sharded_subgrid_mhd_divergence_muscl(
+                    v, volumes, conn, sgspec, gamma, alpha, limiter=limiter)
+            else:
+                flux_fn = lambda v: sharded_subgrid_mhd_divergence(
+                    v, volumes, conn, sgspec, gamma, alpha)
             one = lambda v: rk.ssp_rk3(v, flux_fn, dt, inv_cv)
 
             if observables:

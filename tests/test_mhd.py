@@ -345,7 +345,8 @@ def test_checkpoint_roundtrip():
 
     amr = AMRConfig(min_level=3, max_level=5, refine_threshold=0.5)
     s = MHDSolver(MeshManager(Forest.uniform(4, dim=2), amr),
-                  magnetized_blob, gamma=GAMMA, glm_alpha=0.2, cfl=0.4)
+                  magnetized_blob, gamma=GAMMA, glm_alpha=0.2, cfl=0.4,
+                  order=2, limiter="venkat")
     s.iterate_many(5, 1e-3)
     s.adapt()
     s.iterate_many(5, 1e-3)
@@ -356,6 +357,8 @@ def test_checkpoint_roundtrip():
     assert meta["step"] == 10
     assert isinstance(r, MHDSolver)
     assert r.gamma == s.gamma and r.glm_alpha == s.glm_alpha
+    # a restored order-2 run must NOT silently continue first-order
+    assert r.order == 2 and r.limiter == "venkat"
     np.testing.assert_array_equal(r.conserved_state(), s.conserved_state())
     # both continue identically
     r.iterate_many(3, 1e-3)

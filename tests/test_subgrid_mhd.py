@@ -213,6 +213,75 @@ def test_cp_alfven_subgrid_one_period():
     assert errs[1] < 0.7 * errs[0]
 
 
+def test_subgrid_mhd_order2_unlimited_matches_plain_order2():
+    """Order-2 UNLIMITED subgrid MHD on a uniform forest == the plain
+    MHDSolver(order=2, limiter="none") cell for cell: on a Cartesian mesh
+    the plain path's Green-Gauss gradient is exactly the central
+    difference, i.e. the same reconstruction as the block scheme's
+    unlimited per-axis slope — two independent implementations
+    (row-generic ops/reconstruct vs ops/subgrid.muscl_core_rows)
+    cross-validate (the Euler analogue is tests/test_subgrid_muscl.py)."""
+    forest = Forest.uniform(2, dim=2)
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    plain = uniform_mesh(4, dim=2, periodic=True)
+    perm = _cell_to_plain_perm(forest, SUBGRID_4x4, plain)
+
+    s_sub = SubgridMHDSolver(smesh, cp_alfven_wave, gamma=GAMMA,
+                             order=2, limiter="none")
+    s_plain = MHDSolver(plain, cp_alfven_wave, gamma=GAMMA,
+                        order=2, limiter="none")
+    dt = 1e-3
+    s_sub.iterate_many(3, dt)
+    for _ in range(3):
+        s_plain.iterate(dt)
+    u_sub = s_sub.conserved_state().reshape(9, -1)
+    u_plain = s_plain.conserved_state()
+    np.testing.assert_allclose(u_sub, u_plain[:, perm], rtol=1e-5, atol=5e-7)
+
+
+def test_subgrid_mhd_order2_conserves_on_hanging_mesh():
+    """Order-2 minmod: all 8 conserved rows exact across hanging 2:1
+    faces (the first-order closure at level jumps is shared-expression
+    conservative like the first-order path)."""
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[0] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+    solver = SubgridMHDSolver(smesh, _blob_ic, gamma=GAMMA, order=2)
+
+    cell_vol = np.repeat(np.asarray(smesh.volumes) / SUBGRID_4x4.size,
+                         SUBGRID_4x4.size)
+    u0 = solver.conserved_state().reshape(9, -1)
+    tot0 = (u0[:8] * cell_vol).sum(axis=1)
+    dt = solver.compute_timestep()
+    solver.iterate_many(10, dt)
+    u1 = solver.conserved_state().reshape(9, -1)
+    assert np.isfinite(u1).all()
+    tot1 = (u1[:8] * cell_vol).sum(axis=1)
+    scale = np.abs(u0[:8] * cell_vol).sum(axis=1).max()
+    assert (np.abs(tot1 - tot0) / scale < 1e-5).all()
+
+
+def test_cp_alfven_subgrid_order2_beats_first_order():
+    """The CP Alfven one-period error at order 2 sits well below first
+    order at the same resolution (the decisive accuracy payoff; the
+    plain-path analogue is in tests/test_mhd.py)."""
+    period = alfven_period()
+    errs = {}
+    for order, lim in ((1, "minmod"), (2, "none")):
+        forest = Forest.uniform(2, dim=2)
+        smesh = SubgridMesh.from_forest(forest, SUBGRID_4x4)
+        s = SubgridMHDSolver(smesh, cp_alfven_wave, gamma=GAMMA,
+                             order=order, limiter=lim)
+        u0 = s.conserved_state().reshape(9, -1)
+        n = 256
+        s.iterate_many(n, period / n)
+        u1 = s.conserved_state().reshape(9, -1)
+        errs[order] = float(np.sqrt(((u1[6] - u0[6]) ** 2).mean()))
+    assert errs[2] < 0.4 * errs[1], errs
+
+
 def test_subgrid_mhd_checkpoint_roundtrip():
     """save_solver / restore_solver rebuild the SUBGRID MHD family
     exactly (model="mhd" + extents dispatches to SubgridMHDSolver)."""
@@ -223,7 +292,8 @@ def test_subgrid_mhd_checkpoint_roundtrip():
 
     amr = AMRConfig(min_level=1, max_level=3, refine_threshold=0.02)
     mgr = subgrid_manager(Forest.uniform(2, dim=2), SUBGRID_4x4, amr)
-    s = SubgridMHDSolver(mgr, _blob_ic, gamma=GAMMA, glm_alpha=0.2, cfl=0.4)
+    s = SubgridMHDSolver(mgr, _blob_ic, gamma=GAMMA, glm_alpha=0.2, cfl=0.4,
+                         order=2)
     s.iterate_many(5, 1e-3)
     s.adapt()
     s.iterate_many(5, 1e-3)
@@ -234,6 +304,9 @@ def test_subgrid_mhd_checkpoint_roundtrip():
     assert meta["step"] == 10
     assert isinstance(r, SubgridMHDSolver)
     assert r.gamma == s.gamma and r.glm_alpha == s.glm_alpha
+    # order/limiter survive the roundtrip (a restored order-2 run must
+    # NOT silently continue first-order)
+    assert r.order == 2 and r.limiter == s.limiter
     np.testing.assert_array_equal(r.conserved_state(), s.conserved_state())
     r.iterate_many(3, 1e-3)
     s.iterate_many(3, 1e-3)
@@ -268,6 +341,40 @@ def test_sharded_subgrid_mhd_matches_single_device():
     np.testing.assert_allclose(sh.compute_divergence_b(),
                                ref.compute_divergence_b(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_subgrid_mhd_order2_matches_single_device():
+    """ShardedSubgridMHDSolver(order=2) == SubgridMHDSolver(order=2) on a
+    hanging 2:1 forest AND a conductor-walled forest: the halo already
+    ships whole elements, so the MUSCL layers need no extra round and
+    every mesh face evaluates identically on both sides of a shard cut."""
+    from t8gpu_tpu.parallel.subgrid_mhd import ShardedSubgridMHDSolver
+
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[[0, 5]] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    ref = SubgridMHDSolver(SubgridMesh.from_forest(forest, SUBGRID_4x4),
+                           _blob_ic, gamma=GAMMA, order=2)
+    sh = ShardedSubgridMHDSolver(forest, SUBGRID_4x4, _blob_ic,
+                                 gamma=GAMMA, order=2)
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=2e-5, atol=1e-6)
+
+    wf = Forest.uniform(2, dim=2, periodic=False)
+    refw = SubgridMHDSolver(SubgridMesh.from_forest(wf, SUBGRID_4x4),
+                            _blob_ic, gamma=GAMMA, order=2)
+    shw = ShardedSubgridMHDSolver(wf, SUBGRID_4x4, _blob_ic,
+                                  gamma=GAMMA, order=2)
+    for _ in range(3):
+        refw.iterate(dt)
+        shw.iterate(dt)
+    np.testing.assert_allclose(shw.conserved_state(), refw.conserved_state(),
+                               rtol=2e-5, atol=1e-6)
 
 
 def test_sharded_subgrid_mhd_amr_and_walls():
