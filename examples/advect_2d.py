@@ -43,6 +43,10 @@ def main():
     p.add_argument("--adapt-every", type=int, default=25)
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="advect")
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="2 = row-generic MUSCL (limited, bounds-preserving)")
+    p.add_argument("--limiter", default="bj",
+                   choices=("bj", "venkat", "none"))
     args = p.parse_args()
 
     if args.amr:
@@ -52,7 +56,8 @@ def main():
                                      refine_threshold=1.0))
     else:
         mesh = ForestMesh.from_forest(Forest.uniform(args.level, dim=2))
-    solver = AdvectionSolver(mesh, bump, velocity=args.velocity)
+    solver = AdvectionSolver(mesh, bump, velocity=args.velocity,
+                             order=args.order, limiter=args.limiter)
     dt = 0.25 * 0.5 ** (args.max_level if args.amr else args.level) \
         / float(np.linalg.norm(args.velocity))
     m0 = solver.compute_integral()

@@ -48,6 +48,10 @@ def main():
     p.add_argument("--adapt-lag", type=int, default=5)
     p.add_argument("--vtk-every", type=int, default=0)
     p.add_argument("--prefix", default="dam_break")
+    p.add_argument("--order", type=int, default=1, choices=(1, 2),
+                   help="2 = row-generic MUSCL + depth-positivity guard")
+    p.add_argument("--limiter", default="bj",
+                   choices=("bj", "venkat", "none"))
     args = p.parse_args()
 
     amr = AMRConfig(min_level=args.level - 1, max_level=args.max_level,
@@ -55,16 +59,18 @@ def main():
     if args.sharded:
         from t8gpu_tpu.parallel.shallow_water import ShardedShallowWaterSolver
         solver = ShardedShallowWaterSolver(Forest.uniform(args.level, dim=2),
-                                           dam_break, g=args.g, amr=amr)
+                                           dam_break, g=args.g, amr=amr,
+                                           order=args.order,
+                                           limiter=args.limiter)
         args.amr = True
     elif args.amr:
         solver = ShallowWaterSolver(
             MeshManager(Forest.uniform(args.level, dim=2), amr),
-            dam_break, g=args.g)
+            dam_break, g=args.g, order=args.order, limiter=args.limiter)
     else:
         solver = ShallowWaterSolver(
             ForestMesh.from_forest(Forest.uniform(args.level, dim=2)),
-            dam_break, g=args.g)
+            dam_break, g=args.g, order=args.order, limiter=args.limiter)
 
     m0 = solver.compute_integral()
     print(f"elements={solver.n_elements} volume={m0:.6f}")

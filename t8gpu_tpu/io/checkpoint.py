@@ -177,12 +177,23 @@ def _model_meta(solver) -> dict:
     EulerConfig; the other families carry their own physics constants)."""
     name = type(solver).__name__
     if "ShallowWater" in name:
+        order = getattr(solver, "order", None)
+        limiter = getattr(solver, "limiter", None)
+        if order is None:   # sharded SWE routes them through its EulerConfig
+            order, limiter = solver.config.order, solver.config.limiter
         return {"model": "shallow_water", "g": solver.g, "cfl": solver.cfl,
+                "order": int(order), "limiter": str(limiter),
                 "amr": dataclasses.asdict(solver.amr)}
     if "Advection" in name:
         vel = np.asarray(getattr(solver, "_vel_host"))
+        order = getattr(solver, "order", None)
+        limiter = getattr(solver, "limiter", None)
+        if order is None:   # the sharded variant routes via EulerConfig
+            order, limiter = solver.config.order, solver.config.limiter
         return {"model": "advection", "velocity": [float(v) for v in vel],
-                "cfl": solver.cfl, "amr": dataclasses.asdict(solver.amr)}
+                "cfl": solver.cfl, "order": int(order),
+                "limiter": str(limiter),
+                "amr": dataclasses.asdict(solver.amr)}
     if "MHD" in name:
         # ShardedMHDSolver routes order/limiter through its EulerConfig;
         # every other MHD class stores them as attributes
@@ -267,13 +278,16 @@ def restore_solver(path: str):
         from t8gpu_tpu.models.shallow_water import ShallowWaterSolver
         manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
         return ShallowWaterSolver(manager, lambda _c: u, g=meta["g"],
-                                  cfl=meta["cfl"]), meta
+                                  cfl=meta["cfl"],
+                                  order=meta.get("order", 1),
+                                  limiter=meta.get("limiter", "bj")), meta
     if model == "advection":
         from t8gpu_tpu.models.advection import AdvectionSolver
         manager = MeshManager(forest, amr, mesh_factory=_factory_for(forest))
         return AdvectionSolver(manager, lambda _c: u[0],
                                velocity=meta["velocity"],
-                               cfl=meta["cfl"]), meta
+                               cfl=meta["cfl"], order=meta.get("order", 1),
+                               limiter=meta.get("limiter", "bj")), meta
     if model == "mhd":
         if "extents" in meta:
             from t8gpu_tpu.memory.subgrid import SubgridSpec
@@ -326,12 +340,15 @@ def restore_sharded_solver(path: str, devices=None):
         from t8gpu_tpu.parallel.shallow_water import ShardedShallowWaterSolver
         return ShardedShallowWaterSolver(
             forest, lambda _c: u, g=meta["g"], devices=devices, amr=amr,
-            cfl=meta["cfl"]), meta
+            cfl=meta["cfl"], order=meta.get("order", 1),
+            limiter=meta.get("limiter", "bj")), meta
     if model == "advection":
         from t8gpu_tpu.parallel.advection import ShardedAdvectionSolver
         return ShardedAdvectionSolver(
             forest, lambda _c: u[0], velocity=meta["velocity"],
-            devices=devices, amr=amr, cfl=meta["cfl"]), meta
+            devices=devices, amr=amr, cfl=meta["cfl"],
+            order=meta.get("order", 1),
+            limiter=meta.get("limiter", "bj")), meta
     if model == "mhd":
         if "extents" in meta:
             from t8gpu_tpu.memory.subgrid import SubgridSpec

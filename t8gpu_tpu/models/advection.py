@@ -67,6 +67,30 @@ def advection_divergence(u: jnp.ndarray, conn: FaceConnectivity,
     return accumulate(f, bf, conn)
 
 
+def advection_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity,
+                               velocity: jnp.ndarray, inv_volume,
+                               limiter: str = "bj", dim: int = 2):
+    """Second-order upwind divergence: the scalar row through the SAME
+    row-generic MUSCL reconstruction Euler/SWE/MHD ride (C=1; the BJ
+    limiter keeps reconstructed values inside the neighbor min/max, so
+    the upwind flux stays bounded — no admissibility guard needed
+    beyond identity)."""
+    from t8gpu_tpu.ops.reconstruct import reconstruct_sides
+
+    u_lf, u_rf, u_bf = reconstruct_sides(u, conn, inv_volume, 0.0,
+                                         limiter=limiter, dim=dim,
+                                         guard=lambda rec, first: rec)
+    v_n = velocity @ conn.normal
+    up = jnp.where(v_n > 0, u_lf[0], u_rf[0])
+    f = (v_n * up * conn.area)[None, :]
+    if conn.boundary_capacity:
+        v_b = velocity @ conn.b_normal
+        bf = (jnp.maximum(v_b, 0.0) * u_bf[0] * conn.b_area)[None, :]
+    else:
+        bf = jnp.zeros((1, 0), u.dtype)
+    return accumulate(f, bf, conn)
+
+
 # -- per-step observables (models/observables.py contract) --------------------
 # Signature (u, cell_volume, param) -> scalar; padded slots carry zero
 # volume (and are masked for the extrema).  `param` is unused (the
@@ -92,11 +116,17 @@ ADVECTION_REDUCERS = {"integral": "sum", "l2": "sum",
                       "min": "min", "max": "max"}
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "observables"),
+@functools.partial(jax.jit, static_argnames=("n_steps", "order", "limiter",
+                                             "observables"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, velocity,
-               n_steps: int, volume=None, observables: tuple = ()):
-    flux_fn = lambda w: (advection_divergence(w, conn, velocity), None)
+               n_steps: int, volume=None, order: int = 1,
+               limiter: str = "bj", observables: tuple = ()):
+    if order == 2:
+        flux_fn = lambda w: (advection_divergence_muscl(
+            w, conn, velocity, inv_volume, limiter=limiter), None)
+    else:
+        flux_fn = lambda w: (advection_divergence(w, conn, velocity), None)
 
     if observables:
         from t8gpu_tpu.models.observables import resolve
@@ -129,9 +159,14 @@ class AdvectionSolver:
     """
 
     def __init__(self, mesh, ic: Callable[[np.ndarray], np.ndarray],
-                 velocity, amr: AMRConfig = AMRConfig(), cfl: float = 0.7):
+                 velocity, amr: AMRConfig = AMRConfig(), cfl: float = 0.7,
+                 order: int = 1, limiter: str = "bj"):
         from t8gpu_tpu.mesh.manager import MeshManager
 
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
+        self.order = int(order)
+        self.limiter = str(limiter)
         self.cfl = cfl
         self.amr = amr
         self.manager: Optional[MeshManager] = None
@@ -170,7 +205,8 @@ class AdvectionSolver:
 
     def iterate_many(self, n_steps: int, dt: float):
         self.u = _rk3_multi(self.u, self.conn, self.inv_volume,
-                            jnp.float32(dt), self.velocity, n_steps=n_steps)
+                            jnp.float32(dt), self.velocity, n_steps=n_steps,
+                            order=self.order, limiter=self.limiter)
 
     def iterate_record(self, n_steps: int, dt: float,
                        observables=("integral", "min", "max")):
@@ -184,6 +220,7 @@ class AdvectionSolver:
         self.u, rows = _rk3_multi(
             self.u, self.conn, self.inv_volume, jnp.float32(dt),
             self.velocity, n_steps=n_steps, volume=self.volume,
+            order=self.order, limiter=self.limiter,
             observables=tuple(observables))
         return rows
 

@@ -114,6 +114,37 @@ def sw_divergence(u: jnp.ndarray, conn: FaceConnectivity, g: float):
     return accumulate(f, fb, conn), speed
 
 
+def _sw_guard(u_rec, u_first):
+    """Admissibility fallback for reconstructed SWE states: first-order
+    wherever the reconstructed depth is non-positive (dry-cell guard —
+    the SWE analogue of the Euler density/pressure check)."""
+    return jnp.where((u_rec[0] > 0.0)[None], u_rec, u_first)
+
+
+def sw_divergence_muscl(u: jnp.ndarray, conn: FaceConnectivity, g: float,
+                        inv_volume, limiter: str = "bj", dim: int = 2):
+    """Second-order counterpart of sw_divergence: limited MUSCL interface
+    states through the row-generic reconstruction (ops/reconstruct —
+    the identical code path Euler and GLM-MHD ride at order 2) with the
+    depth-positivity guard, feeding the SAME Rusanov flux; reflective
+    walls mirror the RECONSTRUCTED owner state at the face."""
+    from t8gpu_tpu.ops.reconstruct import reconstruct_sides
+
+    u_lf, u_rf, u_bf = reconstruct_sides(u, conn, inv_volume, 0.0,
+                                         limiter=limiter, dim=dim,
+                                         guard=_sw_guard)
+    f, sp = rusanov_face_flux(u_lf, u_rf, conn.normal, conn.area, g)
+    sp = sp * (conn.area > 0)
+    if conn.boundary_capacity:
+        fb, sp_b = wall_face_flux(u_bf, conn.b_normal, conn.b_area, g)
+        sp_b = sp_b * (conn.b_area > 0)
+    else:
+        fb = jnp.zeros((3, 0), u.dtype)
+        sp_b = jnp.zeros((0,), u.dtype)
+    speed = jnp.maximum(sp.max(), sp_b.max() if sp_b.size else 0.0)
+    return accumulate(f, fb, conn), speed
+
+
 # -- per-step observables (models/observables.py contract) --------------------
 # Signature (u, cell_volume, g) -> scalar with u = [h, hu, hv]; padded
 # slots carry zero volume (and are masked for the extremum).
@@ -137,11 +168,17 @@ SW_REDUCERS = {name: "sum" for name in SW_OBSERVABLES}
 SW_REDUCERS["max_froude"] = "max"
 
 
-@functools.partial(jax.jit, static_argnames=("n_steps", "g", "observables"),
+@functools.partial(jax.jit, static_argnames=("n_steps", "g", "order",
+                                             "limiter", "observables"),
                    donate_argnames=("u",))
 def _rk3_multi(u, conn: FaceConnectivity, inv_volume, dt, volume=None, *,
-               n_steps: int, g: float, observables: tuple = ()):
-    flux_fn = lambda w: sw_divergence(w, conn, g)
+               n_steps: int, g: float, order: int = 1,
+               limiter: str = "bj", observables: tuple = ()):
+    if order == 2:
+        flux_fn = lambda w: sw_divergence_muscl(w, conn, g, inv_volume,
+                                                limiter=limiter)
+    else:
+        flux_fn = lambda w: sw_divergence(w, conn, g)
 
     if observables:
         from t8gpu_tpu.models.observables import resolve
@@ -172,7 +209,11 @@ class ShallowWaterSolver:
 
     def __init__(self, mesh, ic: Callable[[np.ndarray], np.ndarray],
                  g: float = 9.81, amr: AMRConfig = AMRConfig(),
-                 cfl: float = 0.45):
+                 cfl: float = 0.45, order: int = 1, limiter: str = "bj"):
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
+        self.order = int(order)
+        self.limiter = str(limiter)
         # default CFL is lower than the Euler solvers' 0.7: the wave-speed
         # estimate in compute_timestep comes from the PREVIOUS step batch,
         # and gravity-driven transients (dam breaks) accelerate from rest —
@@ -219,7 +260,8 @@ class ShallowWaterSolver:
     def iterate_many(self, n_steps: int, dt: float):
         self.u, self._max_speed = _rk3_multi(
             self.u, self.conn, self.inv_volume, jnp.float32(dt),
-            n_steps=n_steps, g=self.g)
+            n_steps=n_steps, g=self.g, order=self.order,
+            limiter=self.limiter)
 
     def iterate_record(self, n_steps: int, dt: float,
                        observables=("volume", "energy")):
@@ -232,8 +274,8 @@ class ShallowWaterSolver:
         resolve(observables, SW_OBSERVABLES)          # eager validation
         self.u, self._max_speed, rows = _rk3_multi(
             self.u, self.conn, self.inv_volume, jnp.float32(dt),
-            self.volume, n_steps=n_steps, g=self.g,
-            observables=tuple(observables))
+            self.volume, n_steps=n_steps, g=self.g, order=self.order,
+            limiter=self.limiter, observables=tuple(observables))
         return rows
 
     # -- diagnostics -----------------------------------------------------------

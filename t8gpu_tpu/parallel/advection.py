@@ -33,13 +33,18 @@ class ShardedAdvectionSolver(ShardedEulerSolver):
     #                                  slots, never zeros
 
     def __init__(self, forest, ic, velocity, devices=None,
-                 amr: AMRConfig = AMRConfig(), cfl: float = 0.7):
+                 amr: AMRConfig = AMRConfig(), cfl: float = 0.7,
+                 order: int = 1, limiter: str = "bj"):
+        if order not in (1, 2):
+            raise ValueError(f"order must be 1 or 2, got {order!r}")
         self._vel_host = np.zeros(3, np.float32)
         self._vel_host[: len(velocity)] = np.asarray(velocity, np.float32)
         self.cfl = cfl
+        # order in the config also flips needs_geom in _install
         super().__init__(forest, lambda c: np.asarray(ic(c))[None, :],
                          devices=devices,
-                         config=EulerConfig(cfl=cfl), amr=amr)
+                         config=EulerConfig(cfl=cfl, order=order,
+                                            limiter=limiter), amr=amr)
 
     # -- the physics hook ------------------------------------------------------
 
@@ -57,6 +62,31 @@ class ShardedAdvectionSolver(ShardedEulerSolver):
                     jnp.abs(v_n))
 
         return halo.sharded_divergence(u, conn, face_flux, boundary_flux)
+
+    def _flux_divergence_vol(self, u, conn, inv_vol, vol=None):
+        """order=2: the scalar row through the row-generic sharded MUSCL
+        (grad+alpha second halo round), upwind on reconstructed states."""
+        if getattr(self.config, "order", 1) != 2:
+            return self._flux_divergence(u, conn)
+        import jax
+
+        from t8gpu_tpu.ops.fluxes import accumulate_inc
+
+        vel = jnp.asarray(self._vel_host)
+        u_lf, u_rf, u_bf = halo.sharded_reconstruct_sides(
+            u, conn, inv_vol, getattr(self.config, "limiter", "bj"),
+            self.forest.dim, guard=lambda rec, first: rec)
+        v_n = vel @ conn.normal
+        up = jnp.where(v_n > 0, u_lf[0], u_rf[0])
+        f = (v_n * up * conn.area)[None, :]
+        if conn.boundary_capacity:
+            v_b = vel @ conn.b_normal
+            bf = (jnp.maximum(v_b, 0.0) * u_bf[0] * conn.b_area)[None, :]
+        else:
+            bf = jnp.zeros((1, 0), u.dtype)
+        acc = accumulate_inc(f, bf, conn.inc_slot, conn.inc_sign)
+        local = (jnp.abs(v_n) * (conn.area > 0)).max()
+        return acc, jax.lax.pmax(local, halo.AXIS)
 
     # -- model-specific diagnostics -------------------------------------------
 

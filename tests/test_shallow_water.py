@@ -185,3 +185,85 @@ def test_stoker_dam_break_matches_exact():
     behind = xs[hs > h_mid].max()
     assert abs(behind - (x0 + s_bore * t_end)) < 5 * dx, (
         f"bore at {behind} vs exact {x0 + s_bore * t_end}")
+
+
+def test_stoker_order2_beats_first_order():
+    """order=2 (row-generic MUSCL + depth-positivity guard) cuts the
+    Stoker dam-break L1 depth error well below first order at equal
+    resolution, stays positive, and keeps the lake at rest exactly
+    (reconstruction of a constant state is exact, so well-balancedness
+    survives order 2)."""
+    from t8gpu_tpu.models.shallow_water import stoker_dam_break
+
+    g, h_l, h_r, x0 = 9.81, 1.0, 0.25, 0.5
+    profile, _h_m, _u_m, _s = stoker_dam_break(h_l, h_r, g)
+
+    def ic(centers):
+        h = np.where(centers[:, 0] < x0, h_l, h_r)
+        return np.stack([h, np.zeros_like(h), np.zeros_like(h)])
+
+    mesh = uniform_mesh(level=6, dim=2, periodic=False)
+    t_end, n = 0.05, 120
+    errs = {}
+    for order in (1, 2):
+        s = ShallowWaterSolver(mesh, ic, g=g, order=order)
+        for _ in range(4):
+            s.iterate_many(n // 4, t_end / n)
+        u = s.conserved_state()
+        assert np.isfinite(u).all() and (u[0] > 0).all()
+        x = np.asarray(mesh.centers)[:, 0]
+        h_ex, _ = profile((x - x0) / t_end)
+        errs[order] = float(np.abs(u[0] - h_ex).mean())
+    # measured: 0.0212 order 1 -> 0.0074 order 2 (BJ) at level 6
+    assert errs[2] < 0.5 * errs[1], errs
+
+    rest = ShallowWaterSolver(uniform_mesh(level=4, dim=2, periodic=False),
+                              lake_at_rest, g=g, order=2)
+    u0 = rest.conserved_state().copy()
+    rest.iterate_many(10, 1e-3)
+    np.testing.assert_allclose(rest.conserved_state(), u0, atol=1e-7)
+
+
+def test_sharded_swe_order2_matches_single_device():
+    """ShardedShallowWaterSolver(order=2) == single-device on a walled
+    forest (dam break against reflective walls; the wall flux mirrors the
+    RECONSTRUCTED owner state on both paths)."""
+    from t8gpu_tpu.parallel.shallow_water import ShardedShallowWaterSolver
+
+    def dam(c):
+        h = np.where(c[:, 0] < 0.5, 1.0, 0.25)
+        return np.stack([h, np.zeros_like(h), np.zeros_like(h)])
+
+    sh = ShardedShallowWaterSolver(Forest.uniform(4, dim=2, periodic=False),
+                                   dam, order=2)
+    ref = ShallowWaterSolver(uniform_mesh(level=4, dim=2, periodic=False),
+                             dam, order=2)
+    for _ in range(5):
+        sh.iterate(1e-3)
+        ref.iterate(1e-3)
+    np.testing.assert_allclose(sh.conserved_state(), ref.conserved_state(),
+                               rtol=2e-5, atol=1e-6)
+
+
+def test_swe_order_survives_checkpoint():
+    """order/limiter round-trip through save_solver/restore_solver (a
+    restored order-2 run must not silently continue first-order)."""
+    import os
+    import tempfile
+
+    from t8gpu_tpu.io.checkpoint import restore_solver, save_solver
+
+    amr = AMRConfig(min_level=3, max_level=5, refine_threshold=0.2)
+    s = ShallowWaterSolver(MeshManager(Forest.uniform(4, dim=2), amr),
+                           dam_break, order=2, limiter="venkat")
+    s.iterate_many(5, 1e-3)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "swe.npz")
+        save_solver(path, s, step=5)
+        r, meta = restore_solver(path)
+    assert isinstance(r, ShallowWaterSolver)
+    assert r.order == 2 and r.limiter == "venkat"
+    r.iterate_many(3, 1e-3)
+    s.iterate_many(3, 1e-3)
+    np.testing.assert_allclose(r.conserved_state(), s.conserved_state(),
+                               rtol=1e-6, atol=1e-7)
