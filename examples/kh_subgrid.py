@@ -43,6 +43,9 @@ def main():
                    help="2 = per-axis MUSCL (XLA stencil path)")
     p.add_argument("--amr", action="store_true")
     p.add_argument("--max-level", type=int, default=0)
+    p.add_argument("--min-level", type=int, default=0,
+                   help="coarsening floor (0 = level-1; ref "
+                        "subgrid_mesh_manager.h:276 uses 1)")
     p.add_argument("--adapt-every", type=int, default=50)
     p.add_argument("--adapt-lag", type=int, default=0,
                    help="[--amr] prefetch refinement criteria N steps "
@@ -60,14 +63,17 @@ def main():
     if args.resume:
         from t8gpu_tpu.io.checkpoint import restore_solver
         solver, meta = restore_solver(args.resume)
-        print(f"resumed from {args.resume} at step {meta.get('step', 0)}")
-        run_loop(solver, args, SubgridSpec(tuple(meta["extents"])))
+        start = int(meta.get("step", 0))
+        print(f"resumed from {args.resume} at step {start}", flush=True)
+        run_loop(solver, args, SubgridSpec(tuple(meta["extents"])),
+                 start=start)
         return
 
     spec = SubgridSpec((args.extent,) * args.dim)
     if args.amr:
         max_level = args.max_level or args.level + 2
-        amr = AMRConfig(min_level=max(args.level - 1, 1), max_level=max_level,
+        amr = AMRConfig(min_level=args.min_level or max(args.level - 1, 1),
+                        max_level=max_level,
                         refine_threshold=args.refine_threshold)
         mesh = subgrid_manager(Forest.uniform(args.level, dim=args.dim), spec, amr)
     else:
@@ -80,12 +86,12 @@ def main():
     run_loop(solver, args, spec)
 
 
-def run_loop(solver, args, spec):
+def run_loop(solver, args, spec, start=0):
     n_cells = solver.n_elements * spec.size
-    print(f"elements={solver.n_elements} cells={n_cells}")
+    print(f"elements={solver.n_elements} cells={n_cells}", flush=True)
     m0 = solver.compute_integral()
     dt = solver.compute_timestep()
-    print(f"initial integral={m0:.6f} dt={dt:.3e}")
+    print(f"initial integral={m0:.6f} dt={dt:.3e}", flush=True)
 
     cadences = [c for c in (args.adapt_every if args.amr else 0,
                             args.checkpoint_every, args.vtk_every) if c]
@@ -108,7 +114,7 @@ def run_loop(solver, args, spec):
 
     t0 = time.perf_counter()
     cell_steps = 0
-    it = 0
+    it = start
     ck_thread = None
     while it < args.steps:
         # fuse all steps up to the next adapt/IO event into ONE dispatch
@@ -120,8 +126,13 @@ def run_loop(solver, args, spec):
                 and it + lag < args.steps):
             solver.adapt_prefetch()
         if args.amr and it % args.adapt_every == 0 and it < args.steps:
+            ta = time.perf_counter()
             solver.adapt()
             dt = solver.compute_timestep()
+            print(f"step {it}: elements={solver.n_elements} "
+                  f"cells={solver.n_elements * spec.size} dt={dt:.3e} "
+                  f"adapt={time.perf_counter() - ta:.1f}s "
+                  f"wall={time.perf_counter() - t0:.1f}s", flush=True)
         if args.checkpoint_every and it % args.checkpoint_every == 0:
             from t8gpu_tpu.io.checkpoint import save_solver_async
             if ck_thread is not None:

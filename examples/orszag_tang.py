@@ -81,6 +81,10 @@ def main():
                 else SubgridMesh.from_forest(forest, spec))
         # the block scheme's limiters are per-axis: minmod or none
         sg_limiter = "none" if args.limiter == "none" else "minmod"
+        if sg_limiter != args.limiter:
+            print(f"note: --limiter {args.limiter} is a plain-family "
+                  f"limiter; the subgrid block scheme runs per-axis "
+                  f"'{sg_limiter}' instead", flush=True)
         solver = SubgridMHDSolver(mesh, ic, gamma=GAMMA,
                                   glm_alpha=args.glm_alpha,
                                   order=args.order, limiter=sg_limiter)

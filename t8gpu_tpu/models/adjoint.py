@@ -37,6 +37,7 @@ from t8gpu_tpu.ops import rk
 __all__ = [
     "rollout_plain",
     "rollout_subgrid",
+    "rollout_sharded",
     "rollout",
     "loss_and_grad",
 ]
@@ -113,6 +114,50 @@ def rollout_subgrid(u0, dt, n_steps: int, volumes, conn, spec,
     return _scan_rollout(step, u0, n_steps, remat)
 
 
+def rollout_sharded(solver, dt, n_steps: int, u0=None, remat: bool = True):
+    """Differentiable rollout over the DEVICE MESH: the same shard_map
+    step the sharded plain-element solvers run (halo ppermute rounds +
+    per-shard flux divergence), built on `lax.scan` so reverse-mode AD
+    applies — shard_map collectives carry transpose rules (the psum/
+    ppermute adjoints ride the same ICI links backwards), so gradients
+    of multi-chip rollouts need no single-device rebuild.
+
+    `solver` is any ShardedEulerSolver-family instance (plain elements);
+    returns the final sharded state [rows, S*CL].  Differentiate w.r.t.
+    ``u0`` (defaults to the solver's current state) with jax.grad as
+    usual.  The sharded SUBGRID solvers stay via the single-device
+    rebuild recipe (docs/MIGRATING.md)."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from t8gpu_tpu.parallel import halo
+
+    divergence = solver._flux_divergence_vol
+
+    @functools.partial(
+        jax.shard_map, mesh=solver.mesh_dev,
+        in_specs=(P(None, halo.AXIS), P(halo.AXIS), P(halo.AXIS),
+                  P(halo.AXIS), P()),
+        out_specs=P(None, halo.AXIS))
+    def roll(u, conn, inv_vol, vol, dt):
+        conn = jax.tree.map(lambda x: x[0], conn)
+        flux_fn = lambda v: divergence(v, conn, inv_vol, vol)
+
+        def step(v, _):
+            v_next, _speed = rk.ssp_rk3(v, flux_fn, dt, inv_vol)
+            return v_next, None
+
+        if remat:
+            step = jax.checkpoint(step)
+        u_final, _ = jax.lax.scan(step, u, xs=None, length=n_steps)
+        return u_final
+
+    u0 = solver.u if u0 is None else u0
+    return roll(u0, solver.conn, solver.inv_volume, solver.volume,
+                jnp.float32(dt))
+
+
 def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
     """Differentiable rollout using a live solver's mesh/connectivity.
 
@@ -121,10 +166,13 @@ def rollout(solver, dt, n_steps: int, u0=None, remat: bool = True):
     mutated — this returns the final state as a value.
     """
     if hasattr(solver, "n_shards"):
-        raise NotImplementedError(
-            "adjoint.rollout takes the single-device solvers; rebuild a "
-            "single-device solver from the sharded state (conserved_state) "
-            "to differentiate")
+        if hasattr(solver, "spec"):      # sharded subgrid solvers
+            raise NotImplementedError(
+                "sharded SUBGRID rollouts are not differentiable in "
+                "place (the halo plan mutates per adapt); rebuild a "
+                "single-device solver from conserved_state() to "
+                "differentiate — recipe in docs/MIGRATING.md")
+        return rollout_sharded(solver, dt, n_steps, u0=u0, remat=remat)
     u0 = solver.u if u0 is None else u0
     cfg = solver.config
     if hasattr(solver, "spec"):          # subgrid solver

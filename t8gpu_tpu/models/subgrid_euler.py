@@ -95,7 +95,7 @@ def validate_subgrid_bc(config, plain_pointer: str) -> dict:
                 farfield=ff)
 
 
-def _fused_path(conn, spec, order) -> bool:
+def _fused_path(conn, spec, order, dtype=None) -> bool:
     """EVERY first-order configuration rides the RK-fused Pallas kernels
     on TPU backends: viscosity runs in-VMEM
     (ops/pallas_kernels._tile_viscous_divergence) with hanging 2:1 and
@@ -103,6 +103,8 @@ def _fused_path(conn, spec, order) -> bool:
     (ops/subgrid_viscous.viscous_hanging_sides / viscous_wall_sides),
     gravity as the in-kernel unsplit source, farfield as the ghost side
     layers.  Order 2 has its own fused kernel (flux_divergence_muscl)."""
+    if dtype is not None and jnp.dtype(dtype) != jnp.float32:
+        return False     # f64 runs the XLA stencil path (Mosaic kernels are f32)
     return order == 1 and _use_fused_rk(conn, spec)
 
 
@@ -172,7 +174,7 @@ def _rk3_step(u, conn: SubgridConnectivity, volumes, inv_cell_volume, dt,
               wall_velocity=(0.0, 0.0, 0.0), wall_temperature=None,
               farfield=None):
     from t8gpu_tpu.ops.source import has_gravity
-    if _fused_path(conn, spec, order):
+    if _fused_path(conn, spec, order, u.dtype):
         return sg.ssp_rk3_fused(u, volumes, conn, spec, gamma, flux,
                                 dt, inv_cell_volume, mu=float(mu),
                                 prandtl=float(prandtl), wall=wall,
@@ -248,7 +250,7 @@ def _step_closure(conn, volumes, spec, gamma, flux, order, limiter,
     the general flux_fn path / the plain stencil, shared by the
     multi-step and recording batch drivers."""
     from t8gpu_tpu.ops.source import has_gravity
-    if _fused_path(conn, spec, order):
+    if _fused_path(conn, spec, order, volumes.dtype):
         return lambda v: sg.ssp_rk3_fused(
             v, volumes, conn, spec, gamma, flux, dt, inv_cell_volume,
             mu=float(mu), prandtl=float(prandtl), wall=wall,
@@ -296,8 +298,12 @@ class SubgridCompressibleEulerSolver:
         assert isinstance(mesh, SubgridMesh)
         self.spec: SubgridSpec = mesh.spec
         self._max_speed = None
+        # honor EulerConfig.dtype like the plain path (the reference's
+        # float_type trait, memory_manager.h:27-42); f64 steps the XLA
+        # stencil path (_fused_path gates the f32-only Mosaic kernels)
+        self.dtype = jnp.dtype(config.dtype)
 
-        u0 = np.asarray(ic(mesh.cell_centers()), np.float32)
+        u0 = np.asarray(ic(mesh.cell_centers()), self.dtype)
         u0 = u0.reshape((5, mesh.n_elements) + mesh.spec.extents)
         # internal layout is element-minor: [5, *ext, N] (ops/subgrid.py)
         self.install_mesh(mesh, jnp.asarray(np.moveaxis(u0, 1, -1)))
@@ -311,17 +317,19 @@ class SubgridCompressibleEulerSolver:
         cap = mesh.conn.element_capacity
         n = mesh.n_elements
         B = self.spec.size
-        vol = np.zeros(cap, np.float32)
+        dtype = getattr(self, "dtype", np.float32)
+        vol = np.zeros(cap, dtype)
         vol[:n] = mesh.volumes
-        inv = np.zeros(cap, np.float32)
-        inv[:n] = B / mesh.volumes
+        inv = np.zeros(cap, dtype)
+        inv[:n] = B / np.asarray(mesh.volumes, dtype)
         dim = self.spec.dim
         from t8gpu_tpu.utils.xfer import pack_put
         # [cap] broadcasts directly against the element-minor state
         self.volumes, self.inv_cell_volume = pack_put([vol, inv])
         if u.shape[-1] != cap:
             guard = jnp.broadcast_to(
-                jnp.asarray(GUARD_STATE).reshape((5,) + (1,) * (dim + 1)),
+                jnp.asarray(GUARD_STATE, u.dtype).reshape(
+                    (5,) + (1,) * (dim + 1)),
                 (5,) + self.spec.extents + (cap - u.shape[-1],))
             u = jnp.concatenate([u, guard], axis=-1)
         self.u = u
@@ -331,7 +339,7 @@ class SubgridCompressibleEulerSolver:
     def iterate(self, dt: float):
         self.u, self._max_speed = _rk3_step(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
-            jnp.float32(dt), spec=self.spec, gamma=self.config.gamma,
+            jnp.asarray(dt, self.dtype), spec=self.spec, gamma=self.config.gamma,
             flux=self.config.flux, order=self.config.order,
             limiter=self._sg_limiter(),
             gravity=tuple(self.config.gravity),
@@ -342,7 +350,7 @@ class SubgridCompressibleEulerSolver:
         """Run n_steps RK3 steps as one fused device program."""
         self.u, self._max_speed = _rk3_multi(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
-            jnp.float32(dt), n_steps=n_steps, spec=self.spec,
+            jnp.asarray(dt, self.dtype), n_steps=n_steps, spec=self.spec,
             gamma=self.config.gamma, flux=self.config.flux,
             order=self.config.order, limiter=self._sg_limiter(),
             gravity=tuple(self.config.gravity),
@@ -360,7 +368,7 @@ class SubgridCompressibleEulerSolver:
         resolve(observables)  # validate eagerly: empty/unknown names
         self.u, self._max_speed, rows = _rk3_multi(
             self.u, self.conn, self.volumes, self.inv_cell_volume,
-            jnp.float32(dt), n_steps=n_steps,
+            jnp.asarray(dt, self.dtype), n_steps=n_steps,
             observables=tuple(observables), spec=self.spec,
             gamma=self.config.gamma, flux=self.config.flux,
             order=self.config.order, limiter=self._sg_limiter(),
@@ -475,7 +483,7 @@ class SubgridCompressibleEulerSolver:
                       ** (1.0 / dim)) / self.spec.extent
             nu = (mu / rho_min) * max(1.0, gamma / float(self.config.prandtl))
             speed = speed + 2.0 * dim * nu / h_cell
-        return jnp.float32(self.config.cfl * h_min) / speed
+        return jnp.asarray(self.config.cfl * h_min, self.dtype) / speed
 
     @property
     def n_elements(self) -> int:

@@ -90,6 +90,11 @@ class SubgridMHDSolver:
                  order: int = 1, limiter: str = "minmod"):
         if order not in (1, 2):
             raise ValueError(f"order must be 1 or 2, got {order!r}")
+        if limiter not in ("minmod", "none"):
+            raise ValueError(
+                f"subgrid MHD limiters are per-axis 'minmod' or 'none', "
+                f"got {limiter!r} (the plain-family 'bj'/'venkat' do not "
+                f"apply to the block scheme)")
         self.gamma = float(gamma)
         self.glm_alpha = float(glm_alpha)
         self.cfl = cfl

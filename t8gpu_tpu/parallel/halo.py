@@ -77,7 +77,7 @@ def sharded_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
     acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
     local_max = jnp.maximum(speed.max(),
                             speed_b.max() if speed_b.size else 0.0)
-    return acc, jax.lax.pmax(local_max, AXIS)
+    return acc, jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS)
 
 
 def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
@@ -106,7 +106,7 @@ def sharded_flux_divergence(u_local: jnp.ndarray, conn: ShardedConnectivity,
     acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
 
     local_max = jnp.maximum(speed.max(), speed_b.max() if speed_b.size else 0.0)
-    return acc, jax.lax.pmax(local_max, AXIS)
+    return acc, jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS)
 
 
 def _fields_interior_flux(q_l, q_r, conn: ShardedConnectivity,
@@ -221,7 +221,11 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
     if wall == "noslip" and conn.boundary_capacity:
         v_own = gather_cols(phi_ext[:, :CL], conn.b_elem)[:3]
         nb = conn.b_normal
-        vw = jnp.asarray(wall_velocity, u_local.dtype)[:, None]
+        # uniform (3,) tuple, or a per-face [3, Bcap] lid field shipped
+        # with the connectivity (ShardedConnectivity.b_wall_vel)
+        vw = jnp.asarray(wall_velocity, u_local.dtype)
+        if vw.ndim == 1:
+            vw = vw[:, None]
         vw_t = vw - (vw * nb).sum(axis=0) * nb
         dn = jnp.abs((conn.d_b * nb).sum(axis=0))
         livew = (dn > 0).astype(u_local.dtype)
@@ -245,9 +249,14 @@ def sharded_viscous_divergence(u_local: jnp.ndarray,
     # GLOBAL smallest density and cell size (pmin/pmax of the local
     # extremes, so every shard applies the same conservative bound)
     live = inv_volume > 0
+    # stop_gradient: the CFL speed is a dt diagnostic, not a
+    # differentiation path — and pmax/pmin carry no AD rules, so this is
+    # what makes sharded rollouts reverse-differentiable (models/adjoint)
     rho_min = jax.lax.pmin(
-        jnp.where(live, u_local[0], jnp.inf).min(), AXIS)
-    inv_max = jax.lax.pmax(jnp.where(live, inv_volume, 0.0).max(), AXIS)
+        jax.lax.stop_gradient(jnp.where(live, u_local[0], jnp.inf).min()),
+        AXIS)
+    inv_max = jax.lax.pmax(
+        jax.lax.stop_gradient(jnp.where(live, inv_volume, 0.0).max()), AXIS)
     nu = (mu / rho_min) * max(1.0, gamma / prandtl)
     speed_v = 2.0 * dim * nu * inv_max ** (1.0 / dim)
     return acc, speed_v
@@ -371,4 +380,4 @@ def sharded_flux_divergence_muscl(u_local: jnp.ndarray,
     acc = accumulate_inc(f, fb, conn.inc_slot, conn.inc_sign)
     local_max = jnp.maximum(speed.max(),
                             speed_b.max() if speed_b.size else 0.0)
-    return acc, jax.lax.pmax(local_max, AXIS)
+    return acc, jax.lax.pmax(jax.lax.stop_gradient(local_max), AXIS)

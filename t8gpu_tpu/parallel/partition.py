@@ -84,6 +84,11 @@ class ShardedConnectivity:
     d_left: Optional[jnp.ndarray] = None    # f32 [S, 3, Fcap]
     d_right: Optional[jnp.ndarray] = None   # f32 [S, 3, Fcap]
     d_b: Optional[jnp.ndarray] = None       # f32 [S, 3, Bcap]
+    # per-face no-slip wall velocity (static lid field, e.g. a driven
+    # cavity's moving lid) evaluated at boundary-face centroids at
+    # install time and sharded with the connectivity; None = uniform
+    # wall velocity from the config tuple
+    b_wall_vel: Optional[jnp.ndarray] = None  # f32 [S, 3, Bcap]
 
     @property
     def face_capacity(self) -> int:

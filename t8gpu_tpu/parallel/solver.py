@@ -98,10 +98,46 @@ class ShardedEulerSolver:
     def _uniform_wall_velocity(self):
         wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
         if callable(wv):
-            raise NotImplementedError(
-                "per-face (callable) wall_velocity is single-device only; "
-                "the sharded solvers take a uniform (vx, vy, vz) tuple")
+            # per-face values were evaluated at install time and ride
+            # the connectivity (ShardedConnectivity.b_wall_vel)
+            return None
         return tuple(float(x) for x in wv)
+
+    def _wall_velocity_operand(self, conn):
+        """The wall-velocity operand for the viscous divergence: the
+        per-shard [3, Bcap] lid field when EulerConfig.wall_velocity is
+        a callable (mirroring CompressibleEulerSolver._build_wall_velocity),
+        else the uniform tuple."""
+        if conn.b_wall_vel is not None:
+            return conn.b_wall_vel
+        return self._uniform_wall_velocity() or (0.0, 0.0, 0.0)
+
+    def _build_wall_vel_shards(self, conn, bounds, centers):
+        """Host-side per-shard wall-velocity field [S, 3, Bcap] for a
+        callable EulerConfig.wall_velocity (same contract as the
+        single-device path: face_centroids [Fb, 3] -> [3, Fb])."""
+        import numpy as _np
+
+        wv = getattr(self.config, "wall_velocity", (0.0, 0.0, 0.0))
+        if (not callable(wv) or getattr(self.config, "wall", "slip")
+                != "noslip" or conn.boundary_capacity == 0):
+            return None
+        if conn.d_b is None:
+            raise ValueError("a callable wall_velocity needs the "
+                             "face-centroid geometry (centers)")
+        CL = conn.local_capacity
+        c3 = _np.zeros((3, centers.shape[0]), _np.float32)
+        c3[: centers.shape[1]] = _np.asarray(centers, _np.float32).T
+        c_sh = shard_array(c3, bounds, CL)               # [S, 3, CL]
+        out = _np.zeros((conn.n_shards, 3, conn.boundary_capacity),
+                        _np.float32)
+        for s in range(conn.n_shards):
+            be = _np.asarray(conn.b_elem[s])
+            fc = c_sh[s][:, be].T + _np.asarray(conn.d_b[s]).T  # [Bcap, 3]
+            vals = _np.asarray(wv(fc), _np.float32)
+            assert vals.shape == (3, conn.boundary_capacity), vals.shape
+            out[s] = vals * (_np.asarray(conn.b_area[s]) > 0)
+        return out
 
     def _flux_divergence(self, u, conn):
         """Per-shard (divergence, global max speed) — the ONLY physics
@@ -135,7 +171,7 @@ class ShardedEulerSolver:
                     float(getattr(self.config, "prandtl", 0.72)),
                     self.forest.dim,
                     wall=getattr(self.config, "wall", "slip"),
-                    wall_velocity=self._uniform_wall_velocity(),
+                    wall_velocity=self._wall_velocity_operand(conn),
                     wall_temperature=getattr(self.config,
                                              "wall_temperature", None))
                 # summed, not maxed: the coupled acoustic+diffusive
@@ -172,6 +208,12 @@ class ShardedEulerSolver:
             # (saves ~24 B/face of upload per adapt otherwise)
             centers=forest.centers() if needs_geom else None,
             wrap=1.0 if getattr(forest, "periodic", False) else None)
+        if needs_geom and self.N_ROWS == 5:
+            wv_sh = self._build_wall_vel_shards(conn, bounds,
+                                                forest.centers())
+            if wv_sh is not None:
+                import dataclasses as _dc
+                conn = _dc.replace(conn, b_wall_vel=wv_sh)
         self.bounds = bounds
         CL = conn.local_capacity
         self.local_capacity = CL

@@ -132,6 +132,10 @@ class ShardedSubgridMHDSolver(ShardedSubgridEulerSolver):
                  limiter: str = "minmod"):
         if order not in (1, 2):
             raise ValueError(f"order must be 1 or 2, got {order!r}")
+        if limiter not in ("minmod", "none"):
+            raise ValueError(
+                f"subgrid MHD limiters are per-axis 'minmod' or 'none', "
+                f"got {limiter!r}")
         # attributes first: super().__init__ calls self._build_speed()
         self.gamma = float(gamma)
         self.glm_alpha = float(glm_alpha)

@@ -146,6 +146,69 @@ class TestPlainAdjoint:
         assert float(jnp.abs(g).max()) > 0
 
 
+class TestShardedAdjoint:
+    def _pair(self, level=3, periodic=True):
+        from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+        from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+
+        f = Forest.uniform(level, dim=2, periodic=periodic)
+        ic = lambda c: kh_planar(c, dim=2)
+        ref = CompressibleEulerSolver(ForestMesh.from_forest(f), ic,
+                                      config=EulerConfig())
+        sh = ShardedEulerSolver(f, ic, devices=jax.devices()[:4])
+        return ref, sh, f
+
+    def test_primal_matches_single_device(self):
+        """rollout_sharded's forward trajectory == the single-device
+        rollout on the shared elements (padding slots differ)."""
+        ref, sh, f = self._pair()
+        dt = 0.3 * ref.compute_timestep()
+        uT_ref = np.asarray(adjoint.rollout(ref, dt, n_steps=3))
+        uT_sh = adjoint.rollout(sh, dt, n_steps=3)
+        # unshard: state is [5, S*CL]; real elements sit in per-shard
+        # prefixes — use the solver's own readout for the comparison
+        sh.u = uT_sh
+        np.testing.assert_allclose(sh.conserved_state(),
+                                   uT_ref[:, : f.n_elements],
+                                   rtol=2e-5, atol=2e-6)
+
+    def test_grad_matches_single_device(self):
+        """The multi-chip adjoint (shard_map + scan + checkpoint) agrees
+        with the single-device gradient: the collective transposes
+        (psum/ppermute adjoints) preserve the chain rule across the
+        mesh axis."""
+        ref, sh, f = self._pair()
+        dt = 0.3 * ref.compute_timestep()
+        n = f.n_elements
+
+        def obj_ref(u0):
+            uT = adjoint.rollout(ref, dt, n_steps=2, u0=u0)
+            return ((uT[:, :n] - 1.0) ** 2).sum()
+
+        g_ref = np.asarray(jax.grad(obj_ref)(ref.u))[:, :n]
+
+        CL = sh.local_capacity
+        live = np.zeros((1, sh.n_shards * CL), np.float32)
+        for s_i in range(sh.n_shards):
+            lo, hi = sh.bounds[s_i], sh.bounds[s_i + 1]
+            live[0, s_i * CL: s_i * CL + (hi - lo)] = 1.0
+        live_j = jnp.asarray(live)
+
+        def obj_sh(u0):
+            uT = adjoint.rollout(sh, dt, n_steps=2, u0=u0)
+            return (((uT - 1.0) ** 2) * live_j).sum()
+
+        g_sh = np.asarray(jax.grad(obj_sh)(sh.u))
+        # gather the live columns back into global element order
+        parts = []
+        for s_i in range(sh.n_shards):
+            lo, hi = sh.bounds[s_i], sh.bounds[s_i + 1]
+            parts.append(g_sh[:, s_i * CL: s_i * CL + (hi - lo)])
+        g_sh_global = np.concatenate(parts, axis=1)
+        np.testing.assert_allclose(g_sh_global, g_ref, rtol=2e-4,
+                                   atol=2e-5)
+
+
 class TestSubgridAdjoint:
     def test_grad_matches_fd_f32(self):
         """Subgrid XLA-stencil path is differentiable end-to-end (the

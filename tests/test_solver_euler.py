@@ -267,3 +267,100 @@ def test_sharded_blocked_solver_matches_single_device():
                                    single.compute_integral(), rtol=1e-5)
         np.testing.assert_allclose(sharded.compute_timestep(),
                                    single.compute_timestep(), rtol=1e-4)
+
+
+def test_blocked_amr_solver_matches_plain_on_adapted_mesh():
+    """BlockedAMREulerSolver (plain-element dynamic AMR at block
+    granularity, riding the fused subgrid kernels) == the gather-path
+    plain solver on the EQUIVALENT element-granular forest
+    (`plain_forest()`), including across 2:1 level boundaries — the fix
+    for the plain-path AMR cliff (BASELINE config 2, ref
+    kernels.cu:135-309 pays no such cliff)."""
+    import numpy as np
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+    from t8gpu_tpu.mesh.subgrid import cell_centers
+    from t8gpu_tpu.models.blocked_euler import (BlockedAMREulerSolver,
+                                                _zorder_to_raster)
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    dim, level = 2, 6
+    forest = Forest.uniform(level, dim=dim)
+    ic = lambda c: kh_planar(c, dim=dim)
+    amr = AMRConfig(min_level=5, max_level=7, refine_threshold=2e-4)
+    blk = BlockedAMREulerSolver(forest, ic, amr=amr)
+    assert blk.n_elements == forest.n_elements
+
+    dt = 1e-3
+    blk.iterate_many(3, dt)
+    blk.adapt()             # criteria-driven refine/coarsen of blocks
+    lv = blk._inner.mesh.forest.level
+    assert lv.min() != lv.max(), "expected a non-uniform adapted mesh"
+
+    # the element-granular equivalent forest + order mapping sanity
+    pf = blk.plain_forest()
+    assert pf.n_elements == blk.n_elements
+    spec = SubgridSpec((8,) * dim)
+    perm = _zorder_to_raster(8, dim)
+    cc = cell_centers(blk._inner.mesh.forest, spec)      # raster order
+    cc_z = cc.reshape(-1, 8**dim, dim)[:, perm].reshape(-1, dim)
+    np.testing.assert_allclose(cc_z, pf.centers(), atol=1e-12)
+
+    u_blk = blk.conserved_state()
+    plain = CompressibleEulerSolver(ForestMesh.from_forest(pf),
+                                    lambda c: u_blk)
+    np.testing.assert_allclose(plain.conserved_state(), u_blk,
+                               rtol=1e-6, atol=1e-7)
+
+    m0 = blk.compute_integral()
+    for _ in range(3):
+        blk.iterate(dt)
+        plain.iterate(dt)
+    np.testing.assert_allclose(blk.conserved_state(),
+                               plain.conserved_state(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(blk.compute_integral(), m0, rtol=1e-5)
+    np.testing.assert_allclose(blk.compute_timestep(),
+                               plain.compute_timestep(), rtol=1e-4)
+
+    # a second adapt cycle keeps stepping + conservation intact
+    blk.iterate_many(3, dt)
+    blk.adapt()
+    blk.iterate_many(3, dt)
+    assert np.isfinite(blk.conserved_state()).all()
+    np.testing.assert_allclose(blk.compute_integral(), m0, rtol=1e-4)
+
+
+def test_sharded_blocked_amr_matches_single_device():
+    """ShardedBlockedAMREulerSolver == single-device BlockedAMREulerSolver
+    through an adapt cycle (multi-chip BASELINE config 2)."""
+    import jax
+    import numpy as np
+
+    from t8gpu_tpu.mesh.forest import Forest
+    from t8gpu_tpu.models.blocked_euler import (BlockedAMREulerSolver,
+                                                ShardedBlockedAMREulerSolver)
+    from t8gpu_tpu.models.initial_conditions import kh_planar
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    dim, level = 2, 6
+    forest = Forest.uniform(level, dim=dim)
+    ic = lambda c: kh_planar(c, dim=dim)
+    amr = AMRConfig(min_level=5, max_level=7, refine_threshold=2e-4)
+    single = BlockedAMREulerSolver(forest, ic, amr=amr)
+    sharded = ShardedBlockedAMREulerSolver(forest, ic, amr=amr,
+                                           devices=jax.devices()[:4])
+    dt = 1e-3
+    single.iterate_many(3, dt)
+    sharded.iterate_many(3, dt)
+    single.adapt()
+    sharded.adapt()
+    assert sharded.n_elements == single.n_elements
+    single.iterate_many(2, dt)
+    sharded.iterate_many(2, dt)
+    np.testing.assert_allclose(sharded.conserved_state(),
+                               single.conserved_state(),
+                               rtol=2e-4, atol=2e-5)

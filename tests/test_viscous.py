@@ -657,6 +657,50 @@ def test_sharded_noslip_channel_matches_single():
                                rtol=2e-5, atol=2e-6)
 
 
+def test_sharded_per_face_lid_matches_single():
+    """Callable (per-face) wall_velocity on the SHARDED path: the lid
+    field is evaluated at install time and shipped with the
+    connectivity (ShardedConnectivity.b_wall_vel) — sharded == single
+    device on a driven-cavity start-up."""
+    import jax
+
+    from t8gpu_tpu.mesh.forest import Forest, ForestMesh
+    from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+
+    U = 0.1
+
+    def rest_ic(c):
+        rho = np.ones(len(c), np.float32)
+        z = np.zeros_like(rho)
+        return np.stack([rho, z, z, z,
+                         np.full_like(rho, 1.0 / (GAMMA - 1))])
+
+    def lid(face_centers):
+        on_lid = (face_centers[:, 1] > 1.0 - 1e-6).astype(np.float32)
+        vw = np.zeros((3, len(face_centers)), np.float32)
+        vw[0] = U * on_lid
+        return vw
+
+    cfg = EulerConfig(mu=1e-3, wall="noslip", wall_velocity=lid)
+    f = Forest.uniform(4, dim=2, periodic=False)
+    ref = CompressibleEulerSolver(ForestMesh.from_forest(f), rest_ic,
+                                  config=cfg)
+    sh = ShardedEulerSolver(f, rest_ic, config=cfg,
+                            devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(5):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    u_sh = sh.conserved_state()
+    np.testing.assert_allclose(u_sh,
+                               ref.conserved_state()[:, : f.n_elements],
+                               rtol=2e-5, atol=2e-6)
+    # and the lid actually drives the flow
+    vx = u_sh[1] / u_sh[0]
+    y = ForestMesh.from_forest(f).centers[:, 1]
+    assert vx[y > 0.9].mean() > 1e-5
+
+
 def test_gridscale_noise_stable_at_cfl_dt():
     """Grid-scale pressure noise + conduction at the solver's own CFL dt
     stays bounded: the diffusive rate is SUMMED into the CFL speed (the
