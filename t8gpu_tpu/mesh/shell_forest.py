@@ -60,6 +60,32 @@ LMAX = 12  # max refine depth below the roots (3 bits/level in the SFC key)
 # ---------------------------------------------------------------------------
 
 
+_EDGE_LUTS: dict = {}
+
+
+def edge_id_vec(edge_id: dict, nv: int, lo: np.ndarray,
+                hi: np.ndarray) -> np.ndarray:
+    """Vectorized root-edge-id lookup (sorted pair -> id) via a packed
+    searchsorted LUT — the per-POINT Python dict loop was a top host
+    face-walk cost (BENCHMARKS.md round 4).  The LUT build is O(ne) per
+    roots object, memoized on (id, len) of the dict (root tables are
+    immutable once built)."""
+    probe = next(iter(edge_id.items())) if edge_id else None
+    cache_key = (id(edge_id), len(edge_id), probe)
+    lut = _EDGE_LUTS.get(cache_key)
+    if lut is None:
+        pairs = np.array(list(edge_id.keys()), np.int64).reshape(-1, 2)
+        ids = np.fromiter(edge_id.values(), np.int64, len(edge_id))
+        packed = pairs[:, 0] * np.int64(nv) + pairs[:, 1]
+        order = np.argsort(packed)
+        lut = _EDGE_LUTS[cache_key] = (packed[order], ids[order])
+        if len(_EDGE_LUTS) > 64:     # bound the memo (id() reuse safety)
+            _EDGE_LUTS.pop(next(iter(_EDGE_LUTS)))
+    packed_sorted, ids_sorted = lut
+    pos = np.searchsorted(packed_sorted, lo * np.int64(nv) + hi)
+    return ids_sorted[pos]
+
+
 @dataclasses.dataclass(frozen=True)
 class ShellRoots:
     """The cmesh: root prisms = subdivided icosahedron triangles x layers."""
@@ -322,6 +348,24 @@ class PrismForest:
         )
         f = PrismForest(self.roots, self.root[new_from_old],
                         new_level.astype(np.int8), new_path)
+        # inherit element geometry for unchanged elements (the dominant
+        # adapt host cost at scale is recomputing per-element geometry;
+        # a typical adapt touches a few percent of elements)
+        if self._geom is not None:
+            corners_o, vol_o, cent_o = self._geom
+            unchanged = remap.level_change == 0
+            n_new = f.n_elements
+            corners = np.empty((n_new,) + corners_o.shape[1:])
+            vol = np.empty(n_new)
+            cent = np.empty((n_new, 3))
+            src = remap.src_start
+            corners[unchanged] = corners_o[src[unchanged]]
+            vol[unchanged] = vol_o[src[unchanged]]
+            cent[unchanged] = cent_o[src[unchanged]]
+            ch = np.flatnonzero(~unchanged)
+            if len(ch):
+                corners[ch], vol[ch], cent[ch] = f._geometry_rows(ch)
+            f._geom = (corners, vol, cent)
         return f, remap
 
     # -- 2:1 balance -------------------------------------------------------------
@@ -376,14 +420,24 @@ class PrismForest:
 
     def _geometry(self):
         """corners [N, 2, 3, 3] (radial x tri-vertex x xyz), volumes [N],
-        centers [N, 3] — cached per forest."""
+        centers [N, 3] — cached per forest, and INHERITED across adapts
+        for unchanged elements (adapt() below): element geometry is the
+        biggest non-matching host face-walk cost at scale (SURVEY §3.4,
+        BENCHMARKS.md round 4), and a typical adapt touches only a few
+        percent of elements."""
         if self._geom is not None:
             return self._geom
+        self._geom = self._geometry_rows(np.arange(self.n_elements))
+        return self._geom
+
+    def _geometry_rows(self, idx: np.ndarray):
+        """(corners, volumes, centers) for the element subset `idx`."""
         roots = self.roots
-        i, j, orient, rk = self.decoded()
-        lv = self.level.astype(np.int64)
-        t = self.root // roots.n_layers
-        layer = self.root % roots.n_layers
+        i, j, orient, rk = _decode_paths(self.path[idx], self.level[idx])
+        lv = self.level[idx].astype(np.int64)
+        root_sub = self.root[idx]
+        t = root_sub // roots.n_layers
+        layer = root_sub % roots.n_layers
         V = roots.verts[roots.tris[t]]                    # [N, 3, 3] root corners
         scale = (2.0 ** -lv)[:, None]
 
@@ -405,7 +459,7 @@ class PrismForest:
 
         centers = corners.reshape(-1, 6, 3).mean(axis=1)
         # divergence-theorem volume over the 5 planar faces
-        vol = np.zeros(self.n_elements)
+        vol = np.zeros(len(idx))
         c_lo, c_hi = corners[:, 0], corners[:, 1]         # [N, 3, 3]
 
         def tri_contrib(p0, p1, p2, outward_hint):
@@ -426,8 +480,7 @@ class PrismForest:
             out = cent - centers
             s = np.sign((nvec * out).sum(axis=1))
             vol += (cent * nvec).sum(axis=1) / 3.0 * s
-        self._geom = (corners, vol, centers)
-        return self._geom
+        return (corners, vol, centers)
 
     def volumes(self) -> np.ndarray:
         return self._geometry()[1]
@@ -463,8 +516,7 @@ class PrismForest:
             lo = np.minimum(u, w)
             hi = np.maximum(u, w)
             tt = np.where(u < w, tpar, R - tpar)
-            eid = np.array([roots.edge_id[(int(a), int(b))]
-                            for a, b in zip(lo, hi)], np.int64)
+            eid = edge_id_vec(roots.edge_id, nv, lo, hi)
             return OFF_E + eid * (R - 1) + (tt - 1)
 
         on_b = (jN == 0) & (iN > 0) & (iN < R)             # edge V0-V1

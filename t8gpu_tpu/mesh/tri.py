@@ -283,11 +283,11 @@ class TriForest:
         key = np.where((iN == 0) & (jN == R), v[:, 2], key)
 
         def edge_key(u, w, tpar):
+            from t8gpu_tpu.mesh.shell_forest import edge_id_vec
             lo = np.minimum(u, w)
             hi = np.maximum(u, w)
             tt = np.where(u < w, tpar, R - tpar)
-            eid = np.array([roots.edge_id[(int(x), int(y))]
-                            for x, y in zip(lo, hi)], np.int64)
+            eid = edge_id_vec(roots.edge_id, nv, lo, hi)
             return OFF_E + eid * (R - 1) + (tt - 1)
 
         on_b = (jN == 0) & (iN > 0) & (iN < R)
@@ -306,7 +306,12 @@ class TriForest:
             self._faces = self._build_face_lists_impl()
         return self._faces
 
-    def _build_face_lists_impl(self):
+    def _edge_records(self, offset: int = 0):
+        """Per-element edge key records (own granularity + half quarters)
+        for the exact-integer matcher; `offset` shifts the element ids so
+        mixed-class forests (mesh/cmesh.HybridForest) can match tri and
+        quad records in one joint pass over the SHARED vertex/edge key
+        space."""
         n = self.n_elements
         i, j, orient = _decode_tri_paths(self.path, self.level)
         lv = self.level.astype(np.int64)
@@ -324,20 +329,24 @@ class TriForest:
         ljN = lj << sh[:, None]
 
         zero = np.zeros(n, np.int64)
+        ids = np.arange(n) + offset
         vk = np.stack([self._vertex_keys(liN[:, c], ljN[:, c], t)
                        for c in range(3)], axis=1)
         own_rec, sub_rec = [], []
         for e, (a, b) in enumerate(((0, 1), (1, 2), (2, 0))):
             k_a, k_b = vk[:, a], vk[:, b]
             own_rec.append((np.minimum(k_a, k_b), np.maximum(k_a, k_b),
-                            zero, zero, np.arange(n), e))
+                            zero, zero, ids, e))
             miN = (liN[:, a] + liN[:, b]) >> 1
             mjN = (ljN[:, a] + ljN[:, b]) >> 1
             k_m = self._vertex_keys(miN, mjN, t)
             for (ka, kb) in ((k_a, k_m), (k_m, k_b)):
                 sub_rec.append((np.minimum(ka, kb), np.maximum(ka, kb),
-                                zero, zero, np.arange(n), e))
+                                zero, zero, ids, e))
+        return own_rec, sub_rec
 
+    def _build_face_lists_impl(self):
+        own_rec, sub_rec = self._edge_records()
         return _match_records(own_rec, sub_rec, allow_boundary=True,
                               boundary_mask=lambda g: np.ones(len(g), bool))
 

@@ -683,6 +683,125 @@ def fields_flux(q_l, q_r, gamma: float = 1.4, flux: str = "kepes"):
     return FIELDS_FLUXES[flux](q_l, q_r, gamma)
 
 
+def kepes_pair_fields(u, gamma: float) -> tuple:
+    """LOG-FREE per-state ingredients for `kepes_pair_flux` — the
+    once-used-state variant of `cell_fields_tuple`.
+
+    The fields formulation amortizes 2 logs per CELL across its 2*dim
+    interfaces; a MUSCL-reconstructed interface state is consumed by
+    exactly ONE interface, so precomputing its logs buys nothing — the
+    pair flux instead takes the two log differences as ratio logs
+    (2 logs per interface, vs 4 with per-state fields; the order-2 fused
+    kernel is VPU-issue-bound and ~40% of it was these logs,
+    BENCHMARKS.md round-4).  Tuple: (rho, v1, v2, v3, p, rho_p,
+    inv_rho, inv_p, ke)."""
+    kappa_m1 = gamma - 1.0
+    rho, m1, m2, m3, e = u
+    inv_rho = 1.0 / rho
+    v1, v2, v3 = m1 * inv_rho, m2 * inv_rho, m3 * inv_rho
+    ke = 0.5 * (v1 * v1 + v2 * v2 + v3 * v3)
+    p = kappa_m1 * (e - rho * ke)
+    inv_p = 1.0 / p
+    rho_p = rho * inv_p
+    return (rho, v1, v2, v3, p, rho_p, inv_rho, inv_p, ke)
+
+
+def kepes_pair_flux(q_l: tuple, q_r: tuple, gamma: float,
+                    log_fn=jnp.log):
+    """Entropy-stable KEPES flux from `kepes_pair_fields` tuples (face
+    frame; same algebra + combined-reciprocal division economy as
+    `kepes_fields_flux`, equal to it to ~ulp).  The exact-branch ln_mean
+    denominators use RATIO logs — log(rho_r * (1/rho_l)) and
+    log(p_r * (1/p_l)) — so an interface costs 2 logs regardless of how
+    its end states were produced.  Matches ref kernels.cu:38-133."""
+    kappa_m1 = gamma - 1.0
+    rho_l, u_l, v_l, w_l, p_l, rhop_l, irho_l, ip_l, ke_l = q_l
+    rho_r, u_r, v_r, w_r, p_r, rhop_r, irho_r, ip_r, ke_r = q_r
+
+    # the 2 per-interface transcendentals
+    dlrho = log_fn(rho_r * irho_l)           # log(rho_r/rho_l)
+    dlp = log_fn(p_r * ip_l)                 # log(p_r/p_l)
+
+    d_r = rho_r - rho_l
+    s_r = rho_l + rho_r
+    d_b = rhop_r - rhop_l
+    s_b = rhop_l + rhop_r
+    s_r2 = s_r * s_r
+    s_b2 = s_b * s_b
+    q2 = 1.0 / (s_r2 * s_b2)                 # divide 1 of 2
+    vsq_r = (d_r * d_r) * s_b2 * q2
+    vsq_b = (d_b * d_b) * s_r2 * q2
+    c_r = vsq_r < 1.0e-4
+    c_b = vsq_b < 1.0e-4
+    num_r = jnp.where(c_r, s_r * 52.5, d_r)
+    den_r = jnp.where(
+        c_r, 105.0 + vsq_r * (35.0 + vsq_r * (21.0 + vsq_r * 15.0)),
+        dlrho)
+    num_b = jnp.where(c_b, s_b * 52.5, d_b)
+    den_b = jnp.where(
+        c_b, 105.0 + vsq_b * (35.0 + vsq_b * (21.0 + vsq_b * 15.0)),
+        dlrho - dlp)                         # log(beta_r/beta_l)
+    Q = 1.0 / (den_r * num_b * s_b)          # divide 2 of 2
+    nbsb = num_b * s_b
+    rho_hat = num_r * nbsb * Q
+    inv_bh = (2.0 * den_b * den_r * s_b) * Q
+    p1_hat = s_r * den_r * num_b * Q
+
+    u_hat = 0.5 * (u_l + u_r)
+    v_hat = 0.5 * (v_l + v_r)
+    w_hat = 0.5 * (w_l + w_r)
+    a_hat = (jnp.sqrt((gamma * 0.5) * (p_l + p_r))
+             * jax.lax.rsqrt(rho_hat))
+    h_hat = (gamma / (2.0 * kappa_m1)) * inv_bh + 0.5 * (
+        u_l * u_r + v_l * v_r + w_l * w_r)
+    vel2_m = ke_l + ke_r
+
+    f0 = rho_hat * u_hat
+    f1 = f0 * u_hat + p1_hat
+    f2 = f0 * v_hat
+    f3 = f0 * w_hat
+    f4 = (f0 * 0.5 * ((1.0 / kappa_m1) * inv_bh - vel2_m)
+          + u_hat * f1 + v_hat * f2 + w_hat * f3)
+
+    d0 = (0.5 / gamma) * jnp.abs(u_hat - a_hat) * rho_hat
+    d1 = jnp.abs(u_hat) * (kappa_m1 / gamma) * rho_hat
+    d2 = jnp.abs(u_hat) * p1_hat
+    d4 = (0.5 / gamma) * jnp.abs(u_hat + a_hat) * rho_hat
+
+    # entropy-variable jump: dv0 = vent0_r - vent0_l with
+    # vent0 = (gamma - s)/kappa_m1 - rho_p*ke, s = log p - gamma log rho
+    # => the s jump is exactly dlp - gamma*dlrho (ratio logs again)
+    dv0 = (-(dlp - gamma * dlrho) * (1.0 / kappa_m1)
+           - (rhop_r * ke_r - rhop_l * ke_l))
+    dv1 = rhop_r * u_r - rhop_l * u_l
+    dv2 = rhop_r * v_r - rhop_l * v_l
+    dv3 = rhop_r * w_r - rhop_l * w_l
+    dv4 = -(rhop_r - rhop_l)
+
+    ek = 0.5 * (u_hat * u_hat + v_hat * v_hat + w_hat * w_hat)
+    w0 = (dv0 + (u_hat - a_hat) * dv1 + v_hat * dv2 + w_hat * dv3
+          + (h_hat - u_hat * a_hat) * dv4)
+    w1 = dv0 + u_hat * dv1 + v_hat * dv2 + w_hat * dv3 + ek * dv4
+    w2 = dv2 + v_hat * dv4
+    w3 = dv3 + w_hat * dv4
+    w4 = (dv0 + (u_hat + a_hat) * dv1 + v_hat * dv2 + w_hat * dv3
+          + (h_hat + u_hat * a_hat) * dv4)
+
+    g0, g1, g2, g3, g4 = d0 * w0, d1 * w1, d2 * w2, d2 * w3, d4 * w4
+
+    diss0 = g0 + g1 + g4
+    diss1 = (u_hat - a_hat) * g0 + u_hat * g1 + (u_hat + a_hat) * g4
+    diss2 = v_hat * (g0 + g1 + g4) + g2
+    diss3 = w_hat * (g0 + g1 + g4) + g3
+    diss4 = ((h_hat - u_hat * a_hat) * g0 + ek * g1 + v_hat * g2
+             + w_hat * g3 + (h_hat + u_hat * a_hat) * g4)
+
+    flux = jnp.stack([f0 - 0.5 * diss0, f1 - 0.5 * diss1, f2 - 0.5 * diss2,
+                      f3 - 0.5 * diss3, f4 - 0.5 * diss4])
+    speed = jnp.abs(u_hat) + a_hat
+    return flux, speed
+
+
 def fields_mirror(q):
     """Reflective-wall ghost fields: negate the normal velocity (row 1).
     All other rows (p, logs, vent0, ke, h, c, ...) depend only on rho, p,

@@ -439,10 +439,30 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
     the sides' equal-face weights mask*area*(rel==0) — (w > 0) doubles as
     the eq mask for the slope outward differences, so hanging faces and
     walls fall back to the one-sided (minmod: zero) edge slope exactly
-    like the XLA path.  Returns (D [5, ...], per-cell speed)."""
-    from t8gpu_tpu.ops.euler import cell_fields_tuple
+    like the XLA path.  Returns (D [5, ...], per-cell speed).
+
+    KEPES interfaces go through `kepes_pair_flux`: a MUSCL-reconstructed
+    state feeds exactly ONE interface, so the per-cell log amortization
+    of the fields formulation is void here — the pair flux's 2 ratio
+    logs per interface halve the kernel's transcendental count (the
+    round-3 finding that the fused kernels are VPU-issue-bound makes
+    this the order-2 lever; measured in BENCHMARKS.md round 4)."""
+    from t8gpu_tpu.ops.euler import (cell_fields_tuple, kepes_pair_fields,
+                                     kepes_pair_flux)
 
     log_fn = _kernel_log_fn()
+
+    if flux == "kepes":
+        def iface_flux(l_states, r_states):
+            return kepes_pair_flux(kepes_pair_fields(l_states, gamma),
+                                   kepes_pair_fields(r_states, gamma),
+                                   gamma, log_fn=log_fn)
+    else:
+        def iface_flux(l_states, r_states):
+            return fields_flux(
+                cell_fields_tuple(l_states, gamma, flux, log_fn=log_fn),
+                cell_fields_tuple(r_states, gamma, flux, log_fn=log_fn),
+                gamma=gamma, flux=flux)
     TE = u[0].shape[-1]
     blk = (ext,) * dim + (TE,)
     surface = w_ref[0]
@@ -544,10 +564,7 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
         # interior + hi mesh-face interfaces in one evaluation (the
         # shift trick of _tile_flux_divergence, on reconstructed states)
         nxt = tuple(shift_next(r, h) for r, h in zip(u_r_t, hi_sub))
-        f, sp = fields_flux(
-            cell_fields_tuple(u_l_t, gamma, flux, log_fn=log_fn),
-            cell_fields_tuple(nxt, gamma, flux, log_fn=log_fn),
-            gamma=gamma, flux=flux)
+        f, sp = iface_flux(u_l_t, nxt)
         wgt = jnp.where(at_end, w_hi, surface)
         f = _flux_unrotate_rows(f, a) * wgt
         sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
@@ -558,10 +575,7 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
             jax.lax.index_in_dim(r, 0, axis=a, keepdims=False), a)
             for r in u_r_t)
         lo_e = tuple(jnp.expand_dims(h, a) for h in lo_sub)
-        f_lo, sp_lo = fields_flux(
-            cell_fields_tuple(lo_e, gamma, flux, log_fn=log_fn),
-            cell_fields_tuple(u_rf0, gamma, flux, log_fn=log_fn),
-            gamma=gamma, flux=flux)
+        f_lo, sp_lo = iface_flux(lo_e, u_rf0)
         f_lo = _flux_unrotate_rows(f_lo, a) * w_lo
         speed = jnp.maximum(
             speed,
