@@ -231,6 +231,7 @@ class PrismForest:
         self.path = np.asarray(path, np.int64)
         self._sort()
         self._geom = None
+        self._rbasis = None
         self._faces = None
         self._face_dict = None
 
@@ -366,6 +367,20 @@ class PrismForest:
             if len(ch):
                 corners[ch], vol[ch], cent[ch] = f._geometry_rows(ch)
             f._geom = (corners, vol, cent)
+        if self._rbasis is not None:
+            unchanged = remap.level_change == 0
+            src = remap.src_start
+            ch = np.flatnonzero(~unchanged)
+            parts = []
+            new_rows = f._record_basis_rows(ch) if len(ch) else None
+            for r_i, arr_o in enumerate(self._rbasis):
+                arr = np.empty((f.n_elements,) + arr_o.shape[1:],
+                               arr_o.dtype)
+                arr[unchanged] = arr_o[src[unchanged]]
+                if len(ch):
+                    arr[ch] = new_rows[r_i]
+                parts.append(arr)
+            f._rbasis = tuple(parts)
         return f, remap
 
     # -- 2:1 balance -------------------------------------------------------------
@@ -535,6 +550,63 @@ class PrismForest:
             self._faces = self._build_face_lists_impl()
         return self._faces
 
+    def _record_basis(self):
+        """Per-element face-record ingredients (vertex/midpoint keys,
+        radial coords, triangle identities, child-triangle keys) —
+        cached per forest and INHERITED across adapts for unchanged
+        elements (record construction is, with matching, the dominant
+        host face-walk cost at scale; see BENCHMARKS.md round 4)."""
+        if self._rbasis is None:
+            self._rbasis = self._record_basis_rows(
+                np.arange(self.n_elements))
+        return self._rbasis
+
+    def _record_basis_rows(self, idx: np.ndarray):
+        roots = self.roots
+        i, j, orient, rk = _decode_paths(self.path[idx], self.level[idx])
+        lv = self.level[idx].astype(np.int64)
+        assert int(lv.max(initial=0)) < LMAX, (
+            "forest refined to LMAX: face quarters need one spare level")
+        sh = (LMAX - lv)
+        root_sub = self.root[idx]
+        t = root_sub // roots.n_layers
+        layer = root_sub % roots.n_layers
+        R1 = np.int64(1) << LMAX
+
+        up = orient == 0
+        li = np.where(up[:, None], np.stack([i, i + 1, i], 1),
+                      np.stack([i + 1, i, i + 1], 1))
+        lj = np.where(up[:, None], np.stack([j, j, j + 1], 1),
+                      np.stack([j, j + 1, j + 1], 1))
+        liN = li << sh[:, None]
+        ljN = lj << sh[:, None]
+
+        g_lo = layer * R1 + (rk << sh)
+        g_hi = layer * R1 + ((rk + 1) << sh)
+
+        vk = np.stack([self._vertex_keys(liN[:, c], ljN[:, c], t)
+                       for c in range(3)], axis=1)        # [n, 3]
+        km = np.empty_like(vk)
+        for e, (a, b) in enumerate(((0, 1), (1, 2), (2, 0))):
+            miN = (liN[:, a] + liN[:, b]) >> 1
+            mjN = (ljN[:, a] + ljN[:, b]) >> 1
+            km[:, e] = self._vertex_keys(miN, mjN, t)
+
+        size = (np.int64(1) << sh)
+        iA = i << sh
+        jA = j << sh
+        tri_k1 = ((t * (R1 + 1) + iA) * (R1 + 1) + jA)
+        tri_k2 = size * 2 + orient
+        n_sub = len(idx)
+        ck1 = np.empty((n_sub, 4), np.int64)
+        ck2 = np.empty((n_sub, 4), np.int64)
+        for c in range(4):
+            nci, ncj, nco = _child_step(i, j, orient, np.full(n_sub, c))
+            ck1[:, c] = ((t * (R1 + 1) + (nci << (sh - 1)))
+                         * (R1 + 1) + (ncj << (sh - 1)))
+            ck2[:, c] = (size >> 1) * 2 + nco
+        return (vk, km, g_lo, g_hi, tri_k1, tri_k2, ck1, ck2)
+
     def _build_face_lists_impl(self):
         """Enumerate all faces by exact-rectangle key matching.
 
@@ -545,75 +617,37 @@ class PrismForest:
         (mesh_manager.inl:396-424)."""
         n = self.n_elements
         roots = self.roots
-        i, j, orient, rk = self.decoded()
-        lv = self.level.astype(np.int64)
-        assert int(lv.max(initial=0)) < LMAX, (
-            "forest refined to LMAX: face quarters need one spare level")
-        sh = (LMAX - lv)
-        t = self.root // roots.n_layers
-        layer = self.root % roots.n_layers
-        R1 = np.int64(1) << LMAX                          # radial units / layer
-
-        up = orient == 0
-        # footprint lattice vertices (same order as _geometry)
-        li = np.where(up[:, None], np.stack([i, i + 1, i], 1),
-                      np.stack([i + 1, i, i + 1], 1))
-        lj = np.where(up[:, None], np.stack([j, j, j + 1], 1),
-                      np.stack([j, j + 1, j + 1], 1))
-        liN = li << sh[:, None]
-        ljN = lj << sh[:, None]
-
-        g_lo = layer * R1 + (rk << sh)                    # global radial coords
-        g_hi = layer * R1 + ((rk + 1) << sh)
+        R1 = np.int64(1) << LMAX
+        vk, km, g_lo, g_hi, tri_k1, tri_k2, ck1, ck2 = self._record_basis()
         g_mid = (g_lo + g_hi) >> 1
+        ids = np.arange(n)
 
         # ---- lateral faces: rectangles (edge endpoint keys, radial span) --
-        vk = np.stack([self._vertex_keys(liN[:, c], ljN[:, c], t)
-                       for c in range(3)], axis=1)        # [N, 3]
-        # midpoints of each edge (for quarter emission)
         own_rec, sub_rec = [], []
         for e, (a, b) in enumerate(((0, 1), (1, 2), (2, 0))):
             k_a, k_b = vk[:, a], vk[:, b]
             k1 = np.minimum(k_a, k_b)
             k2 = np.maximum(k_a, k_b)
-            own_rec.append((k1, k2, g_lo, g_hi, np.arange(n), e))
-            # quarters: split edge at midpoint + radial halves
-            miN = (liN[:, a] + liN[:, b]) >> 1
-            mjN = (ljN[:, a] + ljN[:, b]) >> 1
-            k_m = self._vertex_keys(miN, mjN, t)
+            own_rec.append((k1, k2, g_lo, g_hi, ids, e))
+            k_m = km[:, e]
             for (ka, kb) in ((k_a, k_m), (k_m, k_b)):
                 kq1 = np.minimum(ka, kb)
                 kq2 = np.maximum(ka, kb)
                 for (gl, gh) in ((g_lo, g_mid), (g_mid, g_hi)):
-                    sub_rec.append((kq1, kq2, gl, gh, np.arange(n), e))
+                    sub_rec.append((kq1, kq2, gl, gh, ids, e))
 
         lat = self._match_records(own_rec, sub_rec, allow_boundary=False)
 
         # ---- radial faces: (triangle identity, radial coordinate) ---------
-        # triangle identity at own level: (root tri, anchor at LMAX, orient,
-        # size); encode into two int64 key columns.
-        size = (np.int64(1) << sh)
-        iA = i << sh
-        jA = j << sh
-        tri_k1 = ((t * (R1 + 1) + iA) * (R1 + 1) + jA)
-        tri_k2 = size * 2 + orient
+        zero = g_lo * 0
         own_rec = [
-            (tri_k1, tri_k2, g_lo, g_lo * 0, np.arange(n), 0),   # bottom
-            (tri_k1, tri_k2, g_hi, g_hi * 0, np.arange(n), 1),   # top
+            (tri_k1, tri_k2, g_lo, zero, ids, 0),   # bottom
+            (tri_k1, tri_k2, g_hi, zero, ids, 1),   # top
         ]
-        # quarters = the 4 child triangles at half size, same radial coord
-        ci, cj, co = [], [], []
-        for c in range(4):
-            nci, ncj, nco = _child_step(i, j, orient, np.full(n, c))
-            ci.append(nci << (sh - 1))
-            cj.append(ncj << (sh - 1))
-            co.append(nco)
         sub_rec = []
         for c in range(4):
-            ck1 = ((t * (R1 + 1) + ci[c]) * (R1 + 1) + cj[c])
-            ck2 = (size >> 1) * 2 + co[c]
-            sub_rec.append((ck1, ck2, g_lo, g_lo * 0, np.arange(n), 0))
-            sub_rec.append((ck1, ck2, g_hi, g_hi * 0, np.arange(n), 1))
+            sub_rec.append((ck1[:, c], ck2[:, c], g_lo, zero, ids, 0))
+            sub_rec.append((ck1[:, c], ck2[:, c], g_hi, zero, ids, 1))
 
         rad = self._match_records(own_rec, sub_rec, allow_boundary=True,
                                   boundary_mask=lambda g: (g == 0) | (

@@ -594,6 +594,216 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
     return D, speed
 
 
+def _tile_mhd_muscl_divergence(u, others, w_ref, dim: int, ext: int,
+                               gamma: float, limiter: str,
+                               positivity: bool):
+    """Second-order per-tile GLM-MHD flux divergence: the
+    _tile_muscl_divergence reconstruction structure on 9 STATE rows with
+    the Rusanov + exact-GLM interface flux (models/mhd._rusanov_rows)
+    and the MHD admissibility guard (THERMAL-pressure positivity).
+
+    u: tuple of 9 rows [*(ext,)*dim, TE]; others: 2*dim refs
+    [18, *t_ext, TE] (equal-level neighbor edge + second layers);
+    w_ref: [8, TE] — row 0 interior surface, rows 1..2*dim eq-face
+    weights, row 7 the global cleaning speed c_h.  Hanging faces and
+    walls are the caller's XLA first-order closure, exactly like the
+    Euler MUSCL kernel."""
+    from t8gpu_tpu.models.mhd import _rusanov_rows
+
+    TE = u[0].shape[-1]
+    blk = (ext,) * dim + (TE,)
+    surface = w_ref[0]
+    ch = w_ref[7]
+    interior_ok = (surface > 0).astype(u[0].dtype)
+    kappa_m1 = gamma - 1.0
+
+    if limiter == "minmod":
+        def lim(a, b):
+            return jnp.where(a * b > 0.0,
+                             jnp.sign(a) * jnp.minimum(jnp.abs(a),
+                                                       jnp.abs(b)),
+                             jnp.zeros_like(a))
+    elif limiter == "none":
+        def lim(a, b):
+            return 0.5 * (a + b)
+    else:
+        raise ValueError(f"unknown fused-MUSCL limiter: {limiter!r}")
+
+    def guard(rec, base):
+        # thermal-pressure positivity (models/mhd._mhd_guard: the
+        # magnetic pressure is >= 0 and must be excluded)
+        if not positivity:
+            return rec
+        rho, m1, m2, m3, e, b1, b2, b3, psi = rec
+        s_rho = 1.0 / rho
+        ke = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * s_rho
+        b2s = b1 * b1 + b2 * b2 + b3 * b3
+        p = kappa_m1 * (e - ke - 0.5 * b2s)
+        ok = (rho > 0.0) & (p > 0.0)
+        return tuple(jnp.where(ok, r, b) for r, b in zip(rec, base))
+
+    def iface(l_rows, r_rows):
+        f, sp = _rusanov_rows(l_rows, r_rows, gamma, ch)
+        return jnp.stack(f), sp
+
+    D = jnp.zeros((9,) + blk, u[0].dtype)
+    speed = jnp.zeros(blk, u[0].dtype)
+
+    for a in range(dim):
+        va = _rows_rotate9(u, a)
+        o_hi, o_lo = others[2 * a], others[2 * a + 1]
+        nb0_hi = _rows_rotate9(tuple(o_hi[i] for i in range(9)), a)
+        nb1_hi = _rows_rotate9(tuple(o_hi[9 + i] for i in range(9)), a)
+        nb0_lo = _rows_rotate9(tuple(o_lo[i] for i in range(9)), a)
+        nb1_lo = _rows_rotate9(tuple(o_lo[9 + i] for i in range(9)), a)
+        w_hi = w_ref[1 + 2 * a]
+        w_lo = w_ref[2 + 2 * a]
+        eq_hi = (w_hi > 0).astype(u[0].dtype)
+        eq_lo = (w_lo > 0).astype(u[0].dtype)
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, blk, a)
+        at_end = idx == ext - 1
+        at_lo = idx == 0
+        last_axis = a == dim - 1
+
+        def shift_next(r, h):
+            if last_axis:
+                rolled = jnp.roll(r, -1, axis=a)
+                return jnp.where(at_end, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jax.lax.slice_in_dim(r, 1, ext, axis=a),
+                 jnp.expand_dims(h, a)], axis=a)
+
+        def shift_prev(r, h):
+            if last_axis:
+                rolled = jnp.roll(r, 1, axis=a)
+                return jnp.where(at_lo, jnp.expand_dims(h, a), rolled)
+            return jnp.concatenate(
+                [jnp.expand_dims(h, a),
+                 jax.lax.slice_in_dim(r, 0, ext - 1, axis=a)], axis=a)
+
+        d_hi_rows, d_lo_rows = [], []
+        for r, h0, l0 in zip(va, nb0_hi, nb0_lo):
+            dh = shift_next(r, h0) - r
+            dh = jnp.where(at_end, dh * eq_hi, dh)
+            dl = r - shift_prev(r, l0)
+            dl = jnp.where(at_lo, dl * eq_lo, dl)
+            d_hi_rows.append(dh)
+            d_lo_rows.append(dl)
+        slope = tuple(lim(dl, dh)
+                      for dl, dh in zip(d_lo_rows, d_hi_rows))
+
+        u_l_t = guard(tuple(r + 0.5 * s for r, s in zip(va, slope)), va)
+        u_r_t = guard(tuple(r - 0.5 * s for r, s in zip(va, slope)), va)
+
+        my_hi = tuple(jax.lax.index_in_dim(r, ext - 1, axis=a,
+                                           keepdims=False) for r in va)
+        my_lo = tuple(jax.lax.index_in_dim(r, 0, axis=a,
+                                           keepdims=False) for r in va)
+        s_nbr_hi = tuple(lim(h0 - m, h1 - h0)
+                         for m, h0, h1 in zip(my_hi, nb0_hi, nb1_hi))
+        s_nbr_lo = tuple(lim(l0 - l1, m - l0)
+                         for m, l0, l1 in zip(my_lo, nb0_lo, nb1_lo))
+        hi_sub = guard(tuple(h0 - 0.5 * s
+                             for h0, s in zip(nb0_hi, s_nbr_hi)), nb0_hi)
+        lo_sub = guard(tuple(l0 + 0.5 * s
+                             for l0, s in zip(nb0_lo, s_nbr_lo)), nb0_lo)
+
+        nxt = tuple(shift_next(r, h) for r, h in zip(u_r_t, hi_sub))
+        f, sp = iface(u_l_t, nxt)
+        wgt = jnp.where(at_end, w_hi, surface)
+        f = _flux_unrotate_rows9(f, a) * wgt
+        sp_ok = jnp.where(at_end, (w_hi > 0).astype(sp.dtype), interior_ok)
+        speed = jnp.maximum(speed, sp * sp_ok)
+
+        u_rf0 = tuple(jnp.expand_dims(
+            jax.lax.index_in_dim(r, 0, axis=a, keepdims=False), a)
+            for r in u_r_t)
+        lo_e = tuple(jnp.expand_dims(h, a) for h in lo_sub)
+        f_lo, sp_lo = iface(lo_e, u_rf0)
+        f_lo = _flux_unrotate_rows9(f_lo, a) * w_lo
+        speed = jnp.maximum(
+            speed,
+            jnp.where(idx == 0, sp_lo * (w_lo > 0), 0.0).astype(speed.dtype))
+
+        if last_axis:
+            prev = jnp.roll(f, 1, axis=1 + a)
+            prev = jnp.where(idx == 0, f_lo, prev)
+        else:
+            prev = jnp.concatenate(
+                [f_lo, jax.lax.slice_in_dim(f, 0, ext - 1, axis=1 + a)],
+                axis=1 + a)
+        D = D + prev - f
+
+    return D, speed
+
+
+def _fused_mhd_muscl_kernel(u_ref, w_ref, *refs, gamma: float, dim: int,
+                            ext: int, limiter: str, positivity: bool):
+    others = refs[: 2 * dim]
+    d_ref, sp_ref = refs[2 * dim:]
+    TE = u_ref.shape[-1]
+    u = tuple(u_ref[i] for i in range(9))
+    D, speed = _tile_mhd_muscl_divergence(u, others, w_ref, dim, ext,
+                                          gamma, limiter, positivity)
+    d_ref[...] = D
+    smax = speed.max(axis=tuple(range(dim)))
+    sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("gamma", "limiter", "positivity",
+                                    "tile", "interpret"))
+def fused_mhd_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
+                           gamma: float, limiter: str = "minmod",
+                           positivity: bool = True, tile: int = 128,
+                           interpret: bool = False):
+    """Fused second-order GLM-MHD interior + equal-face divergence
+    (see _tile_mhd_muscl_divergence).  u: [9, *(ext,)*dim, E]; weights:
+    [8, E] (row 7 = c_h); others: 2*dim arrays [18, *(ext,)*(dim-1), E].
+    Returns (D [9, ...], speed [E])."""
+    dim = u.ndim - 2
+    ext = u.shape[1]
+    E = u.shape[-1]
+    E_pad = -(-E // tile) * tile
+    if E_pad != E:
+        pad = [(0, 0)] * u.ndim
+        pad[-1] = (0, E_pad - E)
+        u = jnp.pad(u, pad, mode="edge")
+        others = tuple(jnp.pad(o, pad[1:], mode="edge") for o in others)
+        wp = jnp.pad(weights, [(0, 0), (0, E_pad - E)])
+        weights = wp.at[7, E:].set(weights[7, E - 1])
+    grid = (E_pad // tile,)
+
+    def idx_blk(i):
+        return (0,) * (dim + 1) + (i,)
+
+    def idx_lay(i):
+        return (0,) * dim + (i,)
+
+    def idx2(i):
+        return (0, i)
+
+    D, sp = pl.pallas_call(
+        functools.partial(_fused_mhd_muscl_kernel, gamma=gamma, dim=dim,
+                          ext=ext, limiter=limiter, positivity=positivity),
+        grid=grid,
+        in_specs=[pl.BlockSpec((9,) + (ext,) * dim + (tile,), idx_blk),
+                  pl.BlockSpec((8, tile), idx2)]
+                 + [pl.BlockSpec((18,) + (ext,) * (dim - 1) + (tile,),
+                                 idx_lay)] * (2 * dim),
+        out_specs=[pl.BlockSpec((9,) + (ext,) * dim + (tile,), idx_blk),
+                   pl.BlockSpec((8, tile), idx2)],
+        out_shape=[jax.ShapeDtypeStruct((9,) + (ext,) * dim + (E_pad,),
+                                        u.dtype),
+                   jax.ShapeDtypeStruct((8, E_pad), u.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(u, weights, *others)
+    return D[..., :E], sp[0, :E]
+
+
 def _fused_muscl_kernel(u_ref, w_ref, *refs, gamma: float, flux: str,
                         dim: int, ext: int, limiter: str, positivity: bool):
     """One element tile of the fused MUSCL divergence: u [5, *(ext,)*dim,

@@ -398,7 +398,9 @@ def muscl_side_inputs(u: jnp.ndarray, conn, spec: SubgridSpec,
     h_cell = h_e / ext
     surface = (h_cell ** (dim - 1)) * (volumes > 0)
     area_t = h_cell ** (dim - 1)
-    u_rows = tuple(u_src[i] for i in range(5))
+    # row-generic: 5-row Euler states or 9-row GLM-MHD states (the
+    # stacked side slab is then [2C, *t_ext, E])
+    u_rows = tuple(u_src[i] for i in range(u.shape[0]))
 
     others = []
     w_rows = [surface]

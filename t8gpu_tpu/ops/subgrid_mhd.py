@@ -375,16 +375,31 @@ def mhd_muscl_engine(u: jnp.ndarray, u_src: jnp.ndarray,
     Returns (D [9, *ext, E], max signal speed); the GLM damping source
     is the caller's (it needs the pmax'd ch on shards)."""
     from t8gpu_tpu.models.mhd import _mhd_guard
+    from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
     iface = lambda l, r: _rusanov_stack(l, r, gamma, ch)
-    if positivity:
-        guard = lambda rec, first: _mhd_guard(rec, first, gamma)
+    mode = kernel_mode()
+    if (mode != "off" and spec.extent in (4, 8)
+            and limiter in ("minmod", "none")):
+        # fused Pallas path (round 4): reconstruction + GLM interface
+        # solve VMEM-resident, mirroring the Euler fused MUSCL kernel
+        from t8gpu_tpu.ops.pallas_kernels import fused_mhd_muscl_pallas
+        others, weights = sg.muscl_side_inputs(u, conn, spec, volumes,
+                                               u_src=u_src)
+        weights = weights.at[7].set(ch)
+        D, sp_e = fused_mhd_muscl_pallas(
+            u, weights, others, gamma=gamma, limiter=limiter,
+            positivity=positivity, interpret=mode == "interpret")
+        speed = sp_e.max()
     else:
-        guard = lambda rec, first: rec
-    D, speed = sg.muscl_core_rows(
-        u, u_src, volumes, conn, spec, n_rows=N_ROWS,
-        rotate=axis_rotate9, unrotate=axis_unrotate9,
-        iface=iface, guard=guard, limiter=limiter)
+        if positivity:
+            guard = lambda rec, first: _mhd_guard(rec, first, gamma)
+        else:
+            guard = lambda rec, first: rec
+        D, speed = sg.muscl_core_rows(
+            u, u_src, volumes, conn, spec, n_rows=N_ROWS,
+            rotate=axis_rotate9, unrotate=axis_unrotate9,
+            iface=iface, guard=guard, limiter=limiter)
     D2, sp2 = _interface_engine(u, volumes, conn, spec, N_ROWS, iface,
                                 axis_unrotate9, _conductor_ghost,
                                 u_ext=u_src, exclude_equal=True)

@@ -591,3 +591,72 @@ def test_sharded_mhd_kernel_dispatch_interpret(monkeypatch):
         jax.clear_caches()
     np.testing.assert_allclose(k.conserved_state(), ref.conserved_state(),
                                rtol=2e-5, atol=2e-6)
+
+
+def _mhd_muscl_kernel_vs_stencil(forest, ext=4, limiter="minmod"):
+    """Fused MHD MUSCL kernel (interpret) == the XLA stencil engine for
+    the FULL order-2 divergence (kernel interior/equal + shared
+    first-order closure)."""
+    import jax.numpy as jnp
+
+    from t8gpu_tpu.memory.subgrid import SubgridSpec
+    from t8gpu_tpu.ops.subgrid_mhd import mhd_subgrid_divergence_muscl
+
+    dim = forest.dim
+    spec = SubgridSpec((ext,) * dim)
+    smesh = SubgridMesh.from_forest(forest, spec)
+    s = SubgridMHDSolver(smesh, _blob_ic, gamma=GAMMA, order=2,
+                         limiter=limiter)
+    # stencil reference (kernel_mode is off on the CPU mesh by default)
+    D0, sp0 = mhd_subgrid_divergence_muscl(s.u, s.volumes, s.conn, spec,
+                                           GAMMA, 0.1, limiter=limiter)
+
+    from t8gpu_tpu.models.mhd import glm_ch
+    from t8gpu_tpu.ops import subgrid as sg
+    from t8gpu_tpu.ops.pallas_kernels import fused_mhd_muscl_pallas
+    from t8gpu_tpu.ops.subgrid_mhd import (_conductor_ghost,
+                                           _interface_engine,
+                                           _rusanov_stack, axis_unrotate9)
+
+    live = s.volumes > 0
+    ch = jnp.maximum(glm_ch(s.u, GAMMA, live), 1e-12)
+    others, weights = sg.muscl_side_inputs(s.u, s.conn, spec, s.volumes)
+    weights = weights.at[7].set(ch)
+    D1, sp_e = fused_mhd_muscl_pallas(s.u, weights, others, gamma=GAMMA,
+                                      limiter=limiter, interpret=True)
+    sp1 = sp_e.max()
+    iface = lambda l, r: _rusanov_stack(l, r, GAMMA, ch)
+    D2, sp2 = _interface_engine(s.u, s.volumes, s.conn, spec, 9, iface,
+                                axis_unrotate9, _conductor_ghost,
+                                exclude_equal=True)
+    D1 = D1 + D2
+    sp1 = jnp.maximum(sp1, sp2)
+    h_cell = (jnp.where(live, s.volumes, 1.0) ** (1.0 / dim)) / ext
+    D1 = D1.at[8].add(-0.1 * ch * s.u[8]
+                      * ((s.volumes / spec.size) / h_cell) * live)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp1), float(sp0), rtol=1e-5)
+
+
+@pytest.mark.parametrize("dim,ext", [(2, 4), (2, 8), (3, 4)])
+def test_fused_mhd_muscl_kernel_uniform(dim, ext):
+    """Round 4 (ADVICE r3): order-2 subgrid MHD now has a fused Pallas
+    path; kernel == stencil on uniform periodic meshes."""
+    _mhd_muscl_kernel_vs_stencil(Forest.uniform(2 if dim == 2 else 1,
+                                                dim=dim), ext=ext)
+
+
+def test_fused_mhd_muscl_kernel_hanging_walls_unlimited():
+    """Kernel == stencil with hanging 2:1 faces + conductor walls (the
+    first-order closure stays XLA-side, eq weights mask the kernel), and
+    with the unlimited central slope."""
+    forest = Forest.uniform(2, dim=2)
+    flags = np.zeros(forest.n_elements, np.int8)
+    flags[[0, 7]] = 1
+    forest, _ = forest.adapt(forest.balance_flags(flags))
+    _mhd_muscl_kernel_vs_stencil(forest, ext=4)
+    _mhd_muscl_kernel_vs_stencil(Forest.uniform(2, dim=2, periodic=False),
+                                 ext=4)
+    _mhd_muscl_kernel_vs_stencil(Forest.uniform(2, dim=2), ext=4,
+                                 limiter="none")
