@@ -55,7 +55,34 @@ def main():
                    help="AMR refinement bound (default level+2)")
     p.add_argument("--adapt-every", type=int, default=50)
     p.add_argument("--refine-threshold", type=float, default=2.0)
+    p.add_argument("--blocked", action="store_true",
+                   help="step plain elements as Subgrid<8,...> blocks on "
+                        "the fused Pallas kernels (models/blocked_euler) — "
+                        "with --amr this is the block-granular dynamic-AMR "
+                        "fast path (BASELINE config 2; refine-threshold "
+                        "then speaks the subgrid H1 scale, ref b=0.02)")
     args = p.parse_args()
+
+    if args.blocked:
+        from t8gpu_tpu.models.blocked_euler import (BlockedAMREulerSolver,
+                                                    BlockedUniformEulerSolver)
+        if args.mu > 0:
+            raise SystemExit("--blocked composes with inviscid configs; "
+                             "use the gather path for --mu")
+        cfg = EulerConfig(flux=args.flux, order=args.order,
+                          limiter=args.limiter)
+        forest = Forest.uniform(args.level, dim=args.dim)
+        ic = lambda c: kh_planar(c, dim=args.dim)
+        if args.amr:
+            max_level = args.max_level or args.level + 2
+            amr = AMRConfig(min_level=max(args.level - 1, 3),
+                            max_level=max_level,
+                            refine_threshold=args.refine_threshold)
+            solver = BlockedAMREulerSolver(forest, ic, amr=amr, config=cfg)
+        else:
+            solver = BlockedUniformEulerSolver(forest, ic, config=cfg)
+        run_loop(solver, args)
+        return
 
     if args.amr:
         max_level = args.max_level or args.level + 2
@@ -70,7 +97,13 @@ def main():
         config=EulerConfig(flux=args.flux, order=args.order,
                            limiter=args.limiter, mu=args.mu), amr=amr)
 
-    print(f"elements={solver.n_elements} faces={solver.conn.n_faces}")
+    run_loop(solver, args)
+
+
+def run_loop(solver, args):
+    conn = getattr(solver, "conn", None)
+    print(f"elements={solver.n_elements}"
+          + (f" faces={conn.n_faces}" if conn is not None else ""))
     m0 = solver.compute_integral()
     dt = solver.compute_timestep()
     print(f"initial integral={m0:.6f} dt={dt:.3e}")
@@ -94,11 +127,21 @@ def main():
             solver.adapt()
             dt = solver.compute_timestep()
         if args.vtk_every and it % args.vtk_every == 0:
-            u = solver.conserved_state()
-            mesh_now = solver.mesh
-            h = np.asarray(mesh_now.volumes) ** (1.0 / args.dim)
+            u = solver.conserved_state().reshape(5, -1)
+            if hasattr(solver, "plain_forest"):      # blocked AMR facade
+                pf = solver.plain_forest()
+                centers, vols = pf.centers(), pf.volumes()
+            elif args.blocked:
+                from t8gpu_tpu.mesh.forest import ForestMesh
+                fm = ForestMesh.from_forest(
+                    Forest.uniform(args.level, dim=args.dim))
+                centers, vols = fm.centers, fm.volumes
+            else:
+                mesh_now = solver.mesh
+                centers, vols = mesh_now.centers, mesh_now.volumes
+            h = np.asarray(vols) ** (1.0 / args.dim)
             vtk_series.add(
-                write_vtu(f"{args.prefix}_{it:06d}.vtu", mesh_now.centers, h,
+                write_vtu(f"{args.prefix}_{it:06d}.vtu", centers, h,
                           {"density": u[0], "energy": u[4],
                            "momentum": u[1:4]}, dim=args.dim),
                 time=it * dt)
