@@ -1164,54 +1164,51 @@ class HexForest:
         corner-key pair (the diagonal containing the smallest key): an
         axis-aligned lattice rectangle is determined by one diagonal, and
         both sides see the same shared corner keys, so equal faces match
-        exactly and quarters identify hanging (2:1) faces."""
+        exactly and quarters identify hanging (2:1) faces.
+
+        Every corner of every own face AND every quarter lies on the
+        element's 3x3x3 half-step lattice, so the 27 key planes are
+        computed once and all 30 rectangles assemble by indexing (the
+        naive per-rectangle evaluation costs 120 _vertex_keys passes)."""
         n = self.n_elements
         iN, jN, kN, S = self._anchors()
         assert int(self.level.max(initial=0)) < LMAX
         ids_el = np.arange(n) + offset
         zero = np.zeros(n, np.int64)
+        half = S >> 1
 
-        def face_key(si, sj, sk, d0, d1):
-            """Diagonal key pair of the rectangle with corner (si,sj,sk)
-            and extents d0/d1 (each a (di,dj,dk) lattice offset)."""
-            k00 = self._vertex_keys(si, sj, sk, self.root)
-            k11 = self._vertex_keys(si + d0[0] + d1[0], sj + d0[1] + d1[1],
-                                    sk + d0[2] + d1[2], self.root)
-            k10 = self._vertex_keys(si + d0[0], sj + d0[1], sk + d0[2],
-                                    self.root)
-            k01 = self._vertex_keys(si + d1[0], sj + d1[1], sk + d1[2],
-                                    self.root)
-            # canonical diagonal: the one containing the global min
-            m1 = np.minimum(k00, k11)
-            M1 = np.maximum(k00, k11)
-            m2 = np.minimum(k10, k01)
-            M2 = np.maximum(k10, k01)
+        K = np.empty((3, 3, 3, n), np.int64)
+        for ix, dx in enumerate((zero, half, S)):
+            for iy, dy in enumerate((zero, half, S)):
+                for iz, dz in enumerate((zero, half, S)):
+                    K[ix, iy, iz] = self._vertex_keys(
+                        iN + dx, jN + dy, kN + dz, self.root)
+
+        def rect_key(c00, c10, c01, c11):
+            m1 = np.minimum(c00, c11)
+            M1 = np.maximum(c00, c11)
+            m2 = np.minimum(c10, c01)
+            M2 = np.maximum(c10, c01)
             use1 = m1 < m2
             return np.where(use1, m1, m2), np.where(use1, M1, M2)
 
         own_rec, sub_rec = [], []
         for f_i, (ax, side) in enumerate(_HEX_FACES):
             axes = [x for x in range(3) if x != ax]
-            base = [iN.copy(), jN.copy(), kN.copy()]
-            if side:
-                base[ax] = base[ax] + S
-            d0 = [0, 0, 0]
-            d1 = [0, 0, 0]
-            d0[axes[0]] = S
-            d1[axes[1]] = S
-            ka, kb = face_key(base[0], base[1], base[2],
-                              tuple(d0), tuple(d1))
+
+            def gp(u, v):
+                idx = [0, 0, 0]
+                idx[ax] = 2 * side
+                idx[axes[0]] = u
+                idx[axes[1]] = v
+                return K[idx[0], idx[1], idx[2]]
+
+            ka, kb = rect_key(gp(0, 0), gp(2, 0), gp(0, 2), gp(2, 2))
             own_rec.append((ka, kb, zero, zero, ids_el, f_i))
-            # 4 quarters
-            h0 = [x // 2 for x in d0]
-            h1 = [x // 2 for x in d1]
             for qa in range(2):
                 for qb in range(2):
-                    q = [base[0] + qa * h0[0] + qb * h1[0],
-                         base[1] + qa * h0[1] + qb * h1[1],
-                         base[2] + qa * h0[2] + qb * h1[2]]
-                    ka, kb = face_key(q[0], q[1], q[2],
-                                      tuple(h0), tuple(h1))
+                    ka, kb = rect_key(gp(qa, qb), gp(qa + 1, qb),
+                                      gp(qa, qb + 1), gp(qa + 1, qb + 1))
                     sub_rec.append((ka, kb, zero, zero, ids_el, f_i))
         return own_rec, sub_rec
 
