@@ -230,7 +230,15 @@ def build_fine_tables(rels, cap_e: int):
     for r in rels:
         pos = np.flatnonzero(r == 1)
         if len(pos):
-            K = bucket_capacity(len(pos), base=16)
+            # COARSE buckets (x2 from 256): the per-side hanging counts
+            # jitter by tens of percent between adapts, and every
+            # distinct K is a distinct XLA program shape — with 2*dim
+            # independent sides, fine-grained buckets caused recurring
+            # fresh compiles through the relay on long AMR runs
+            # (round-4 endurance observation); x2 growth caps the
+            # distinct shapes at ~log2(N) per side and warms in a
+            # couple of adapts
+            K = bucket_capacity(len(pos), growth=2.0, base=256)
             fi = np.full(K, pos[0], np.int32)
             fi[: len(pos)] = pos
             inv = np.full(cap_e, K, np.int32)

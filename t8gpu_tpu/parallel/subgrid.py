@@ -168,7 +168,9 @@ def build_sharded_subgrid_connectivity(
             fine_idxs.append(np.zeros((n_shards, 0), np.int32))
             fine_invs.append(np.zeros((n_shards, 0), np.int32))
             continue
-        K = bucket_capacity(mx, base=16)
+        # coarse x2 buckets — same rationale as mesh/subgrid
+        # build_fine_tables (adapt-to-adapt K jitter = program churn)
+        K = bucket_capacity(mx, growth=2.0, base=256)
         fi = np.zeros((n_shards, K), np.int32)
         inv = np.full((n_shards, CL), K, np.int32)
         for s, pos in enumerate(per):
