@@ -119,7 +119,9 @@ def kepes_flux_einsum(q_l, q_r, gamma):
 
 
 def bench(fn, q_l, q_r, iters):
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2,))
     def run(q_l, q_r, n):
         def body(carry, _):
             s = carry * 1e-30
@@ -130,7 +132,7 @@ def bench(fn, q_l, q_r, iters):
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return out
 
-    for n in (2, 2):                 # warm both lengths
+    for n in (10, 50):               # warm both lengths
         run(q_l, q_r, n).block_until_ready()
     ts = {}
     for n in (10, 50):
