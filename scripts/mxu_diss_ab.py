@@ -132,17 +132,17 @@ def bench(fn, q_l, q_r, iters):
         out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=n)
         return out
 
-    for n in (10, 50):               # warm both lengths
+    for n in (50, 450):              # warm both lengths
         run(q_l, q_r, n).block_until_ready()
     ts = {}
-    for n in (10, 50):
+    for n in (50, 450):
         best = np.inf
         for _ in range(3):
             t0 = time.perf_counter()
             float(run(q_l, q_r, n))
             best = min(best, time.perf_counter() - t0)
         ts[n] = best
-    return (ts[50] - ts[10]) / 40
+    return (ts[450] - ts[50]) / 400
 
 
 def main():
@@ -151,10 +151,16 @@ def main():
     args = p.parse_args()
     print(f"backend={jax.default_backend()} interfaces={args.n}")
     rng = np.random.default_rng(0)
-    u = np.abs(rng.standard_normal((5, args.n)).astype(np.float32)) + 0.5
-    ur = np.abs(rng.standard_normal((5, args.n)).astype(np.float32)) + 0.5
-    q_l = cell_fields_tuple(jnp.asarray(u), GAMMA, "kepes")
-    q_r = cell_fields_tuple(jnp.asarray(ur), GAMMA, "kepes")
+
+    def admissible(n):
+        rho = (0.5 + np.abs(rng.standard_normal(n))).astype(np.float32)
+        v = rng.standard_normal((3, n)).astype(np.float32)
+        pr = (0.5 + np.abs(rng.standard_normal(n))).astype(np.float32)
+        e = pr / (GAMMA - 1) + 0.5 * rho * (v ** 2).sum(0)
+        return np.stack([rho, rho * v[0], rho * v[1], rho * v[2], e])
+
+    q_l = cell_fields_tuple(jnp.asarray(admissible(args.n)), GAMMA, "kepes")
+    q_r = cell_fields_tuple(jnp.asarray(admissible(args.n)), GAMMA, "kepes")
     q_l = tuple(jnp.asarray(x) for x in q_l)
     q_r = tuple(jnp.asarray(x) for x in q_r)
 
