@@ -751,32 +751,29 @@ def hybrid_manager(troots, qroots, level: int = 2, amr=None):
 # HexForest: adaptive octree over an arbitrary hex mesh (3D user cmesh)
 # ---------------------------------------------------------------------------
 
-_FACE_LUTS: dict = {}
-
-
 def _face_id_vec(face_id: dict, nv: int, ids: np.ndarray) -> np.ndarray:
     """Vectorized face-id lookup (sorted corner 4-tuple -> id): packed
     searchsorted LUT when nv**4 fits int64, per-row dict fallback
-    otherwise (same rationale as shell_forest.edge_id_vec)."""
+    otherwise (same rationale as shell_forest.edge_id_vec).  The LUT is
+    O(coarse faces) — rebuilt per call; missing keys raise KeyError
+    like the dict lookup they replaced."""
     srt = np.sort(np.asarray(ids, np.int64), axis=1)
     if nv ** 4 >= 2 ** 62:
         return np.array([face_id[tuple(map(int, row))] for row in srt],
                         np.int64)
-    probe = next(iter(face_id.items())) if face_id else None
-    cache_key = (id(face_id), len(face_id), probe)
-    lut = _FACE_LUTS.get(cache_key)
-    if lut is None:
-        keys = np.array(list(face_id.keys()), np.int64).reshape(-1, 4)
-        vals = np.fromiter(face_id.values(), np.int64, len(face_id))
-        packed = (((keys[:, 0] * nv + keys[:, 1]) * nv + keys[:, 2])
-                  * nv + keys[:, 3])
-        order = np.argsort(packed)
-        lut = _FACE_LUTS[cache_key] = (packed[order], vals[order])
-        if len(_FACE_LUTS) > 64:
-            _FACE_LUTS.pop(next(iter(_FACE_LUTS)))
-    packed_sorted, vals_sorted = lut
+    keys = np.array(list(face_id.keys()), np.int64).reshape(-1, 4)
+    vals = np.fromiter(face_id.values(), np.int64, len(face_id))
+    packed = (((keys[:, 0] * nv + keys[:, 1]) * nv + keys[:, 2])
+              * nv + keys[:, 3])
+    order = np.argsort(packed)
+    packed_sorted, vals_sorted = packed[order], vals[order]
     q = (((srt[:, 0] * nv + srt[:, 1]) * nv + srt[:, 2]) * nv + srt[:, 3])
-    pos = np.searchsorted(packed_sorted, q)
+    pos = np.minimum(np.searchsorted(packed_sorted, q),
+                     len(packed_sorted) - 1)
+    if not np.array_equal(packed_sorted[pos], q):
+        bad = np.flatnonzero(packed_sorted[pos] != q)[0]
+        raise KeyError(f"root face {tuple(map(int, srt[bad]))} not in the "
+                       "face table (malformed coarse mesh)")
     return vals_sorted[pos]
 
 # z-order corners: bit0 = x, bit1 = y, bit2 = z

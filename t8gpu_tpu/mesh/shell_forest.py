@@ -60,29 +60,26 @@ LMAX = 12  # max refine depth below the roots (3 bits/level in the SFC key)
 # ---------------------------------------------------------------------------
 
 
-_EDGE_LUTS: dict = {}
-
-
 def edge_id_vec(edge_id: dict, nv: int, lo: np.ndarray,
                 hi: np.ndarray) -> np.ndarray:
     """Vectorized root-edge-id lookup (sorted pair -> id) via a packed
     searchsorted LUT — the per-POINT Python dict loop was a top host
-    face-walk cost (BENCHMARKS.md round 4).  The LUT build is O(ne) per
-    roots object, memoized on (id, len) of the dict (root tables are
-    immutable once built)."""
-    probe = next(iter(edge_id.items())) if edge_id else None
-    cache_key = (id(edge_id), len(edge_id), probe)
-    lut = _EDGE_LUTS.get(cache_key)
-    if lut is None:
-        pairs = np.array(list(edge_id.keys()), np.int64).reshape(-1, 2)
-        ids = np.fromiter(edge_id.values(), np.int64, len(edge_id))
-        packed = pairs[:, 0] * np.int64(nv) + pairs[:, 1]
-        order = np.argsort(packed)
-        lut = _EDGE_LUTS[cache_key] = (packed[order], ids[order])
-        if len(_EDGE_LUTS) > 64:     # bound the memo (id() reuse safety)
-            _EDGE_LUTS.pop(next(iter(_EDGE_LUTS)))
-    packed_sorted, ids_sorted = lut
-    pos = np.searchsorted(packed_sorted, lo * np.int64(nv) + hi)
+    face-walk cost (BENCHMARKS.md round 4).  The LUT build is O(ne) over
+    ROOT edges (hundreds, vs the millions of query points), so it is
+    rebuilt per call; queries not present in the table raise KeyError
+    like the dict lookup they replaced."""
+    pairs = np.array(list(edge_id.keys()), np.int64).reshape(-1, 2)
+    ids = np.fromiter(edge_id.values(), np.int64, len(edge_id))
+    packed = pairs[:, 0] * np.int64(nv) + pairs[:, 1]
+    order = np.argsort(packed)
+    packed_sorted, ids_sorted = packed[order], ids[order]
+    q = lo * np.int64(nv) + hi
+    pos = np.minimum(np.searchsorted(packed_sorted, q),
+                     len(packed_sorted) - 1)
+    if not np.array_equal(packed_sorted[pos], q):
+        bad = np.flatnonzero(packed_sorted[pos] != q)[0]
+        raise KeyError(f"root edge ({int(lo[bad])},{int(hi[bad])}) not in "
+                       "the edge table (malformed coarse mesh)")
     return ids_sorted[pos]
 
 

@@ -80,13 +80,12 @@ class BlockedUniformEulerSolver:
     n_elements / conserved_state (plain Morton element order restored).
     """
 
-    dim = 3  # states carry 3 momentum components (ref solver.h:36)
 
     def __init__(self, forest: Forest, ic: Callable[[np.ndarray], np.ndarray],
                  config: EulerConfig = EulerConfig(), ext: int = 8):
         assert can_block(forest, ext), \
             "blocked path needs a uniform periodic brick forest"
-        dim = forest.dim
+        dim = self.dim = forest.dim
         self.config = config
         self._n = forest.n_elements
         self._B = ext**dim
@@ -170,7 +169,6 @@ class BlockedAMREulerSolver:
     `plain_forest()` — the element-granular equivalent plain forest.
     """
 
-    dim = 3
 
     def __init__(self, forest: Forest, ic: Callable[[np.ndarray], np.ndarray],
                  amr, config: EulerConfig = EulerConfig(), ext: int = 8):
@@ -178,7 +176,7 @@ class BlockedAMREulerSolver:
             SubgridCompressibleEulerSolver, subgrid_manager)
         from t8gpu_tpu.utils.config import AMRConfig
 
-        dim = forest.dim
+        dim = self.dim = forest.dim
         k = int(np.log2(ext))
         assert (1 << k) == ext, "ext must be a power of two"
         assert isinstance(forest, Forest), "blocked AMR needs a brick forest"
@@ -297,7 +295,6 @@ class ShardedBlockedEulerSolver:
     (see module docstring); for AMR use ShardedEulerSolver.
     """
 
-    dim = 3
 
     def __init__(self, forest: Forest, ic: Callable[[np.ndarray], np.ndarray],
                  devices=None, config: EulerConfig = EulerConfig(),
@@ -306,7 +303,7 @@ class ShardedBlockedEulerSolver:
             "blocked path needs a uniform periodic brick forest"
         from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
 
-        dim = forest.dim
+        dim = self.dim = forest.dim
         self.config = config
         self._n = forest.n_elements
         self._B = ext**dim
@@ -372,7 +369,6 @@ class ShardedBlockedAMREulerSolver:
     the single-device class; `conserved_state()` restores plain Morton
     cell order of the current adapted mesh."""
 
-    dim = 3
 
     def __init__(self, forest: Forest, ic: Callable[[np.ndarray], np.ndarray],
                  amr, devices=None, config: EulerConfig = EulerConfig(),
@@ -380,7 +376,7 @@ class ShardedBlockedAMREulerSolver:
         from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver
         from t8gpu_tpu.utils.config import AMRConfig
 
-        dim = forest.dim
+        dim = self.dim = forest.dim
         k = int(np.log2(ext))
         assert (1 << k) == ext
         lv = forest.level

@@ -30,7 +30,7 @@ from t8gpu_tpu.mesh.connectivity import FaceConnectivity
 from t8gpu_tpu.ops import rk
 from t8gpu_tpu.ops.amr import refinement_criteria
 from t8gpu_tpu.ops.fluxes import flux_divergence
-from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig, resolve_dtype
 
 # Quiescent state for padded element slots: keeps the per-cell fields
 # (1/rho, logs) finite without masking branches (same rationale as the
@@ -226,7 +226,7 @@ class CompressibleEulerSolver:
         # float_type analogue (ref memory_manager.h:27-42 gates this behind
         # a trait but only instantiates float; here float64 works in jax
         # x64 mode — CPU-practical, TPU-emulated)
-        self.dtype = jnp.dtype(config.dtype)
+        self.dtype = resolve_dtype(config.dtype)
         self.install_mesh(mesh, jnp.asarray(ic(mesh.centers), self.dtype))
 
     # -- mesh / state installation ------------------------------------------

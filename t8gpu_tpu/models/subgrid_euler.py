@@ -37,7 +37,7 @@ from t8gpu_tpu.mesh.manager import MeshManager
 from t8gpu_tpu.mesh.subgrid import SubgridConnectivity, SubgridMesh
 from t8gpu_tpu.ops import rk
 from t8gpu_tpu.ops import subgrid as sg
-from t8gpu_tpu.utils.config import AMRConfig, EulerConfig
+from t8gpu_tpu.utils.config import AMRConfig, EulerConfig, resolve_dtype
 
 GUARD_STATE = np.array([1.0, 0.0, 0.0, 0.0, 2.5], np.float32)
 
@@ -301,7 +301,7 @@ class SubgridCompressibleEulerSolver:
         # honor EulerConfig.dtype like the plain path (the reference's
         # float_type trait, memory_manager.h:27-42); f64 steps the XLA
         # stencil path (_fused_path gates the f32-only Mosaic kernels)
-        self.dtype = jnp.dtype(config.dtype)
+        self.dtype = resolve_dtype(config.dtype)
 
         u0 = np.asarray(ic(mesh.cell_centers()), self.dtype)
         u0 = u0.reshape((5, mesh.n_elements) + mesh.spec.extents)

@@ -14,6 +14,25 @@ from __future__ import annotations
 import dataclasses
 
 
+def resolve_dtype(name):
+    """`jnp.dtype` for a config dtype string, refusing silent downcasts:
+    requesting a 64-bit dtype without jax x64 mode would otherwise run
+    float32 while `solver.dtype` reports float64 (jnp.asarray downcasts
+    silently).  Raise instead so the caller enables
+    `jax.config.update('jax_enable_x64', True)` (or `jax.enable_x64`)."""
+    import jax
+    import jax.numpy as jnp
+
+    dt = jnp.dtype(name)
+    if dt.itemsize == 8 and not jax.config.jax_enable_x64:
+        raise ValueError(
+            f"config dtype {name!r} needs jax x64 mode, which is disabled "
+            "— jax would silently downcast the state to 32-bit.  Enable it "
+            "with jax.config.update('jax_enable_x64', True) or run inside "
+            "`with jax.enable_x64(True):`.")
+    return dt
+
+
 @dataclasses.dataclass(frozen=True)
 class EulerConfig:
     """Physics / scheme parameters for the compressible-Euler solvers."""
