@@ -401,6 +401,84 @@ def bench_sphere():
     }))
 
 
+def bench_sphere_blocked():
+    """Uniform-shell lattice fast path slope (models/blocked_shell.py):
+    the prismed icosahedral shell at the 20k-protocol scale (subdiv 2,
+    level 2, 2 layers = 40 960 prisms) stepped as per-root lattices —
+    pure stepping rate, no AMR (round-4 VERDICT weak item 4: this path
+    had no published TPU number)."""
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+    from t8gpu_tpu.models.blocked_shell import BlockedShellEulerSolver
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+
+    roots = shell_roots(subdiv=2, r_in=0.8, thickness=0.2, n_layers=2)
+    solver = BlockedShellEulerSolver(PrismForest.uniform(roots, 2),
+                                     kh_sphere)
+    dt = 5e-4                      # ref main.cu:30
+
+    def run_and_fetch(n):
+        solver.iterate_many(n, dt)
+        float(solver.u[0].ravel()[0])
+
+    run_and_fetch(10)
+    run_and_fetch(210)
+    per_step = _slope_per_step(run_and_fetch)
+    assert np.isfinite(solver.conserved_state()).all()
+    value = solver.n_elements / per_step
+    print(json.dumps({
+        "metric": f"elem-updates/sec/chip (UNIFORM shell lattice path, "
+                  f"{solver.n_elements} prisms, subdiv 2 level 2)",
+        "value": value,
+        "unit": "elem-updates/s",
+        "vs_baseline": value / 11.6e6,   # the round-2 gather-path figure
+    }))
+
+
+def bench_sphere_blocked_amr():
+    """ADAPTED-shell lattice fast path slope (models/blocked_shell_amr.py):
+    the 20k-protocol mesh after real criteria-driven adapt cycles
+    (hanging faces, mixed per-root classes), stepped on the virtual-fine
+    lattices — the round-4 VERDICT's missing item 2 (the north-star
+    KH-sphere-with-AMR config used to step on the ~10-11 M elem-upd/s
+    gather path; the reference pays no per-mesh-kind cliff,
+    kernels.cu:135-309)."""
+    from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+    from t8gpu_tpu.models.blocked_shell_amr import BlockedShellAMRSolver
+    from t8gpu_tpu.models.initial_conditions import kh_sphere
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    roots = shell_roots(subdiv=2, r_in=0.8, thickness=0.2, n_layers=2)
+    solver = BlockedShellAMRSolver(
+        PrismForest.uniform(roots, 2), kh_sphere,
+        amr=AMRConfig(min_level=1, max_level=4, refine_threshold=10.0))
+    dt = 5e-4                      # ref main.cu:30
+    # develop the shear layer + adapt -> a real adapted shell
+    for _ in range(2):
+        solver.iterate_many(100, dt)
+        solver.adapt()
+    lv = solver.forest.level
+    assert lv.min() != lv.max(), "expected a non-uniform adapted shell"
+
+    def run_and_fetch(n):
+        solver.iterate_many(n, dt)
+        float(solver.us[-1][0].ravel()[0])
+
+    run_and_fetch(10)
+    run_and_fetch(210)
+    per_step = _slope_per_step(run_and_fetch)
+    assert np.isfinite(solver.conserved_state()).all()
+    value = solver.n_elements / per_step
+    print(json.dumps({
+        "metric": "elem-updates/sec/chip (ADAPTED shell, levels "
+                  f"{int(lv.min())}-{int(lv.max())}, {solver.n_elements} "
+                  f"prisms / {solver.n_slots} lattice slots, blocked "
+                  "shell AMR path)",
+        "value": value,
+        "unit": "elem-updates/s",
+        "vs_baseline": value / 11.6e6,   # the round-2 gather-path figure
+    }))
+
+
 def _arm_stall_guard(seconds: float = 900.0):
     """Abort (stderr + exit 3, stdout untouched) if the first device op
     hasn't completed within `seconds`.  The container's TPU relay can wedge
@@ -434,7 +512,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
                    choices=("flagship", "plain", "amr-plain", "order2", "ns",
-                            "mhd", "mhd-subgrid", "amr", "sphere", "all"))
+                            "mhd", "mhd-subgrid", "amr", "sphere",
+                            "sphere-blocked", "sphere-blocked-amr", "all"))
     args = p.parse_args()
 
     from t8gpu_tpu.utils.cache import enable_persistent_cache
@@ -459,6 +538,10 @@ def main():
         bench_amr()
     if args.config in ("sphere", "all"):
         bench_sphere()
+    if args.config in ("sphere-blocked", "all"):
+        bench_sphere_blocked()
+    if args.config in ("sphere-blocked-amr", "all"):
+        bench_sphere_blocked_amr()
 
 
 def _outer():

@@ -61,6 +61,11 @@ def main():
     # dynamic AMR on the shell (ref main.cu:32-35: adapt every 100 steps)
     p.add_argument("--amr", action="store_true",
                    help="adaptive prism forest with criteria-driven AMR")
+    p.add_argument("--blocked-amr", action="store_true",
+                   help="adaptive shell on the virtual-fine lattice fast "
+                        "path (models/blocked_shell_amr.py): per-root "
+                        "dense lattices + pooled parent updates, cell-exact "
+                        "vs the gather path; first-order, no checkpointing")
     p.add_argument("--level", type=int, default=1,
                    help="[--amr] initial uniform level below the roots")
     p.add_argument("--min-level", type=int, default=0)
@@ -83,6 +88,12 @@ def main():
     if args.blocked and (args.amr or args.checkpoint_every or args.resume):
         p.error("--blocked is a static-mesh fast path: incompatible with "
                 "--amr / --checkpoint-every / --resume")
+    if args.blocked_amr and (args.blocked or args.checkpoint_every
+                             or args.resume or args.order != 1):
+        p.error("--blocked-amr is a first-order fast path without "
+                "checkpoint support (use --amr for the gather path)")
+    if args.blocked_amr:
+        args.amr = True     # share the adapt-loop plumbing below
 
     start = 0
     if args.resume:
@@ -91,6 +102,19 @@ def main():
         start = int(meta.get("step", 0))
         args.amr = True     # checkpoints are forest-backed (AMR mode)
         print(f"resumed from {args.resume} at step {start}")
+    elif args.blocked_amr:
+        from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots
+        from t8gpu_tpu.models.blocked_shell_amr import BlockedShellAMRSolver
+        roots = shell_roots(subdiv=args.subdiv, r_in=args.r_in,
+                            thickness=args.thickness, n_layers=args.layers)
+        solver = BlockedShellAMRSolver(
+            PrismForest.uniform(roots, args.level), kh_sphere,
+            amr=AMRConfig(min_level=args.min_level,
+                          max_level=args.max_level,
+                          refine_threshold=args.refine_threshold),
+            config=EulerConfig(flux=args.flux))
+        print(f"blocked AMR lattice path: {solver.n_slots} slots for "
+              f"{solver.n_elements} elements")
     elif args.amr:
         from t8gpu_tpu.mesh.shell_forest import shell_manager
         mgr = shell_manager(
@@ -190,7 +214,10 @@ def main():
             vtk_series.add(f, time=sim_t)
     if ck_thread is not None:
         ck_thread.join()
-    solver.u.block_until_ready()
+    if hasattr(solver, "u"):
+        solver.u.block_until_ready()
+    else:
+        solver.us[0].block_until_ready()    # blocked-AMR lattice tuple
     wall = time.perf_counter() - t0
 
     m1 = solver.compute_integral()

@@ -291,13 +291,30 @@ def hll_flux(u_l: jnp.ndarray, u_r: jnp.ndarray, gamma: float = 1.4):
 def face_basis(n: jnp.ndarray):
     """Complete unit normals [3, F] to an orthonormal basis (n, t1, t2).
 
-    Same construction as the reference: seed t1 with a permuted normal,
-    project out n, normalize, then t2 = n x t1 (ref kernels.cu:177-193).
-    Degenerate only for n parallel to (1,-1,1)/sqrt(3), like the reference.
+    The reference seeds t1 with a permuted normal and projects out n
+    (kernels.cu:177-193), which is DEGENERATE for n parallel to
+    (1,-1,1)/sqrt(3): the seed equals -n, the projection leaves a
+    roundoff-sized vector along n, and normalizing it silently yields
+    t1 = +-n, t2 = 0 — a collapsed basis that zeroes the tangential
+    momentum flux and dissipation on that face.  The prismed icosahedral
+    shell (the reference's own flagship cmesh, main.cu:23) contains
+    radial faces with EXACTLY this normal, so the reference construction
+    is wrong on its own headline mesh (found by the blocked-shell-AMR
+    cell-exactness tests, models/blocked_shell_amr.py).  Here the seed is
+    the coordinate axis least aligned with n (|h.n| <= 1/sqrt(3) always,
+    so the projected seed has norm >= sqrt(2/3)) — branchless selects,
+    never degenerate.
     """
-    t1 = jnp.stack([n[1], n[2], -n[0]])
-    dot = n[0] * t1[0] + n[1] * t1[1] + n[2] * t1[2]
-    t1 = t1 - dot * n
+    a0, a1, a2 = jnp.abs(n[0]), jnp.abs(n[1]), jnp.abs(n[2])
+    use0 = (a0 <= a1) & (a0 <= a2)
+    use1 = (~use0) & (a1 <= a2)
+    one = jnp.ones_like(n[0])
+    zero = jnp.zeros_like(n[0])
+    h = jnp.stack([jnp.where(use0, one, zero),
+                   jnp.where(use1, one, zero),
+                   jnp.where(use0 | use1, zero, one)])
+    dot = n[0] * h[0] + n[1] * h[1] + n[2] * h[2]
+    t1 = h - dot * n
     t1 = t1 / jnp.sqrt(t1[0] ** 2 + t1[1] ** 2 + t1[2] ** 2)
     t2 = jnp.stack([
         n[1] * t1[2] - n[2] * t1[1],
