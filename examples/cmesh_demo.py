@@ -10,7 +10,10 @@ counterpart (mesh/cmesh.py):
                    roots, non-planar faces) with AMR;
   * --mesh hybrid  ONE forest mixing quad and triangle elements
                    (cross-class faces + 2:1 balance across the
-                   interface) with AMR.
+                   interface) with AMR;
+  * --mesh hybrid3d  the 3D counterpart: ONE forest mixing hex and tet
+                   elements (interface quad faces triangulated by the
+                   tets, matched as half-triangles) with AMR.
 
     python examples/cmesh_demo.py --mesh hybrid --steps 200 --amr
 """
@@ -72,6 +75,15 @@ def build(args):
             return hex_manager(roots, level=args.level, amr=amr)
         return CmeshForestMesh.from_forest(
             HexForest.uniform(roots, args.level))
+    if args.mesh == "hybrid3d":
+        from t8gpu_tpu.mesh.cmesh import (Hybrid3DForest, hybrid3d_manager,
+                                          unit_cube_hybrid3d_roots)
+        tr3, hr3, kind = unit_cube_hybrid3d_roots()
+        if args.amr:
+            return hybrid3d_manager(tr3, hr3, kind, level=args.level,
+                                    amr=amr)
+        return CmeshForestMesh.from_forest(
+            Hybrid3DForest.uniform(tr3, hr3, kind, args.level))
     # hybrid: left half quad root, right half two tri roots
     tr, qr = unit_square_hybrid_roots()
     if args.amr:
@@ -83,7 +95,7 @@ def build(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--mesh", default="hybrid",
-                   choices=("quad", "hex", "hybrid"))
+                   choices=("quad", "hex", "hybrid", "hybrid3d"))
     p.add_argument("--level", type=int, default=3)
     p.add_argument("--max-level", type=int, default=0)
     p.add_argument("--steps", type=int, default=200)
@@ -125,7 +137,7 @@ def main():
         u = solver.conserved_state()
         mesh_now = solver.mesh if solver.manager is None \
             else solver.manager.mesh
-        dim = 3 if args.mesh == "hex" else 2
+        dim = 3 if args.mesh in ("hex", "hybrid3d") else 2
         h = np.asarray(mesh_now.volumes) ** (1.0 / dim)
         write_vtu(args.vtk, np.asarray(mesh_now.centers), h,
                   {"density": u[0]}, dim=dim)

@@ -65,7 +65,7 @@ def main():
                    help="adaptive shell on the virtual-fine lattice fast "
                         "path (models/blocked_shell_amr.py): per-root "
                         "dense lattices + pooled parent updates, cell-exact "
-                        "vs the gather path; first-order, no checkpointing")
+                        "vs the gather path; first-order")
     p.add_argument("--level", type=int, default=1,
                    help="[--amr] initial uniform level below the roots")
     p.add_argument("--min-level", type=int, default=0)
@@ -88,10 +88,9 @@ def main():
     if args.blocked and (args.amr or args.checkpoint_every or args.resume):
         p.error("--blocked is a static-mesh fast path: incompatible with "
                 "--amr / --checkpoint-every / --resume")
-    if args.blocked_amr and (args.blocked or args.checkpoint_every
-                             or args.resume or args.order != 1):
-        p.error("--blocked-amr is a first-order fast path without "
-                "checkpoint support (use --amr for the gather path)")
+    if args.blocked_amr and (args.blocked or args.order != 1):
+        p.error("--blocked-amr is a first-order fast path "
+                "(use --amr for the gather path / order 2)")
     if args.blocked_amr:
         args.amr = True     # share the adapt-loop plumbing below
 
@@ -101,6 +100,9 @@ def main():
         solver, meta = restore_solver(args.resume)
         start = int(meta.get("step", 0))
         args.amr = True     # checkpoints are forest-backed (AMR mode)
+        if meta.get("model") == "blocked_shell_amr":
+            print(f"blocked AMR lattice path: {solver.n_slots} slots for "
+                  f"{solver.n_elements} elements")
         print(f"resumed from {args.resume} at step {start}")
     elif args.blocked_amr:
         from t8gpu_tpu.mesh.shell_forest import PrismForest, shell_roots

@@ -206,6 +206,9 @@ def _model_meta(solver) -> dict:
                 "cfl": getattr(solver, "cfl", None) or solver.config.cfl,
                 "order": int(order), "limiter": str(limiter),
                 "amr": dataclasses.asdict(solver.amr)}
+    if "BlockedShellAMR" in name:
+        return dict(_config_meta(solver.config, solver.amr),
+                    model="blocked_shell_amr")
     return dict(_config_meta(solver.config, solver.amr), model="euler")
 
 
@@ -228,7 +231,10 @@ def save_solver_async(path: str, solver, step: int = 0):
     import jax.numpy as jnp
 
     snap = copy.copy(solver)
-    snap.u = jnp.copy(solver.u)        # donation-proof device snapshot
+    if hasattr(solver, "us"):          # blocked-shell-AMR lattice tuple
+        snap.us = tuple(jnp.copy(a) for a in solver.us)
+    else:
+        snap.u = jnp.copy(solver.u)    # donation-proof device snapshot
     manager = getattr(solver, "manager", None)
     if manager is not None:
         # capture the CURRENT forest binding (manager.forest rebinds on
@@ -308,6 +314,10 @@ def restore_solver(path: str):
                          limiter=meta.get("limiter", "bj")), meta
 
     config = EulerConfig(**meta["config"])
+    if model == "blocked_shell_amr":
+        from t8gpu_tpu.models.blocked_shell_amr import BlockedShellAMRSolver
+        return BlockedShellAMRSolver(forest, lambda _c: u, amr=amr,
+                                     config=config), meta
     if "extents" in meta:
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.models.subgrid_euler import (
@@ -368,6 +378,10 @@ def restore_sharded_solver(path: str, devices=None):
             limiter=meta.get("limiter", "bj")), meta
 
     config = EulerConfig(**meta["config"])
+    if model == "blocked_shell_amr":
+        from t8gpu_tpu.models.blocked_shell_amr import BlockedShellAMRSolver
+        return BlockedShellAMRSolver(forest, lambda _c: u, amr=amr,
+                                     config=config), meta
     if "extents" in meta:
         from t8gpu_tpu.memory.subgrid import SubgridSpec
         from t8gpu_tpu.parallel.subgrid import ShardedSubgridEulerSolver

@@ -810,6 +810,11 @@ class HexRoots:
     hexes: np.ndarray    # [Nh, 8] vertex ids, z-order corners
     edge_id: dict        # sorted vertex pair -> edge index
     face_id: dict        # sorted corner 4-tuple -> face index
+    # key-space shift applied to the quad-face-interior and root-interior
+    # key blocks (NOT vertices/edges, which stay shared): Hybrid3DForest
+    # reserves the tet face + interior blocks below (the 3D analogue of
+    # QuadRoots.tri_blocks); standalone hex meshes leave it 0.
+    key_shift: int = 0
 
     @property
     def n_roots(self) -> int:
@@ -1074,7 +1079,7 @@ class HexForest:
         ne = len(roots.edge_id)
         nf = len(roots.face_id)
         OFF_E = np.int64(nv)
-        OFF_F = OFF_E + np.int64(ne) * (R - 1)
+        OFF_F = OFF_E + np.int64(ne) * (R - 1) + np.int64(roots.key_shift)
         OFF_I = OFF_F + np.int64(nf) * (R - 1) * (R - 1)
 
         on0 = [iN == 0, jN == 0, kN == 0]
@@ -1317,3 +1322,507 @@ def hex_manager(roots: HexRoots, level: int = 1, amr=None):
     return MeshManager(HexForest.uniform(roots, level),
                        amr or AMRConfig(),
                        mesh_factory=CmeshForestMesh.from_forest)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid3DForest: tet + hex elements in ONE forest
+# ---------------------------------------------------------------------------
+
+def _tri_face_id_vec(face_id: dict, nv: int, ids: np.ndarray) -> np.ndarray:
+    """Vectorized tri-face lookup (sorted corner triple -> id); packed
+    searchsorted LUT when nv**3 fits int64 (same pattern as
+    _face_id_vec)."""
+    srt = np.sort(np.asarray(ids, np.int64), axis=1)
+    if nv ** 3 >= 2 ** 62:
+        return np.array([face_id[tuple(map(int, row))] for row in srt],
+                        np.int64)
+    keys = np.array(list(face_id.keys()), np.int64).reshape(-1, 3)
+    vals = np.fromiter(face_id.values(), np.int64, len(face_id))
+    packed = (keys[:, 0] * nv + keys[:, 1]) * nv + keys[:, 2]
+    order = np.argsort(packed)
+    ps, vs = packed[order], vals[order]
+    q = (srt[:, 0] * nv + srt[:, 1]) * nv + srt[:, 2]
+    pos = np.minimum(np.searchsorted(ps, q), len(ps) - 1)
+    if not np.array_equal(ps[pos], q):
+        bad = np.flatnonzero(ps[pos] != q)[0]
+        raise KeyError(f"tri face {tuple(map(int, srt[bad]))} not in the "
+                       "tet face table (non-conforming hybrid interface)")
+    return vs[pos]
+
+
+def hybrid3d_roots(verts, tets, hexes):
+    """(TetRoots, HexRoots, iface_kind) over a SHARED vertex/edge key
+    space — the 3D mixed-class construction (BASELINE config 4 names
+    "tri/quad, tet/hex"; ref README.md:8 "any element class").
+
+    A conforming tet|hex interface is a hex quad face triangulated by two
+    tet faces along one of its diagonals; `iface_kind[hex_root, f]` says
+    which (0 = z-order corner diagonal c00-c11, 1 = anti diagonal
+    c10-c01, -1 = not a tet interface).  On interface faces the hex emits
+    HALF-TRIANGLE records in the TET key space (sorted corner-key
+    triples, tet-face barycentric interior keys), so cross-class faces —
+    including their 2:1 hanging variants — match exactly like any other.
+    The hex's own quad-face/interior key blocks are shifted past the tet
+    blocks (HexRoots.key_shift)."""
+    from t8gpu_tpu.mesh.tet import TetRoots, _root_tables
+
+    verts = np.asarray(verts, np.float64)
+    tets = np.asarray(tets, np.int64)
+    hexes = np.asarray(hexes, np.int64)
+    t_edges = np.concatenate([tets[:, [a, b]] for a in range(4)
+                              for b in range(a + 1, 4)])
+    h_edges = hexes[:, list(sum(_HEX_EDGES, ()))].reshape(-1, 2)
+    edge_id = _edge_table([t_edges, h_edges])
+    tet_face_id, _ = _root_tables(verts, tets)
+    troots = TetRoots(verts=verts, tets=tets, face_id=tet_face_id,
+                      edge_id=edge_id)
+
+    R = R_UNIT
+    # tet key span past OFF_F: face block + per-root interior blocks
+    key_shift = (len(tet_face_id) * (R + 1) * (R + 1)
+                 + len(tets) * (R + 1) ** 3)
+    hex_face_id: dict = {}
+    for h in hexes:
+        for fc in _HEX_FACE_CORNERS:
+            key = tuple(sorted(int(h[c]) for c in fc))
+            if key not in hex_face_id:
+                hex_face_id[key] = len(hex_face_id)
+    hroots = HexRoots(verts=verts, hexes=hexes, edge_id=edge_id,
+                      face_id=hex_face_id, key_shift=int(key_shift))
+
+    iface_kind = np.full((len(hexes), 6), -1, np.int8)
+    for r, h in enumerate(hexes):
+        for f_i, fc in enumerate(_HEX_FACE_CORNERS):
+            c00, c10, c01, c11 = (int(h[c]) for c in fc)
+            main = (tuple(sorted((c00, c10, c11))) in tet_face_id
+                    and tuple(sorted((c00, c01, c11))) in tet_face_id)
+            anti = (tuple(sorted((c00, c10, c01))) in tet_face_id
+                    and tuple(sorted((c10, c11, c01))) in tet_face_id)
+            if main:
+                iface_kind[r, f_i] = 0
+            elif anti:
+                iface_kind[r, f_i] = 1
+    return troots, hroots, iface_kind
+
+
+def unit_cube_hybrid3d_roots():
+    """The 3D mixed-mesh miniature: unit cube, left half ([0, .5] in x)
+    one hex root, right half six Kuhn tetrahedra — a genuinely mixed
+    cmesh with a shared interior quad face triangulated by the tets."""
+    import itertools
+
+    xs = (0.0, 0.5, 1.0)
+    verts = np.array([[x, y, z] for x in xs for y in (0.0, 1.0)
+                      for z in (0.0, 1.0)], np.float64)
+
+    def vid(ix, y, z):
+        return 4 * ix + 2 * y + z
+
+    # left hex, z-order corners (bit0 = x, bit1 = y, bit2 = z)
+    hexes = np.array([[vid((b >> 0) & 1, (b >> 1) & 1, (b >> 2) & 1)
+                       for b in range(8)]], np.int64)
+    # right half: Kuhn split (six tets sharing the main diagonal)
+    tets = []
+    for perm in itertools.permutations(range(3)):
+        p = np.zeros(3, np.int64)
+        path = [vid(1 + p[0], p[1], p[2])]
+        for axis in perm:
+            p[axis] = 1
+            path.append(vid(1 + p[0], p[1], p[2]))
+        tets.append(path)
+    return hybrid3d_roots(verts, np.asarray(tets, np.int64), hexes)
+
+
+def _faces_from_match3d(m: dict, classes) -> dict:
+    """3D counterpart of _faces_from_match: face-dict from matched
+    records; `classes` is a list of (offset, forest_with_edge_geom,
+    count); geometry comes from the emitting side."""
+    def geom(elem, side):
+        nrm = np.zeros((len(elem), 3))
+        area = np.zeros(len(elem))
+        cent = np.zeros((len(elem), 3))
+        for off, fr, cnt in classes:
+            sel = (elem >= off) & (elem < off + cnt)
+            if sel.any():
+                nrm[sel], area[sel], cent[sel] = fr._edge_geom(
+                    elem[sel] - off, side[sel])
+        return nrm, area, cent
+
+    lefts, rights, normals, areas, f_cents = [], [], [], [], []
+    b_elems, b_normals, b_areas, b_cents = [], [], [], []
+
+    def emit(le, ri, side):
+        nrm, area, cent = geom(le, side)
+        lefts.append(le)
+        rights.append(ri)
+        normals.append(nrm.T)
+        areas.append(area)
+        f_cents.append(cent.T)
+
+    if len(m["eq_l"]):
+        emit(m["eq_l"], m["eq_r"], m["eq_side_l"])
+    if len(m["hang_f"]):
+        emit(m["hang_f"], m["hang_c"], m["hang_side_f"])
+    if len(m["bnd_elem"]):
+        el, side = m["bnd_elem"], m["bnd_side"]
+        nrm, area, cent = geom(el, side)
+        b_elems.append(el)
+        b_normals.append(nrm.T)
+        b_areas.append(area)
+        b_cents.append(cent.T)
+
+    has_b = bool(b_elems)
+    return dict(
+        left=np.concatenate(lefts).astype(np.int32),
+        right=np.concatenate(rights).astype(np.int32),
+        normal=np.concatenate(normals, axis=1).astype(np.float32),
+        area=np.concatenate(areas).astype(np.float32),
+        b_elem=(np.concatenate(b_elems).astype(np.int32) if has_b else None),
+        b_normal=(np.concatenate(b_normals, axis=1).astype(np.float32)
+                  if has_b else None),
+        b_area=(np.concatenate(b_areas).astype(np.float32)
+                if has_b else None),
+        axis=None, sign=None, b_axis=None, b_sign=None,
+        face_center=np.concatenate(f_cents, axis=1),
+        b_face_center=(np.concatenate(b_cents, axis=1) if has_b else None),
+    )
+
+
+# half-triangle corner (s, t) offsets in face units of S, per diagonal
+# kind and half: kind 0 splits along c00-c11 (s = t), kind 1 along
+# c10-c01 (s + t = S)
+_H3_HALF_UV = {
+    (0, 0): ((0, 0), (1, 0), (1, 1)),
+    (0, 1): ((0, 0), (0, 1), (1, 1)),
+    (1, 0): ((0, 0), (1, 0), (0, 1)),
+    (1, 1): ((1, 0), (1, 1), (0, 1)),
+}
+# the same triples as z-order indices into the face corner list
+# [c00, c10, c01, c11]
+_H3_HALF_CORNERS = {
+    (0, 0): (0, 1, 3), (0, 1): (0, 2, 3),
+    (1, 0): (0, 1, 2), (1, 1): (1, 3, 2),
+}
+
+
+class Hybrid3DForest:
+    """Mixed-class adaptive forest: hex elements first, tet elements
+    after, each block SFC-ordered; faces (including CROSS-CLASS hex-tet
+    interface faces and their 2:1 hanging variants) found by one joint
+    record match.  Interface quad faces of hexes are emitted as TWO
+    half-triangle records in the tet key space, split along the diagonal
+    the tet mesh triangulates them with (hybrid3d_roots detects it per
+    coarse face); the tri lattice generated by Bey red refinement cuts
+    every finer hex sub-face along the PARALLEL diagonal, so the split
+    stays conforming at every level.  Duck-type compatible with
+    mesh/forest.Forest for MeshManager and the general-normal solvers
+    (the flux path is class-blind, ref kernels.cu:174-193)."""
+
+    dim = 3
+
+    # side codes: 0..5 = hex quad faces, 6..17 = (hex face f, half h)
+    # interface half-triangles, tet sides 0..3 unchanged in its block
+
+    def __init__(self, hex_f: HexForest, tet, iface_kind: np.ndarray):
+        self.hex = hex_f
+        self.tet = tet
+        self.iface_kind = iface_kind
+        self._face_dict = None
+        self._faces = None
+
+    @staticmethod
+    def uniform(troots, hroots, iface_kind, level: int) -> "Hybrid3DForest":
+        from t8gpu_tpu.mesh.tet import TetForest
+
+        return Hybrid3DForest(HexForest.uniform(hroots, level),
+                              TetForest.uniform(troots, level),
+                              iface_kind)
+
+    @property
+    def n_elements(self) -> int:
+        return self.hex.n_elements + self.tet.n_elements
+
+    @property
+    def level(self) -> np.ndarray:
+        return np.concatenate([self.hex.level, self.tet.level])
+
+    def element_class(self) -> np.ndarray:
+        """Per-element class code: 0 = hex, 1 = tet."""
+        return np.concatenate([
+            np.zeros(self.hex.n_elements, np.int8),
+            np.ones(self.tet.n_elements, np.int8)])
+
+    def volumes(self) -> np.ndarray:
+        return np.concatenate([self.hex.volumes(), self.tet.volumes()])
+
+    def centers(self) -> np.ndarray:
+        return np.concatenate([self.hex.centers(), self.tet.centers()])
+
+    def family_heads(self) -> np.ndarray:
+        return np.concatenate([self.hex.family_heads(),
+                               self.tet.family_heads()])
+
+    def flags_from_criteria(self, criteria, b, min_level, max_level):
+        nh = self.hex.n_elements
+        return np.concatenate([
+            self.hex.flags_from_criteria(criteria[:nh], b, min_level,
+                                         max_level),
+            self.tet.flags_from_criteria(criteria[nh:], b, min_level,
+                                         max_level)])
+
+    def balance_flags(self, flags: np.ndarray) -> np.ndarray:
+        m = self._build_face_lists()
+        pairs = (np.concatenate([m["eq_l"], m["hang_f"]]).astype(np.int64),
+                 np.concatenate([m["eq_r"], m["hang_c"]]).astype(np.int64))
+        nh = self.hex.n_elements
+        return _ripple_balance(
+            self.level, flags, pairs,
+            [(self.hex.family_heads(), 8, 0),
+             (self.tet.family_heads(), 8, nh)])
+
+    def adapt(self, flags: np.ndarray) -> Tuple["Hybrid3DForest", RemapSpec]:
+        nh = self.hex.n_elements
+        fh, rh = self.hex.adapt(flags[:nh])
+        ft, rt = self.tet.adapt(flags[nh:])
+        remap = RemapSpec(
+            src_start=np.concatenate([rh.src_start,
+                                      rt.src_start + nh]).astype(np.int32),
+            src_count=np.concatenate([rh.src_count, rt.src_count]),
+            child_id=np.concatenate([rh.child_id, rt.child_id]),
+            level_change=np.concatenate([rh.level_change, rt.level_change]),
+        )
+        return Hybrid3DForest(fh, ft, self.iface_kind), remap
+
+    # -- interface records (hex side, tet key space) -----------------------
+
+    def _iface_point_keys(self, ids4: np.ndarray, kind: np.ndarray,
+                          s: np.ndarray, t: np.ndarray) -> np.ndarray:
+        """Tet-key-space key of in-face lattice point (s, t) on an
+        interface quad face with z-order corner ids `ids4` [P, 4] and
+        diagonal kind [P] — replicates TetForest._vertex_keys for points
+        on the shared root face (corner / shared-edge / tet-face keys)."""
+        troots = self.tet.roots
+        roots_h = self.hex.roots
+        R = R_UNIT
+        nv = len(troots.verts)
+        ne = len(troots.edge_id)
+        OFF_F = np.int64(nv) + np.int64(ne) * (R - 1)
+        c00, c10, c01, c11 = (ids4[:, k] for k in range(4))
+        key = np.full(len(s), -1, np.int64)
+
+        at = lambda su, tv: (s == su) & (t == tv)
+        for mask, vid in ((at(0, 0), c00), (at(R, 0), c10),
+                          (at(0, R), c01), (at(R, R), c11)):
+            key[mask & (key < 0)] = vid[mask & (key < 0)]
+
+        def edge(mask, u, w, par):
+            mask = mask & (key < 0)
+            if mask.any():
+                key[mask] = _edge_key_lookup(troots.edge_id, u[mask],
+                                             w[mask], par[mask], nv)
+
+        edge((s == 0), c00, c01, t)                  # left
+        edge((s == R), c10, c11, t)                  # right
+        edge((t == 0), c00, c10, s)                  # bottom
+        edge((t == R), c01, c11, s)                  # top
+        edge((kind == 0) & (s == t), c00, c11, s)    # main diagonal
+        edge((kind == 1) & (s + t == R), c10, c01, t)  # anti diagonal
+
+        rest = key < 0
+        if rest.any():
+            # interior of one of the two tet faces: barycentric w.r.t.
+            # that face's corners, listed in sorted-global-vertex-id
+            # order (TetForest._vertex_keys convention)
+            va = np.empty((rest.sum(), 3), np.int64)
+            ba = np.empty((rest.sum(), 3), np.int64)
+            kk, ss, tt = kind[rest], s[rest], t[rest]
+            cc = ids4[rest]
+            # kind 0: tri A (c00,c10,c11) where s>t; B (c00,c01,c11) s<t
+            # kind 1: tri A (c00,c10,c01) where s+t<R; B (c10,c11,c01)
+            selA0 = (kk == 0) & (ss > tt)
+            selB0 = (kk == 0) & (ss < tt)
+            selA1 = (kk == 1) & (ss + tt < R)
+            selB1 = (kk == 1) & (ss + tt > R)
+            for sel, cols, bary in (
+                (selA0, (0, 1, 3), lambda s_, t_: (R - s_, s_ - t_, t_)),
+                (selB0, (0, 2, 3), lambda s_, t_: (R - t_, t_ - s_, s_)),
+                (selA1, (0, 1, 2), lambda s_, t_: (R - s_ - t_, s_, t_)),
+                (selB1, (1, 3, 2), lambda s_, t_: (R - t_, s_ + t_ - R,
+                                                   R - s_)),
+            ):
+                if not sel.any():
+                    continue
+                va[sel] = cc[sel][:, list(cols)]
+                b0, b1, b2 = bary(ss[sel], tt[sel])
+                ba[sel] = np.stack([b0, b1, b2], axis=1)
+            order = np.argsort(va, axis=1)
+            arm = np.arange(len(va))[:, None]
+            va_s = va[arm, order]
+            ba_s = ba[arm, order]
+            fid = _tri_face_id_vec(troots.face_id, len(roots_h.verts), va_s)
+            key[rest] = (OFF_F + (fid * (R + 1) + ba_s[:, 0]) * (R + 1)
+                         + ba_s[:, 1])
+        return key
+
+    def _hex_records(self):
+        """Hex face records: interface boundary faces as half-triangle
+        own + quarter records in the tet key space; everything else as
+        the stock rectangle records (HexForest._face_records) with the
+        interface rows filtered out."""
+        hx = self.hex
+        n = hx.n_elements
+        iN, jN, kN, S = hx._anchors()
+        coords = (iN, jN, kN)
+        v8 = hx.roots.hexes[hx.root]
+        R = R_UNIT
+
+        # per (element, face): on the root boundary AND interface?
+        ifm = np.zeros((n, 6), bool)
+        kind_ef = np.zeros((n, 6), np.int8)
+        for f_i, (ax, side) in enumerate(_HEX_FACES):
+            c = coords[ax]
+            onb = (c + S == R) if side else (c == 0)
+            kk = self.iface_kind[hx.root, f_i]
+            ifm[:, f_i] = onb & (kk >= 0)
+            kind_ef[:, f_i] = kk
+
+        own_rec, sub_rec = hx._face_records()
+        own_out = [tuple(col[~ifm[:, rec[5]]] for col in rec[:5])
+                   + (rec[5],) for rec in own_rec]
+        sub_out = []
+        for q, rec in enumerate(sub_rec):
+            f_i = rec[5]
+            keep = ~ifm[:, f_i]
+            sub_out.append(tuple(col[keep] for col in rec[:5]) + (f_i,))
+
+        # interface half-triangle records
+        zero_like = lambda a: np.zeros(len(a), np.int64)
+        for f_i, (ax, side) in enumerate(_HEX_FACES):
+            sel = np.flatnonzero(ifm[:, f_i])
+            if not len(sel):
+                continue
+            axes = [x for x in range(3) if x != ax]
+            fc = _HEX_FACE_CORNERS[f_i]
+            ids4 = v8[sel][:, list(fc)]
+            s0 = coords[axes[0]][sel]
+            t0 = coords[axes[1]][sel]
+            Sv = S[sel]
+            kk = kind_ef[sel, f_i].astype(np.int64)
+            ids_el = sel
+            for half in (0, 1):
+                # corner (s, t) per point, resolved per diagonal kind
+                pts = []
+                for ci in range(3):
+                    u0_a, v0_a = _H3_HALF_UV[(0, half)][ci]
+                    u1_a, v1_a = _H3_HALF_UV[(1, half)][ci]
+                    su = np.where(kk == 0, s0 + u0_a * Sv, s0 + u1_a * Sv)
+                    tv = np.where(kk == 0, t0 + v0_a * Sv, t0 + v1_a * Sv)
+                    pts.append((su, tv))
+                ks = [self._iface_point_keys(ids4, kk, su, tv)
+                      for su, tv in pts]
+                tri = np.sort(np.stack(ks, axis=1), axis=1)
+                side_code = 6 + 2 * f_i + half
+                own_rec_h = (tri[:, 0], tri[:, 1], tri[:, 2],
+                             zero_like(sel), ids_el, side_code)
+                own_out.append(own_rec_h)
+                # quarters: corners + edge midpoints
+                mids = []
+                for (a, b) in ((0, 1), (1, 2), (2, 0)):
+                    ms = (pts[a][0] + pts[b][0]) >> 1
+                    mt = (pts[a][1] + pts[b][1]) >> 1
+                    mids.append(self._iface_point_keys(ids4, kk, ms, mt))
+                kA, kB, kC = ks
+                mAB, mBC, mCA = mids
+                for qa, qb, qc in ((kA, mAB, mCA), (mAB, kB, mBC),
+                                  (mCA, mBC, kC), (mAB, mBC, mCA)):
+                    qs = np.sort(np.stack([qa, qb, qc], axis=1), axis=1)
+                    sub_out.append((qs[:, 0], qs[:, 1], qs[:, 2],
+                                    zero_like(sel), ids_el, side_code))
+        return own_out, sub_out
+
+    def _build_face_lists(self):
+        if self._faces is None:
+            nh = self.hex.n_elements
+            own_h, sub_h = self._hex_records()
+            own_t, sub_t = self.tet._face_records(offset=nh)
+            self._faces = _match_records(
+                own_h + own_t, sub_h + sub_t, allow_boundary=True,
+                boundary_mask=lambda g: np.ones(len(g), bool))
+        return self._faces
+
+    def _hex_edge_geom(self, elem, side):
+        """Hex-side geometry shim: quad faces (side 0..5) delegate to
+        HexForest._edge_geom; interface half-triangles (side >= 6) are
+        planar triangles between the mapped face corners — the SAME flat
+        triangles the tet side sees, so the interface is geometrically
+        conforming even on non-planar hex faces."""
+        nrm = np.zeros((len(elem), 3))
+        area = np.zeros(len(elem))
+        cent = np.zeros((len(elem), 3))
+        quad = side < 6
+        if quad.any():
+            nrm[quad], area[quad], cent[quad] = self.hex._edge_geom(
+                elem[quad], side[quad])
+        rest = np.flatnonzero(~quad)
+        if len(rest):
+            corners = self.hex._geometry()[0]
+            centers = self.hex._geometry()[3]
+            e = elem[rest]
+            f_i = (side[rest] - 6) // 2
+            half = (side[rest] - 6) % 2
+            kk = self.iface_kind[self.hex.root[e], f_i].astype(np.int64)
+            p = np.zeros((len(e), 3, 3))
+            for fv in range(6):
+                selF = f_i == fv
+                if not selF.any():
+                    continue
+                fc = np.array(_HEX_FACE_CORNERS[fv])
+                p4 = corners[e[selF]][:, fc]           # [m, 4, 3] z-order
+                for kv in (0, 1):
+                    for hv in (0, 1):
+                        ss = selF & (kk == kv) & (half == hv)
+                        if not ss.any():
+                            continue
+                        idx = list(_H3_HALF_CORNERS[(kv, hv)])
+                        p[ss] = corners[e[ss]][:, fc[idx]]
+            nvec = 0.5 * np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+            ce = p.mean(axis=1)
+            sg = np.sign(((ce - centers[e]) * nvec).sum(axis=1))
+            nvec = nvec * sg[:, None]
+            ar = np.linalg.norm(nvec, axis=1)
+            nrm[rest] = nvec / ar[:, None]
+            area[rest] = ar
+            cent[rest] = ce
+        return nrm, area, cent
+
+    def build_faces(self):
+        if self._face_dict is None:
+            import types
+            nh = self.hex.n_elements
+            hex_shim = types.SimpleNamespace(_edge_geom=self._hex_edge_geom)
+            self._face_dict = _faces_from_match3d(
+                self._build_face_lists(),
+                [(0, hex_shim, nh), (nh, self.tet, self.tet.n_elements)])
+        return self._face_dict
+
+    def connectivity(self, element_capacity: Optional[int] = None,
+                     recon_geometry: bool = True) -> FaceConnectivity:
+        return _connectivity_from_faces(self, element_capacity,
+                                        recon_geometry)
+
+    def cfl_h(self) -> float:
+        from t8gpu_tpu.mesh.forest import cfl_h_from_faces
+        return cfl_h_from_faces(self)
+
+
+def hybrid3d_manager(troots, hroots, iface_kind, level: int = 1, amr=None):
+    """MeshManager over ONE mixed tet+hex forest (cross-class 2:1
+    balance, volume-weighted remap — the 3D mixed-element configuration
+    BASELINE config 4 names)."""
+    from t8gpu_tpu.mesh.manager import MeshManager
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    return MeshManager(
+        Hybrid3DForest.uniform(troots, hroots, iface_kind, level),
+        amr or AMRConfig(),
+        mesh_factory=CmeshForestMesh.from_forest)

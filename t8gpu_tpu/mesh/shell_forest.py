@@ -695,8 +695,10 @@ class PrismForest:
         hang_side_c = sside[hang_s]
         covered = np.zeros(len(rest), bool)
         if len(rest) and len(hang_c):
-            pair_rest = elem[rest] * 8 + side[rest]
-            pair_hang = np.unique(hang_c * 8 + hang_side_c)
+            # stride must exceed the largest side code (Hybrid3DForest's
+            # interface half-triangle sides go up to 17)
+            pair_rest = elem[rest] * 32 + side[rest]
+            pair_hang = np.unique(hang_c * 32 + hang_side_c)
             covered = np.isin(pair_rest, pair_hang)
         rest = rest[~covered]
         if allow_boundary:

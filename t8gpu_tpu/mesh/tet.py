@@ -399,7 +399,11 @@ class TetForest:
             self._faces = self._build_face_lists_impl()
         return self._faces
 
-    def _build_face_lists_impl(self):
+    def _face_records(self, offset: int = 0):
+        """Own + quarter tri-face records (sorted corner-key triples) for
+        the exact matcher; `offset` shifts element ids for joint
+        mixed-class matching (Hybrid3DForest in mesh/cmesh.py emits hex
+        half-triangle records in the same key space)."""
         n = self.n_elements
         assert int(self.level.max(initial=0)) < LMAX, (
             "forest refined to LMAX: face-quarter midpoints need one "
@@ -414,12 +418,12 @@ class TetForest:
                 (2, 3): 5}
 
         zero = np.zeros(n, np.int64)
+        ids = np.arange(n) + offset
         own_rec, sub_rec = [], []
         for f in range(4):
             tri = [c for c in range(4) if c != f]
             ks = np.sort(np.stack([vk[:, c] for c in tri], axis=1), axis=1)
-            own_rec.append((ks[:, 0], ks[:, 1], ks[:, 2], zero,
-                            np.arange(n), f))
+            own_rec.append((ks[:, 0], ks[:, 1], ks[:, 2], zero, ids, f))
             a, b, c = tri
             mab = mk[:, midx[(min(a, b), max(a, b))]]
             mbc = mk[:, midx[(min(b, c), max(b, c))]]
@@ -428,11 +432,29 @@ class TetForest:
                         (mca, mbc, vk[:, c]), (mab, mbc, mca)]
             for qa, qb, qc in quarters:
                 qs = np.sort(np.stack([qa, qb, qc], axis=1), axis=1)
-                sub_rec.append((qs[:, 0], qs[:, 1], qs[:, 2], zero,
-                                np.arange(n), f))
+                sub_rec.append((qs[:, 0], qs[:, 1], qs[:, 2], zero, ids, f))
+        return own_rec, sub_rec
 
+    def _build_face_lists_impl(self):
+        own_rec, sub_rec = self._face_records()
         return _match_records(own_rec, sub_rec, allow_boundary=True,
                               boundary_mask=lambda g: np.ones(len(g), bool))
+
+    def _edge_geom(self, elem: np.ndarray, side: np.ndarray):
+        """(outward unit normal [n, 3], area [n], center [n, 3]) of local
+        face `side` of `elem` — the shared mixed-class geometry hook
+        (cmesh._faces_from_match3d)."""
+        X, _, centers = self._geometry()
+        tris = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]])
+        idx = tris[side]
+        ar = np.arange(len(elem))[:, None]
+        p = X[elem][ar, idx]
+        nvec = 0.5 * np.cross(p[:, 1] - p[:, 0], p[:, 2] - p[:, 0])
+        cent = p.mean(axis=1)
+        s = np.sign(((cent - centers[elem]) * nvec).sum(axis=1))
+        nvec = nvec * s[:, None]
+        area = np.linalg.norm(nvec, axis=1)
+        return nvec / area[:, None], area, cent
 
     def build_faces(self):
         if self._face_dict is None:

@@ -321,3 +321,129 @@ def test_hex_cmesh_amr_cycle():
             assert np.abs(lv[a] - lv[b]).max() <= 1
     np.testing.assert_allclose(s.compute_integral(), m0, rtol=1e-4)
     assert np.isfinite(s.conserved_state()).all()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid3DForest: tet + hex in ONE forest (BASELINE config 4's 3D wording)
+# ---------------------------------------------------------------------------
+
+
+def _h3():
+    from t8gpu_tpu.mesh.cmesh import unit_cube_hybrid3d_roots
+    return unit_cube_hybrid3d_roots()
+
+
+def _closure(f):
+    """max |sum of outward area vectors| over elements — 0 iff every
+    element's face set tiles its surface (the conformity check)."""
+    fd = f.build_faces()
+    acc = np.zeros((f.n_elements, 3))
+    nv = fd["normal"].T.astype(np.float64) * fd["area"][:, None]
+    np.add.at(acc, fd["left"], -nv)
+    np.add.at(acc, fd["right"], nv)
+    if fd["b_elem"] is not None:
+        np.add.at(acc, fd["b_elem"],
+                  -fd["b_normal"].T.astype(np.float64) * fd["b_area"][:, None])
+    return np.abs(acc).max()
+
+
+def test_hybrid3d_faces_close_at_every_level():
+    from t8gpu_tpu.mesh.cmesh import Hybrid3DForest
+
+    tr, hr, kind = _h3()
+    assert (kind >= 0).sum() == 1          # exactly one interface face
+    for level in (0, 1, 2):
+        f = Hybrid3DForest.uniform(tr, hr, kind, level)
+        m = f._build_face_lists()
+        nh = f.hex.n_elements
+        cross = ((m["eq_l"] < nh) != (m["eq_r"] < nh)).sum()
+        # interface quad face -> 2 half-tris per sub-face -> 2*4^level
+        assert cross == 2 * 4 ** level
+        assert len(m["hang_f"]) == 0
+        assert _closure(f) < 1e-7
+        # total volume = unit cube
+        np.testing.assert_allclose(f.volumes().sum(), 1.0, rtol=1e-10)
+
+
+def test_hybrid3d_hanging_cross_class_conforms():
+    from t8gpu_tpu.mesh.cmesh import CmeshForestMesh, Hybrid3DForest
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+
+    tr, hr, kind = _h3()
+    f = Hybrid3DForest.uniform(tr, hr, kind, 1)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[f.hex.n_elements:] = 1           # refine ONLY the tets
+    f2, _ = f.adapt(f.balance_flags(flags))
+    m = f2._build_face_lists()
+    nh = f2.hex.n_elements
+    cross_hang = ((m["hang_f"] < nh) != (m["hang_c"] < nh)).sum()
+    assert cross_hang > 0                  # 2:1 interface faces exist
+    assert _closure(f2) < 1e-7
+
+    # quiescent state preserved exactly through the mixed hanging faces
+    ic = lambda c: np.stack([np.ones(len(c)), np.zeros(len(c)),
+                             np.zeros(len(c)), np.zeros(len(c)),
+                             2.5 * np.ones(len(c))]).astype(np.float32)
+    s = CompressibleEulerSolver(CmeshForestMesh.from_forest(f2), ic)
+    u0 = s.conserved_state().copy()
+    s.iterate_many(10, 1e-3)
+    assert np.abs(s.conserved_state() - u0).max() < 1e-6
+
+
+def test_hybrid3d_balance_ripples_across_interface():
+    from t8gpu_tpu.mesh.cmesh import Hybrid3DForest
+
+    tr, hr, kind = _h3()
+    f = Hybrid3DForest.uniform(tr, hr, kind, 1)
+    flags = np.zeros(f.n_elements, np.int8)
+    flags[f.hex.n_elements:] = 1
+    f2, _ = f.adapt(f.balance_flags(flags))   # tets at 2, hex at 1
+    flags = np.zeros(f2.n_elements, np.int8)
+    flags[f2.hex.n_elements:] = 1             # tets -> 3: hex must follow
+    bal = f2.balance_flags(flags)
+    assert bal[: f2.hex.n_elements].sum() > 0
+    f3, _ = f2.adapt(bal)
+    # the balanced forest stays conforming
+    assert _closure(f3) < 1e-7
+    lv = f3.level
+    assert lv.max() - lv.min() <= 2
+
+
+def test_hybrid3d_amr_solver_cycle():
+    from t8gpu_tpu.mesh.cmesh import hybrid3d_manager
+    from t8gpu_tpu.models.compressible_euler import CompressibleEulerSolver
+    from t8gpu_tpu.utils.config import AMRConfig
+
+    tr, hr, kind = _h3()
+    mgr = hybrid3d_manager(tr, hr, kind, level=1,
+                           amr=AMRConfig(min_level=0, max_level=2,
+                                         refine_threshold=0.05))
+    s = CompressibleEulerSolver(mgr, blob3_ic)
+    m0 = s.compute_integral()
+    dt = float(s.compute_timestep())
+    for _ in range(3):
+        s.iterate_many(5, dt)
+        s.adapt()
+    assert np.isfinite(s.conserved_state()).all()
+    assert abs(s.compute_integral() - m0) / m0 < 1e-5
+    lv = mgr.forest.level
+    assert lv.max() > 1                       # criteria really refined
+
+
+def test_hybrid3d_sharded_matches_single_device():
+    import jax
+
+    from t8gpu_tpu.mesh.cmesh import CmeshForestMesh, Hybrid3DForest
+    from t8gpu_tpu.parallel.solver import ShardedEulerSolver
+
+    tr, hr, kind = _h3()
+    f = Hybrid3DForest.uniform(tr, hr, kind, 1)
+    ref = CompressibleEulerSolver(CmeshForestMesh.from_forest(f), blob3_ic)
+    sh = ShardedEulerSolver(f, blob3_ic, devices=jax.devices()[:4])
+    dt = 1e-3
+    for _ in range(3):
+        ref.iterate(dt)
+        sh.iterate(dt)
+    np.testing.assert_allclose(sh.conserved_state(),
+                               ref.conserved_state()[:, : f.n_elements],
+                               rtol=2e-5, atol=2e-6)
