@@ -169,12 +169,14 @@ def bench_amr_plain():
     }))
 
 
-def bench_order2():
+def bench_order2(limiter: str = "bj"):
     """Second-order MUSCL throughput on the flagship config (2.1M cells,
     Subgrid<8,8,8>): the fused MUSCL Pallas kernel
     (ops/pallas_kernels.fused_muscl_pallas — reconstruction + interface
     fields + fluxes VMEM-resident).  Beyond-reference physics quality at
-    a measured cost multiple of the first-order flagship number."""
+    a measured cost multiple of the first-order flagship number.
+    limiter "bj-prim" A/Bs the primitive-space reconstruction
+    (ops/euler.prim_rows — the round-5 op-count restructure)."""
     from t8gpu_tpu.memory.subgrid import SubgridSpec
     from t8gpu_tpu.mesh.forest import Forest
     from t8gpu_tpu.mesh.subgrid import SubgridMesh
@@ -186,7 +188,8 @@ def bench_order2():
     mesh = SubgridMesh.from_forest(Forest.uniform(level + 1, dim=dim),
                                    SubgridSpec((8,) * dim))
     solver = SubgridCompressibleEulerSolver(
-        mesh, lambda c: kh_planar(c, dim=dim), config=EulerConfig(order=2))
+        mesh, lambda c: kh_planar(c, dim=dim),
+        config=EulerConfig(order=2, limiter=limiter))
     n_cells = solver.n_elements * solver.spec.size
     dt = solver.compute_timestep()
 
@@ -201,7 +204,7 @@ def bench_order2():
     value = n_cells / per_step
     print(json.dumps({
         "metric": "order-2 MUSCL DOF-updates/sec/chip (3D Euler KH, "
-                  "2.1M cells, fused MUSCL kernel)",
+                  f"2.1M cells, fused MUSCL kernel, limiter {limiter})",
         "value": value,
         "unit": "cell-updates/s",
         "vs_baseline": value / NOMINAL_A100_DOF_RATE,
@@ -512,7 +515,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="flagship",
                    choices=("flagship", "plain", "amr-plain", "order2", "ns",
-                            "mhd", "mhd-subgrid", "amr", "sphere",
+                            "mhd", "mhd-subgrid", "amr", "sphere", "order2-prim",
                             "sphere-blocked", "sphere-blocked-amr", "all"))
     args = p.parse_args()
 
@@ -528,6 +531,8 @@ def main():
         bench_amr_plain()
     if args.config in ("order2", "all"):
         bench_order2()
+    if args.config == "order2-prim":
+        bench_order2("bj-prim")
     if args.config in ("ns", "all"):
         bench_ns()
     if args.config in ("mhd", "all"):

@@ -382,8 +382,12 @@ class SubgridCompressibleEulerSolver:
 
     def _sg_limiter(self) -> str:
         # EulerConfig.limiter speaks the plain path's names ("bj"/"none");
-        # the subgrid per-axis scheme uses minmod as its limited variant
-        return "none" if self.config.limiter == "none" else "minmod"
+        # the subgrid per-axis scheme uses minmod as its limited variant.
+        # A "-prim" suffix selects primitive-space reconstruction
+        # (ops/euler.prim_rows) and passes through unmapped.
+        lim, _, space = self.config.limiter.partition("-")
+        lim = "none" if lim == "none" else "minmod"
+        return f"{lim}-{space}" if space else lim
 
     # -- AMR cycle (ref solver.inl:327-345) -------------------------------------
 

@@ -723,6 +723,34 @@ def kepes_pair_fields(u, gamma: float) -> tuple:
     return (rho, v1, v2, v3, p, rho_p, inv_rho, inv_p, ke)
 
 
+def prim_rows(u, gamma: float) -> tuple:
+    """(rho, v1, v2, v3, p) rows from conserved rows — the
+    reconstruction variables of primitive-space MUSCL (limiter
+    "<lim>-prim"): slopes/limiting/admissibility on primitives make the
+    per-side positivity guard two compares (no kinetic-energy rebuild)
+    and the per-interface field derivation ~5 ops cheaper, the op-count
+    levers the round-4 measurements located in the RECONSTRUCTION
+    (BENCHMARKS.md: the pair-flux restructure proved the MUSCL kernel is
+    not log-bound)."""
+    kappa_m1 = gamma - 1.0
+    rho, m1, m2, m3, e = u
+    inv_rho = 1.0 / rho
+    v1, v2, v3 = m1 * inv_rho, m2 * inv_rho, m3 * inv_rho
+    p = kappa_m1 * (e - 0.5 * (m1 * v1 + m2 * v2 + m3 * v3))
+    return (rho, v1, v2, v3, p)
+
+
+def prim_pair_fields(w) -> tuple:
+    """`kepes_pair_fields` tuple from primitive rows (rho, v1, v2, v3,
+    p): only the reciprocals/derived products remain to compute."""
+    rho, v1, v2, v3, p = w
+    inv_rho = 1.0 / rho
+    inv_p = 1.0 / p
+    rho_p = rho * inv_p
+    ke = 0.5 * (v1 * v1 + v2 * v2 + v3 * v3)
+    return (rho, v1, v2, v3, p, rho_p, inv_rho, inv_p, ke)
+
+
 def kepes_pair_flux(q_l: tuple, q_r: tuple, gamma: float,
                     log_fn=jnp.log):
     """Entropy-stable KEPES flux from `kepes_pair_fields` tuples (face

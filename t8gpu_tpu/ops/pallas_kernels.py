@@ -426,7 +426,7 @@ def fused_mhd_flux_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
 
 def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
                            gamma: float, flux: str, limiter: str,
-                           positivity: bool):
+                           positivity: bool, space: str = "cons"):
     """Second-order per-tile flux divergence (states in, like the RK-fused
     kernel: interface fields are derived IN VMEM from the reconstructed
     states, cell_fields_tuple + fields_flux).
@@ -448,11 +448,27 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
     round-3 finding that the fused kernels are VPU-issue-bound makes
     this the order-2 lever; measured in BENCHMARKS.md round 4)."""
     from t8gpu_tpu.ops.euler import (cell_fields_tuple, kepes_pair_fields,
-                                     kepes_pair_flux)
+                                     kepes_pair_flux, prim_pair_fields,
+                                     prim_rows)
 
     log_fn = _kernel_log_fn()
+    prim = space == "prim"
 
-    if flux == "kepes":
+    if prim:
+        # primitive-space reconstruction (euler.prim_rows rationale):
+        # the state rows become (rho, v1, v2, v3, p) ONCE per cell; the
+        # per-side positivity guard is two compares and the interface
+        # tuples need only the reciprocals/products
+        if flux != "kepes":
+            raise ValueError("primitive-space MUSCL ('<lim>-prim') "
+                             "supports the kepes flux")
+        u = prim_rows(u, gamma)
+
+        def iface_flux(l_states, r_states):
+            return kepes_pair_flux(prim_pair_fields(l_states),
+                                   prim_pair_fields(r_states),
+                                   gamma, log_fn=log_fn)
+    elif flux == "kepes":
         def iface_flux(l_states, r_states):
             return kepes_pair_flux(kepes_pair_fields(l_states, gamma),
                                    kepes_pair_fields(r_states, gamma),
@@ -485,6 +501,9 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
         # same positivity fallback as muscl_core's guard (primitives-based)
         if not positivity:
             return rec
+        if prim:
+            ok = (rec[0] > 0.0) & (rec[4] > 0.0)
+            return tuple(jnp.where(ok, r, b) for r, b in zip(rec, base))
         rho, m1, m2, m3, e = rec
         s_rho = 1.0 / rho
         kinetic = 0.5 * (m1 * m1 + m2 * m2 + m3 * m3) * s_rho
@@ -498,10 +517,11 @@ def _tile_muscl_divergence(u, others, w_ref, dim: int, ext: int,
     for a in range(dim):
         va = _rows_rotate(u, a)
         o_hi, o_lo = others[2 * a], others[2 * a + 1]
-        nb0_hi = _rows_rotate(tuple(o_hi[i] for i in range(5)), a)
-        nb1_hi = _rows_rotate(tuple(o_hi[5 + i] for i in range(5)), a)
-        nb0_lo = _rows_rotate(tuple(o_lo[i] for i in range(5)), a)
-        nb1_lo = _rows_rotate(tuple(o_lo[5 + i] for i in range(5)), a)
+        cvt = (lambda t: prim_rows(t, gamma)) if prim else (lambda t: t)
+        nb0_hi = _rows_rotate(cvt(tuple(o_hi[i] for i in range(5))), a)
+        nb1_hi = _rows_rotate(cvt(tuple(o_hi[5 + i] for i in range(5))), a)
+        nb0_lo = _rows_rotate(cvt(tuple(o_lo[i] for i in range(5))), a)
+        nb1_lo = _rows_rotate(cvt(tuple(o_lo[5 + i] for i in range(5))), a)
         w_hi = w_ref[1 + 2 * a]                            # [TE]
         w_lo = w_ref[2 + 2 * a]
         eq_hi = (w_hi > 0).astype(u[0].dtype)
@@ -805,7 +825,8 @@ def fused_mhd_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
 
 
 def _fused_muscl_kernel(u_ref, w_ref, *refs, gamma: float, flux: str,
-                        dim: int, ext: int, limiter: str, positivity: bool):
+                        dim: int, ext: int, limiter: str, positivity: bool,
+                        space: str = "cons"):
     """One element tile of the fused MUSCL divergence: u [5, *(ext,)*dim,
     TE] states; w [8, TE]; o<k> [10, *(ext,)*(dim-1), TE] equal-level
     neighbor edge+second state layers of side k.  Outputs d [5, ...],
@@ -815,7 +836,7 @@ def _fused_muscl_kernel(u_ref, w_ref, *refs, gamma: float, flux: str,
     TE = u_ref.shape[-1]
     u = tuple(u_ref[i] for i in range(5))
     D, speed = _tile_muscl_divergence(u, others, w_ref, dim, ext, gamma,
-                                      flux, limiter, positivity)
+                                      flux, limiter, positivity, space)
     d_ref[...] = D
     smax = speed.max(axis=tuple(range(dim)))
     sp_ref[...] = jnp.broadcast_to(smax[None, :], (8, TE))
@@ -823,11 +844,11 @@ def _fused_muscl_kernel(u_ref, w_ref, *refs, gamma: float, flux: str,
 
 @functools.partial(jax.jit,
                    static_argnames=("gamma", "flux", "limiter", "positivity",
-                                    "tile", "interpret"))
+                                    "tile", "interpret", "space"))
 def fused_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
                        gamma: float, flux: str, limiter: str = "minmod",
                        positivity: bool = True, tile: int = 128,
-                       interpret: bool = False):
+                       interpret: bool = False, space: str = "cons"):
     """Fused second-order MUSCL interior + equal-level mesh-face flux
     divergence (see _tile_muscl_divergence; beyond-reference — the
     reference's subgrid kernels are first-order, kernels.inl:335-911).
@@ -861,7 +882,7 @@ def fused_muscl_pallas(u: jnp.ndarray, weights: jnp.ndarray, others,
     D, sp = pl.pallas_call(
         functools.partial(_fused_muscl_kernel, gamma=gamma, flux=flux,
                           dim=dim, ext=ext, limiter=limiter,
-                          positivity=positivity),
+                          positivity=positivity, space=space),
         grid=grid,
         in_specs=[pl.BlockSpec((5,) + (ext,) * dim + (tile,), idx_blk),
                   pl.BlockSpec((8, tile), idx2)]

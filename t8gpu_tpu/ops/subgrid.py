@@ -945,19 +945,22 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
     from t8gpu_tpu.ops.euler import cell_fields_tuple, maybe_barrier
     from t8gpu_tpu.ops.pallas_kernels import kernel_mode
 
+    # "<lim>-prim" selects primitive-space reconstruction (euler.prim_rows)
+    lim_base, _, space = limiter.partition("-")
+    space = space or "cons"
     mode = kernel_mode()
     if (mode != "off" and spec.extent in (4, 8)
-            and limiter in ("minmod", "none")):
+            and lim_base in ("minmod", "none")):
         from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
         others, weights = muscl_side_inputs(u, conn, spec, volumes)
         D, sp_e = fused_muscl_pallas(u, weights, others, gamma=gamma,
-                                     flux=flux, limiter=limiter,
-                                     positivity=positivity,
+                                     flux=flux, limiter=lim_base,
+                                     positivity=positivity, space=space,
                                      interpret=mode == "interpret")
         speed = sp_e.max()
     else:
         D, speed = muscl_core(u, u, volumes, conn, spec, gamma, flux,
-                              limiter, positivity)
+                              lim_base, positivity, space=space)
 
     # hanging (2:1) faces + walls: first-order closure, equal faces excluded
     q = maybe_barrier(cell_fields_tuple(u, gamma, flux))
@@ -976,7 +979,8 @@ def flux_divergence_muscl(u: jnp.ndarray, volumes: jnp.ndarray,
 
 def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
                spec: SubgridSpec, gamma: float, flux: str,
-               limiter: str = "minmod", positivity: bool = True):
+               limiter: str = "minmod", positivity: bool = True,
+               space: str = "cons"):
     """The per-axis MUSCL machinery shared by the single-device and
     sharded subgrid paths: neighbor-layer gathers, limited slopes,
     in-block interfaces, and the second-order equal-level mesh faces.
@@ -991,7 +995,33 @@ def muscl_core(u: jnp.ndarray, u_src: jnp.ndarray, volumes, conn,
     This is the Euler instantiation of the ROW-GENERIC `muscl_core_rows`
     (which GLM-MHD rides with its 9-row permutation rotation and
     thermal-pressure guard, ops/subgrid_mhd.py)."""
-    from t8gpu_tpu.ops.euler import numerical_flux, primitives
+    from t8gpu_tpu.ops.euler import (kepes_pair_flux, numerical_flux,
+                                     prim_pair_fields, prim_rows,
+                                     primitives)
+
+    if space == "prim":
+        # primitive-space reconstruction: slopes/limits/guards on
+        # (rho, v, p) rows; fluxes stay conserved-space so the
+        # divergence accumulation is unchanged
+        if flux != "kepes":
+            raise ValueError("primitive-space MUSCL ('<lim>-prim') "
+                             "supports the kepes flux")
+        w = jnp.stack(prim_rows(u, gamma))
+        w_src = w if u_src is u else jnp.stack(prim_rows(u_src, gamma))
+
+        def guard_p(w_rec, w_first):
+            if not positivity:
+                return w_rec
+            ok = (w_rec[0] > 0.0) & (w_rec[4] > 0.0)
+            return jnp.where(ok[None], w_rec, w_first)
+
+        return muscl_core_rows(
+            w, w_src, volumes, conn, spec, n_rows=5,
+            rotate=axis_rotate, unrotate=axis_unrotate,
+            iface=lambda l, r: kepes_pair_flux(
+                prim_pair_fields(tuple(l)), prim_pair_fields(tuple(r)),
+                gamma),
+            guard=guard_p, limiter=limiter)
 
     def guard(u_rec, u_first):
         if not positivity:

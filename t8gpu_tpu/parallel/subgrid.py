@@ -423,19 +423,22 @@ def sharded_subgrid_flux_divergence_muscl(u, volumes, conn,
 
     u_ext = _halo_exchange_state(u, conn)
     CL = u.shape[-1]
+    lim_base, _, space = limiter.partition("-")    # "<lim>-prim" support
+    space = space or "cons"
     mode = kernel_mode()
     if (mode != "off" and spec.extent in (4, 8)
-            and limiter in ("minmod", "none")):
+            and lim_base in ("minmod", "none")):
         from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
         others, weights = sg.muscl_side_inputs(u, conn, spec, volumes,
                                                u_src=u_ext)
         D, sp_e = fused_muscl_pallas(u, weights, others, gamma=gamma,
-                                     flux=flux, limiter=limiter,
+                                     flux=flux, limiter=lim_base,
+                                     space=space,
                                      interpret=mode == "interpret")
         speed = sp_e.max()
     else:
         D, speed = sg.muscl_core(u, u_ext, volumes, conn, spec, gamma,
-                                 flux, limiter)
+                                 flux, lim_base, space=space)
 
     # hanging (2:1) faces + walls: first-order closure, equal excluded
     q_ext = maybe_barrier(cell_fields_tuple(u_ext, gamma, flux))
@@ -777,8 +780,11 @@ class ShardedSubgridEulerSolver:
     def _build_step(self, n_steps: int = 1, observables: tuple = ()):
         gamma, flux = self.config.gamma, self.config.flux
         order = getattr(self.config, "order", 1)
-        limiter = ("none" if getattr(self.config, "limiter", "bj") == "none"
-                   else "minmod")
+        _lim_raw = getattr(self.config, "limiter", "bj")
+        _lim, _, _space = _lim_raw.partition("-")   # "<lim>-prim" support
+        limiter = "none" if _lim == "none" else "minmod"
+        if _space:
+            limiter = f"{limiter}-{_space}"
         gravity = tuple(getattr(self.config, "gravity", (0.0, 0.0, 0.0)))
         from t8gpu_tpu.ops.source import has_gravity
         grav = has_gravity(gravity)

@@ -62,7 +62,13 @@ class EulerConfig:
     # monotone), "venkat" (Venkatakrishnan — smooth, keeps ~order 1.85 at
     # extrema, slight bounded overshoot), or "none" (unlimited,
     # convergence studies only).  The subgrid path maps bj/venkat to its
-    # per-axis minmod variant.
+    # per-axis minmod variant.  A "-prim" suffix (e.g. "bj-prim")
+    # selects PRIMITIVE-space reconstruction on the subgrid path:
+    # slopes/limiting/positivity on (rho, v, p) rows instead of
+    # conserved rows (ops/euler.prim_rows) — the same order of accuracy
+    # (standard practice), cheaper guards and interface fields in the
+    # fused kernel (the round-4 finding that the MUSCL kernel is
+    # reconstruction-bound, BENCHMARKS.md); kepes flux only.
     limiter: str = "bj"
     # Dynamic viscosity (beyond-reference: compressible Navier-Stokes on
     # the plain-element path, any element class).  mu > 0 adds the full

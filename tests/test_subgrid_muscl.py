@@ -247,3 +247,65 @@ def test_matches_plain_order2_uniform():
         (s_pl.conserved_state()[0]
          - exact_rho(mesh_pl.centers[:, 0], T_END)) ** 2)))
     np.testing.assert_allclose(e_sg, e_pl, rtol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# Primitive-space reconstruction ("<lim>-prim", ops/euler.prim_rows):
+# the round-5 op-count restructure of the order-2 kernel
+# ---------------------------------------------------------------------------
+
+
+def test_prim_second_order_unlimited():
+    errs = _converge("none-prim")
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 1.9, (errs, orders)
+
+
+def test_prim_second_order_minmod():
+    errs = _converge("bj-prim")
+    orders = [np.log2(errs[i] / errs[i + 1]) for i in range(2)]
+    assert min(orders) > 1.4, (errs, orders)
+    # accuracy comparable to conserved-space reconstruction
+    errs_cons = _converge("bj")
+    assert errs[-1] < 2.0 * errs_cons[-1], (errs, errs_cons)
+
+
+@pytest.mark.parametrize("dim,ext", [(2, 8), (3, 8)])
+@pytest.mark.parametrize("limiter", ["minmod", "none"])
+def test_prim_fused_kernel_matches_prim_stencil(dim, ext, limiter):
+    from t8gpu_tpu.ops import subgrid as sg
+    from t8gpu_tpu.ops.pallas_kernels import fused_muscl_pallas
+
+    spec = SubgridSpec((ext,) * dim)
+    mesh = SubgridMesh.from_forest(
+        Forest.uniform(2 if dim == 2 else 1, dim=dim), spec)
+    s = SubgridCompressibleEulerSolver(mesh, lambda c: kh_planar(c, dim=dim))
+    D0, sp0 = sg.muscl_core(s.u, s.u, s.volumes, s.conn, spec, GAMMA,
+                            "kepes", limiter, space="prim")
+    others, weights = sg.muscl_side_inputs(s.u, s.conn, spec, s.volumes)
+    D1, sp_e = fused_muscl_pallas(s.u, weights, others, gamma=GAMMA,
+                                  flux="kepes", limiter=limiter,
+                                  space="prim", interpret=True)
+    np.testing.assert_allclose(np.asarray(D1), np.asarray(D0),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(float(sp_e.max()), float(sp0), rtol=1e-5)
+
+
+def test_prim_conservation_and_hanging_stability():
+    """Prim-space reconstruction on a HANGING (2:1) mesh: conservative,
+    finite, quiescent-preserving (the first-order hanging closure is
+    shared with cons mode)."""
+    forest = Forest.uniform(2, dim=2)
+    c = forest.centers()
+    flags = forest.balance_flags(
+        ((c[:, 0] > 0.5)).astype(np.int8))
+    f2, _ = forest.adapt(flags)
+    mesh = SubgridMesh.from_forest(f2, SubgridSpec((8, 8)))
+    s = SubgridCompressibleEulerSolver(
+        mesh, lambda c: kh_planar(c, dim=2),
+        config=EulerConfig(order=2, limiter="bj-prim"))
+    m0 = s.compute_integral()
+    dt = s.compute_timestep()
+    s.iterate_many(20, dt)
+    assert np.isfinite(s.conserved_state()).all()
+    assert abs(s.compute_integral() - m0) / m0 < 1e-5
