@@ -431,7 +431,11 @@ def _embed(u_elem, anchors, elems, delta, live, *, n_deltas: int):
     shape = delta.shape                                    # [E, E, 2, Rg, T]
     flat = jnp.zeros((u_elem.shape[0],) + (int(np.prod(shape)),),
                      u_elem.dtype)
-    flat = flat.at[:, anchors].set(u_elem[:, elems])
+    # anchors/elems are PADDED to the element capacity bucket so this
+    # program's shapes are adapt-stable (exact per-adapt lengths were
+    # recompiling it every adapt); padding rows carry out-of-range slot
+    # ids and are dropped
+    flat = flat.at[:, anchors].set(u_elem[:, elems], mode="drop")
     lat = _pool(flat.reshape((u_elem.shape[0],) + shape), delta[None],
                 n_deltas)
     guard = jnp.asarray(GUARD_STATE, u_elem.dtype).reshape(
@@ -475,7 +479,8 @@ class _ClassHost(NamedTuple):
     inc_sign: np.ndarray    # f32 [K, D]
 
 
-def _build_host_tables(forest: PrismForest, amr: AMRConfig):
+def _build_host_tables(forest: PrismForest, amr: AMRConfig,
+                       cap_n: int = 0):
     """Per-adapt host tables: class assignment, per-slot depth maps,
     element anchors, cross-root face tables.  All O(elements + faces)
     vectorized NumPy; nothing lattice-dense crosses the host<->device
@@ -488,6 +493,7 @@ def _build_host_tables(forest: PrismForest, amr: AMRConfig):
     layer = forest.root % nl
     N = forest.n_elements
 
+    cap_n = cap_n or bucket_capacity(N, amr.growth_factor)
     class_lo = max(int(amr.min_level), 0)
     class_hi = int(amr.max_level)
     m_col = np.zeros(roots.n_tris, np.int64)
@@ -513,7 +519,7 @@ def _build_host_tables(forest: PrismForest, amr: AMRConfig):
     caps = []
     for ci, m in enumerate(range(class_lo, class_hi + 1)):
         cols = np.flatnonzero(m_col == m)
-        T = bucket_capacity(max(len(cols), 1), growth=2.0, base=4)
+        T = bucket_capacity(max(len(cols), 1), growth=2.0, base=16)
         colpos[cols] = np.arange(len(cols))
         V3 = np.zeros((T, 3, 3), np.float32)
         if len(cols):
@@ -543,8 +549,13 @@ def _build_host_tables(forest: PrismForest, amr: AMRConfig):
                   * Rg + arg[sel]) * T + tpos[sel]
         else:
             af = np.zeros(0, np.int64)
-        class_elems.append(el.astype(np.int32))
-        class_anchors.append(af.astype(np.int32))
+        S_ci = E * E * 2 * Rg * T
+        el_pad = np.zeros(cap_n, np.int32)
+        el_pad[: len(sel)] = sel
+        af_pad = np.full(cap_n, S_ci, np.int32)     # OOB -> drop in _embed
+        af_pad[: len(sel)] = af
+        class_elems.append(el_pad)
+        class_anchors.append(af_pad)
         anchors_g[sel] = af  # global offset added later
         # depth scatter per (delta, orientation) group
         for d in sorted(set((m_e[sel] - lv[sel]).tolist())):
@@ -590,13 +601,16 @@ def _build_host_tables(forest: PrismForest, amr: AMRConfig):
     c_area = area_l[cross].astype(np.float32)
     c_norm = norm_l[:, cross].astype(np.float32)
     M = len(em)
-    Mcap = bucket_capacity(max(M, 1), growth=2.0, base=64)
+    # coarse bases: these arrays are tiny, and every distinct
+    # (T*, K*, M) combination is a fresh XLA step program — overshoot
+    # the padding so the combination changes (almost) never
+    Mcap = bucket_capacity(max(M, 1), growth=2.0, base=8192)
 
     pool_pos = np.full(N, -1, np.int64)
     pool_elems = [np.unique(np.concatenate([em[cls_of[em] == ci],
                                             nb[cls_of[nb] == ci]]))
                   for ci in range(len(caps))]
-    Kcaps = [bucket_capacity(max(len(p), 1), growth=2.0, base=64)
+    Kcaps = [bucket_capacity(max(len(p), 1), growth=2.0, base=4096)
              for p in pool_elems]
     koff = np.concatenate([[0], np.cumsum(Kcaps)[:-1]])
     for ci, p in enumerate(pool_elems):
@@ -636,7 +650,11 @@ def _build_host_tables(forest: PrismForest, amr: AMRConfig):
         depth = (np.arange(len(eps))
                  - np.maximum.accumulate(np.where(new, np.arange(len(eps)),
                                                   0))) if len(eps) else eps
-        Dmax = _next_pow2(int(depth.max(initial=0)) + 1)
+        # FIXED depth: a per-adapt next_pow2 of the observed max jitters
+        # across adapts and recompiles the step program (the round-4
+        # fine-table lesson); 16 bounds any 2:1 corner configuration
+        Dmax = 16
+        assert int(depth.max(initial=0)) < Dmax,             f"cross-face collision depth {int(depth.max())+1} > {Dmax}"
         inc = np.full((K, Dmax), Mcap, np.int32)           # sentinel col
         sgn_t = np.zeros((K, Dmax), np.float32)
         if len(eps):
@@ -650,7 +668,9 @@ def _build_host_tables(forest: PrismForest, amr: AMRConfig):
 
     cross_h = (ext_l, ext_r, ext_n, ext_a)
     assert sum(S_of) < 2 ** 31, "lattice slot space exceeds int32"
-    return classes, cross_h, anchors_g.astype(np.int32), off
+    ag_pad = np.zeros(cap_n, np.int64)
+    ag_pad[:N] = anchors_g
+    return classes, cross_h, ag_pad.astype(np.int32), off
 
 
 # ---------------------------------------------------------------------------
@@ -714,9 +734,13 @@ class BlockedShellAMRSolver:
 
         self.forest = forest
         self._crit_rho = None
+        cap_n = bucket_capacity(forest.n_elements, self.amr.growth_factor)
+        if u_elem.shape[-1] != cap_n:   # shape-stable embed/readout
+            u_elem = jnp.pad(u_elem,
+                             [(0, 0), (0, cap_n - u_elem.shape[-1])])
         with phase("adapt/blocked-tables"):
             classes, cross_h, anchors_g, off = _build_host_tables(
-                forest, self.amr)
+                forest, self.amr, cap_n)
         with phase("adapt/blocked-upload"):
             flat = []
             for ch in classes:
@@ -823,8 +847,11 @@ class BlockedShellAMRSolver:
                                       self.amr.growth_factor)
             start, count = pad_remap(remap.src_start, remap.src_count,
                                      cap_new)
-            w_old = jnp.asarray(self.forest.volumes().astype(np.float32))
-            u_new = apply_remap_weighted(u_old, start, count, w_old,
+            vols = self.forest.volumes().astype(np.float32)
+            w_old = np.ones(u_old.shape[-1], np.float32)   # padded lanes
+            w_old[: len(vols)] = vols
+            u_new = apply_remap_weighted(u_old, start, count,
+                                         jnp.asarray(w_old),
                                          k=8, capacity=cap_new)
         self._install(new_forest, u_new)
 
@@ -871,4 +898,5 @@ class BlockedShellAMRSolver:
         """[5, N] in the forest's SFC element order."""
         u_flat = jnp.concatenate([u.reshape(5, -1) for u in self.us],
                                  axis=1)
-        return np.asarray(_gather_elem(u_flat, self._anchors_g))
+        out = np.asarray(_gather_elem(u_flat, self._anchors_g))
+        return out[:, : self.forest.n_elements]
