@@ -56,6 +56,16 @@ the small cross-root tables.
 Scope: single-device.  For the sharded deployment of adapted shells use
 ShardedEulerSolver over ShellForestMesh (parallel/solver.py); the uniform
 sharded lattice path is ShardedBlockedShellEulerSolver.
+
+Measured (BENCHMARKS.md round 5): this is the path that carried the
+reference's 20k-step flagship protocol END TO END (the gather path's
+adapted-shell programs OOM the server-side compile helper), with
+~10 s warm 100-step+adapt cycles at 250 k prisms.  Per-step slope at
+2-adapt dilution 9.6x is ~31 M slot-upd/s = 3.2 M elem-upd/s — the
+arithmetic is diluted by the column-granular embedding and the
+general-normal per-direction stencil; the named next levers are
+sub-root column classes (the linear-barycentric geometry restricts to
+any subtree exactly) and an in-VMEM Mosaic lattice kernel.
 """
 
 from __future__ import annotations
